@@ -1,0 +1,201 @@
+"""EMF parse stage (SURVEY.md §2.2-§2.3): payload string -> typed columns.
+
+Strategy (all Catalyst, zero Python):
+  1. ``from_json(payload, struct<_aws:...>)``   — the typed metadata block
+  2. ``from_json(payload, map<string,string>)`` — the dynamic top-level
+     keys; nested JSON values survive as raw JSON text (the "union
+     trick" for scalar-vs-struct metric values, emf/metric.go:181-222)
+  3. membership predicates (P3/P4) via higher-order functions on the
+     record's own projection list — intra-row, no join, no shuffle
+  4. per-metric normalization to ``(value, count)`` pair arrays (A3)
+
+Reference semantics mirrored (citations into /root/reference/):
+  - P1 malformed filter: no ``_aws`` / ``Timestamp`` / ``CloudWatchMetrics``
+    => rejected (emf/metric.go:39-73); split to an errors side-output.
+  - projection-level skips: missing Namespace/Dimensions/Metrics skips the
+    projection (emf/metric.go:83-122) — the "Dimnesions" typo case.
+  - P2 key stripping: only declared metrics + referenced dimensions
+    survive (emf/metric.go:146-176). Metric wins over dimension when a
+    name is both (metric checked first, metric.go:153-174).
+  - F2 parseMetricValue: bare scalar -> {Value}; object -> structured;
+    strings coerced via ParseFloat with unparseable -> 0
+    (utils/utils.go:9-25); Counts truncate double->long
+    (metric.go:193-197).
+  - P6 invalid-value filter: no Value, no Values => dropped unless the
+    degenerate Min==Max form. We implement the evident *intent*
+    (``Min <=> Max`` by value); the reference compares pointers
+    (aggregator.go:139) so the branch never fires there — divergence
+    documented in SURVEY.md §7.4 and covered by tests.
+  - P5 NaN/Inf rejection at insert (histogram/seh.go:65-67), applied
+    uniformly (the reference's exact-branch NaN handling is
+    unserializable anyway: Go json.Marshal errors on NaN).
+  - F5/O1 dimension-set sort (metric.go:109), F6 dimension hash
+    (aggregator.go:234-248).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from emf_spark.schema import METRIC_VALUE_DDL
+
+TOP_DDL = (
+    "struct<`_aws`:struct<Timestamp:bigint,CloudWatchMetrics:array<struct<"
+    "Namespace:string,Dimensions:array<array<string>>,"
+    "Metrics:array<struct<Name:string,Unit:string>>>>>>"
+)
+
+_INF = float("inf")
+
+
+def _valid_projections(cwm: Column) -> Column:
+    """Keep projections with Namespace+Dimensions+Metrics; sort each
+    dimension set (metric.go:83-122,109)."""
+    valid = F.filter(
+        cwm,
+        lambda p: p["Namespace"].isNotNull()
+        & p["Dimensions"].isNotNull()
+        & p["Metrics"].isNotNull(),
+    )
+    return F.transform(
+        valid,
+        lambda p: F.struct(
+            p["Namespace"].alias("Namespace"),
+            F.transform(
+                F.filter(p["Dimensions"], lambda s: s.isNotNull()),
+                lambda s: F.array_sort(s),
+            ).alias("Dimensions"),
+            p["Metrics"].alias("Metrics"),
+        ),
+    )
+
+
+def _metric_pairs(raw: Column) -> Column:
+    """Normalize one raw metric value (JSON text) into
+    array<struct<v:double, c:bigint>> — the unit the aggregator consumes
+    (A3, aggregator.go:129-150). NaN/Inf filtered (P5)."""
+    mv = F.from_json(raw, METRIC_VALUE_DDL)
+    is_obj = F.startswith(F.ltrim(raw), F.lit("{"))
+    scalar = F.coalesce(raw.try_cast("double"), F.lit(0.0))
+    one = F.lit(1).cast("bigint")
+    pair = lambda v, c: F.struct(v.cast("double").alias("v"), c.alias("c"))
+    zipped = F.zip_with(
+        mv["Values"],
+        F.coalesce(mv["Counts"], F.array()),
+        lambda v, c: pair(v, F.coalesce(c.cast("bigint"), one)),
+    )
+    degenerate = (
+        mv["Max"].isNotNull() & mv["Min"].eqNullSafe(mv["Max"]) & mv["Count"].isNotNull()
+    )
+    pairs = (
+        F.when(raw.isNull(), F.array().cast("array<struct<v:double,c:bigint>>"))
+        .when(~is_obj, F.array(pair(scalar, one)))
+        .when(mv["Values"].isNotNull(), zipped)
+        .when(degenerate, F.array(pair(mv["Max"], mv["Count"].cast("bigint"))))
+        .otherwise(F.array().cast("array<struct<v:double,c:bigint>>"))
+    )
+    return F.filter(pairs, lambda p: ~F.isnan(p["v"]) & (F.abs(p["v"]) != F.lit(_INF)))
+
+
+def dim_hash_expr(dims: Column) -> Column:
+    """F6: sorted ``k=v`` joined with ';' (aggregator.go:234-248)."""
+    return F.concat_ws(
+        ";",
+        F.array_sort(
+            F.transform(
+                F.map_entries(dims),
+                lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+            )
+        ),
+    )
+
+
+def parse_emf(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """payload -> typed EMF columns. Adds:
+
+    ``ts`` (epoch ms), ``cwm`` (valid projections), ``dim_names``,
+    ``metric_names``, ``dims`` (map), ``dim_hash``, ``metrics``
+    (array<struct<name, namespace, pairs:array<struct<v,c>>>>),
+    ``valid`` (P1 predicate), ``error`` (reject reason or null).
+    """
+    payload = F.col(payload_col)
+    df = df.withColumns(
+        {
+            "_top": F.from_json(payload, TOP_DDL),
+            "_rec": F.from_json(payload, "map<string,string>"),
+        }
+    )
+    aws = F.col("_top")["_aws"]
+    df = df.withColumns(
+        {
+            "ts": aws["Timestamp"],
+            "cwm": _valid_projections(aws["CloudWatchMetrics"]),
+            "valid": F.col("_rec").isNotNull()
+            & aws.isNotNull()
+            & aws["Timestamp"].isNotNull()
+            & aws["CloudWatchMetrics"].isNotNull(),
+            "error": F.when(F.col("_rec").isNull(), F.lit("unparseable record"))
+            .when(aws.isNull(), F.lit("no aws metadata found in record"))
+            .when(aws["Timestamp"].isNull(), F.lit("no timestamp found in aws data"))
+            .when(
+                aws["CloudWatchMetrics"].isNull(),
+                F.lit("no CloudWatchMetrics key found"),
+            ),
+        }
+    )
+    cwm = F.col("cwm")
+    df = df.withColumns(
+        {
+            "dim_names": F.array_distinct(
+                F.flatten(F.transform(cwm, lambda p: F.flatten(p["Dimensions"])))
+            ),
+            "metric_names": F.array_distinct(
+                F.flatten(
+                    F.transform(cwm, lambda p: F.transform(p["Metrics"], lambda m: m["Name"]))
+                )
+            ),
+        }
+    )
+    rec = F.col("_rec")
+    # dims: referenced-and-present, not shadowed by a metric name (P2/P4)
+    df = df.withColumn(
+        "dims",
+        F.map_filter(
+            rec,
+            lambda k, v: F.array_contains(F.col("dim_names"), k)
+            & ~F.array_contains(F.col("metric_names"), k),
+        ),
+    )
+    # metrics: declared-and-present, normalized to (v, c) pairs, with the
+    # owning namespace = first projection listing the name (metric.go:153-168
+    # loop order)
+    ns_of = lambda name: F.element_at(
+        F.filter(
+            cwm,
+            lambda p: F.exists(p["Metrics"], lambda m: m["Name"] == name),
+        ),
+        1,
+    )["Namespace"]
+    df = df.withColumn(
+        "metrics",
+        F.filter(
+            F.transform(
+                F.col("metric_names"),
+                lambda name: F.struct(
+                    name.alias("name"),
+                    ns_of(name).alias("namespace"),
+                    _metric_pairs(F.element_at(rec, name)).alias("pairs"),
+                ),
+            ),
+            lambda m: F.element_at(rec, m["name"]).isNotNull(),
+        ),
+    )
+    df = df.withColumn("dim_hash", dim_hash_expr(F.col("dims")))
+    return df.drop("_top", "_rec")
+
+
+def split_valid(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(valid, errors) side-output split (drop site aggregator.go:81-86)."""
+    return df.filter(F.col("valid")).drop("valid", "error"), df.filter(
+        ~F.col("valid")
+    ).select("doc_id", "source", "n_tok", "error")

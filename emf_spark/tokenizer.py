@@ -1,0 +1,60 @@
+"""Token <-> bytes contract (FIXTURES.md §1).
+
+Token id = UTF-8 byte value (vocab 256). ``detokenize(tokens) ==
+bytes(tokens)`` — deterministic and invertible, which makes the
+north-rule invariant "exact token-array equality on every routed row"
+checkable by construction.
+
+The detokenize UDF is the ONLY Python on the pipeline's hot path
+(mandated by BASELINE.json input_hint: vectorized Arrow UDFs, no
+per-row Python). It is implemented against the Arrow buffers directly:
+one ``bytes()`` copy of the flattened values buffer per batch plus a
+zero-copy offset slice per row — no per-element Python loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+
+def tokenize_bytes(s: str | bytes) -> list[int]:
+    """Pure-python tokenizer used by fixture generation (driver side)."""
+    if isinstance(s, str):
+        s = s.encode("utf-8")
+    return list(s)
+
+
+def detokenize_bytes(tokens) -> str:
+    """Pure-python inverse, for tests/oracle."""
+    return bytes(int(t) & 0xFF for t in tokens).decode("utf-8", errors="replace")
+
+
+def _detok_batch(series: pd.Series) -> pd.Series:
+    """Vectorized batch detokenize: pandas Series of int arrays -> str."""
+    arr = pa.array(series, type=pa.list_(pa.int32()))
+    if isinstance(arr, pa.ChunkedArray):  # pragma: no cover
+        arr = arr.combine_chunks()
+    # Null-free fast path: flatten once, slice by offsets.
+    offsets = arr.offsets.to_numpy(zero_copy_only=False)
+    flat = arr.values.to_numpy(zero_copy_only=False).astype(np.uint8)
+    buf = flat.tobytes()
+    out = [
+        buf[offsets[i] : offsets[i + 1]].decode("utf-8", errors="replace")
+        for i in range(len(arr))
+    ]
+    if arr.null_count:
+        valid = arr.is_valid().to_numpy(zero_copy_only=False)
+        out = [o if v else None for o, v in zip(out, valid)]
+    return pd.Series(out, dtype=object)
+
+
+detokenize_udf = F.pandas_udf(_detok_batch, StringType())
+
+
+def with_payload(df, tokens_col: str = "tokens", out_col: str = "payload"):
+    """Attach the detokenized JSON payload column."""
+    return df.withColumn(out_col, detokenize_udf(F.col(tokens_col)))

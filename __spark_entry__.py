@@ -1,38 +1,91 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``   — flagship: the full EMF parse→enrich→route→aggregate
+              pipeline over a tokenized corpus derived from the sf0.001
+              ``events`` table.
+``queries`` / ``oracle_sql`` — operator battery from SURVEY.md §2 plus
+              training-data ops, DuckDB-cross-checked (see
+              emf_spark/driver_queries.py).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+
+def _events_as_tokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-express the events table as the engine's canonical input:
+    (doc_id, tokens:array<int32>, n_tok, source) with EMF JSON payloads."""
+    from emf_spark.tokenizer import tokenize_udf
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    payload = F.to_json(
+        F.struct(
+            F.struct(
+                (F.unix_timestamp("ts") * 1000).cast("bigint").alias("Timestamp"),
+                F.array(
+                    F.struct(
+                        F.lit("Events").alias("Namespace"),
+                        F.array(F.array(F.lit("EventType"))).alias("Dimensions"),
+                        F.array(
+                            F.struct(
+                                F.lit("Value").alias("Name"),
+                                F.lit("None").alias("Unit"),
+                            )
+                        ).alias("Metrics"),
+                    )
+                ).alias("CloudWatchMetrics"),
+            ).alias("_aws"),
+            F.col("value").alias("Value"),
+            F.col("event_type").alias("EventType"),
+        )
+    )
+    source = F.element_at(
+        F.array(F.lit("app-a"), F.lit("app-b"), F.lit("app-c"), F.lit("noise")),
+        (F.col("user_id") % 4 + 1).cast("int"),
+    )
+    df = ev.select(
+        F.concat(F.lit("doc_"), F.lpad(F.col("event_id").cast("string"), 12, "0")).alias(
+            "doc_id"
+        ),
+        payload.alias("payload"),
+        source.alias("source"),
+    )
+    df = df.withColumn("tokens", tokenize_udf("payload"))
+    return df.select(
+        "doc_id", "tokens", F.size("tokens").cast("int").alias("n_tok"), "source"
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from emf_spark import pipeline
+
+    tokenized = _events_as_tokenized(spark, "/root/testdata/sf0.001")
+    res = pipeline.build_events(spark, tokenized, window_ms=3_600_000)
+    return res.events.select(
+        "sink",
+        "window_start",
+        "dim_hash",
+        "timestamp",
+        F.size("metrics").alias("n_metrics"),
+        "event_json",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from emf_spark.driver_queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from emf_spark.driver_queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

@@ -1,0 +1,527 @@
+"""Driver-contract query battery (SURVEY.md §2 operator inventory).
+
+Each entry pairs a Spark DataFrame program with an ANSI-SQL oracle that
+DuckDB runs over the same parquet tables. Column names and value
+rounding are aligned on both sides (the driver hashes values after
+sorting columns by name).
+
+Conventions to keep the value-hash stable across engines:
+  - no raw timestamp columns in results (cast to epoch bigint)
+  - double aggregates rounded: big sums -> 2 dp, ratios/means -> 6 dp
+  - deterministic tie-breaks on every top-k
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# EMF-core operators (SURVEY.md §2) over the testdata star schema
+# ---------------------------------------------------------------------------
+
+
+def q_dim_hash_group(spark, sf):
+    """F6 dimension hash + A1 hash group-by (aggregator.go:96-151,234-248)."""
+    ev = _t(spark, sf, "events")
+    dim_hash = F.concat_ws(
+        ";",
+        F.concat(F.lit("etype="), F.col("event_type")),
+        F.concat(F.lit("ubucket="), (F.col("user_id") % 10).cast("string")),
+    )
+    return (
+        ev.groupBy(dim_hash.alias("dim_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.min("value"), 2).alias("min_value"),
+            F.round(F.max("value"), 2).alias("max_value"),
+        )
+    )
+
+
+SQL_DIM_HASH_GROUP = """
+SELECT 'etype=' || event_type || ';ubucket=' || CAST(user_id % 10 AS VARCHAR) AS dim_hash,
+       COUNT(*) AS cnt,
+       ROUND(SUM(value), 2) AS sum_value,
+       ROUND(MIN(value), 2) AS min_value,
+       ROUND(MAX(value), 2) AS max_value
+FROM events GROUP BY 1
+"""
+
+
+def q_value_count_hist(spark, sf):
+    """A2 exact sparse value->count histogram (histogram.go:28-37)."""
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy(
+        F.col("l_returnflag").alias("flag"), F.col("l_quantity").alias("v")
+    ).agg(F.count(F.lit(1)).alias("c"))
+
+
+SQL_VALUE_COUNT_HIST = """
+SELECT l_returnflag AS flag, l_quantity AS v, COUNT(*) AS c
+FROM lineitem GROUP BY 1, 2
+"""
+
+
+def q_seh_buckets(spark, sf):
+    """A8/F10 SEH bucket aggregation (seh.go:35-40,64-80)."""
+    li = _t(spark, sf, "lineitem")
+    bucket = (
+        F.when(F.col("l_extendedprice") <= 0, F.lit(0))
+        .otherwise(F.floor(F.log(F.col("l_extendedprice")) / F.log(F.lit(1.1))))
+        .cast("int")
+    )
+    return li.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("c"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_v"),
+    )
+
+
+SQL_SEH_BUCKETS = """
+SELECT CASE WHEN l_extendedprice <= 0 THEN 0
+            ELSE CAST(FLOOR(LN(l_extendedprice) / LN(1.1)) AS INTEGER) END AS bucket,
+       COUNT(*) AS c,
+       ROUND(SUM(l_extendedprice), 2) AS sum_v
+FROM lineitem GROUP BY 1
+"""
+
+
+def q_seh_representative(spark, sf):
+    """F11 geometric-midpoint representative values (seh.go:43-45)."""
+    li = _t(spark, sf, "lineitem")
+    bucket = (
+        F.when(F.col("l_extendedprice") <= 0, F.lit(0))
+        .otherwise(F.floor(F.log(F.col("l_extendedprice")) / F.log(F.lit(1.1))))
+        .cast("int")
+    )
+    b = li.groupBy(bucket.alias("bucket")).agg(F.count(F.lit(1)).alias("c"))
+    return b.select(
+        F.round(
+            F.exp((F.col("bucket").cast("double") + F.lit(0.5)) * F.log(F.lit(1.1))), 6
+        ).alias("rep_value"),
+        "c",
+    )
+
+
+SQL_SEH_REPRESENTATIVE = """
+WITH b AS (
+  SELECT CASE WHEN l_extendedprice <= 0 THEN 0
+              ELSE CAST(FLOOR(LN(l_extendedprice) / LN(1.1)) AS INTEGER) END AS bucket,
+         COUNT(*) AS c
+  FROM lineitem GROUP BY 1)
+SELECT ROUND(EXP((CAST(bucket AS DOUBLE) + 0.5) * LN(1.1)), 6) AS rep_value, c FROM b
+"""
+
+
+def q_tumbling_window(spark, sf):
+    """W1 tumbling event-time window (task.go:29-47 -> event-time)."""
+    ev = _t(spark, sf, "events")
+    win = (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("bigint")
+    return ev.groupBy(
+        win.alias("window_start"), F.col("event_type").alias("event_type")
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+SQL_TUMBLING_WINDOW = """
+SELECT CAST(FLOOR(EPOCH(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+       event_type,
+       COUNT(*) AS cnt,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_broadcast_enrich(spark, sf):
+    """J3 broadcast enrichment join (flush dispatch generalized)."""
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+    )
+
+
+SQL_BROADCAST_ENRICH = """
+SELECT r_name AS region, n_name AS nation, COUNT(*) AS customers,
+       ROUND(SUM(c_acctbal), 2) AS sum_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1, 2
+"""
+
+
+def q_route_fanout(spark, sf):
+    """S6/§2.10 sink routing expressed as per-sink aggregate counts."""
+    ev = _t(spark, sf, "events")
+    sink = (
+        F.when(F.col("event_type") == "error", "cloudwatch")
+        .when(F.col("event_type") == "purchase", "file")
+        .otherwise("archive")
+    )
+    return ev.groupBy(sink.alias("sink")).agg(
+        F.count(F.lit(1)).alias("routed_rows"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+SQL_ROUTE_FANOUT = """
+SELECT CASE WHEN event_type = 'error' THEN 'cloudwatch'
+            WHEN event_type = 'purchase' THEN 'file'
+            ELSE 'archive' END AS sink,
+       COUNT(*) AS routed_rows,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+def q_malformed_filter(spark, sf):
+    """P1-style validity predicate on a JSON payload column."""
+    ev = _t(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.withColumn("k", k)
+        .filter(F.col("k").isNotNull() & (F.col("k") > 50))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("k").alias("sum_k"))
+    )
+
+
+SQL_MALFORMED_FILTER = """
+SELECT event_type, COUNT(*) AS cnt, SUM(k) AS sum_k FROM (
+  SELECT event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+  FROM events) t
+WHERE k IS NOT NULL AND k > 50
+GROUP BY 1
+"""
+
+
+def q_first_wins_metadata(spark, sf):
+    """A4 first-wins / A5 last-wins under deterministic (ts, id) order
+    (aggregator.go:100-121; SURVEY.md §7.4 determinism rule)."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("first_event_type"),
+            F.unix_timestamp("ts").cast("bigint").alias("first_ts_epoch"),
+        )
+    )
+
+
+SQL_FIRST_WINS_METADATA = """
+SELECT user_id, event_type AS first_event_type,
+       CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS first_ts_epoch
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) rn
+      FROM events) t
+WHERE rn = 1
+"""
+
+
+def q_projection_union(spark, sf):
+    """A6/U1 intended metric-definition union as a set-union aggregate."""
+    o = _t(spark, sf, "orders")
+    return o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.array_join(F.array_sort(F.collect_set("o_orderpriority")), ",").alias(
+            "priorities"
+        ),
+        F.count(F.lit(1)).alias("orders_cnt"),
+    )
+
+
+SQL_PROJECTION_UNION = """
+SELECT o_custkey AS custkey,
+       string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities,
+       COUNT(*) AS orders_cnt
+FROM orders GROUP BY 1
+"""
+
+
+def q_membership_semi_join(spark, sf):
+    """P3/P4 membership predicate as a broadcast semi-join."""
+    li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part").filter(F.col("p_size") <= 10)
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"], "left_semi")
+        .groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+SQL_MEMBERSHIP_SEMI_JOIN = """
+SELECT l_returnflag AS flag, COUNT(*) AS cnt, ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem
+WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 10)
+GROUP BY 1
+"""
+
+
+def q_compression_ratio(spark, sf):
+    """A11 input/output compression accounting (aggregator.go:218-221)."""
+    ev = _t(spark, sf, "events")
+    groups = ev.groupBy("event_type", (F.col("user_id") % 10)).count()
+    n_in = ev.count()
+    n_out = groups.count()
+    return spark.createDataFrame(
+        [(n_in, n_out, round(float(n_in - n_out) / n_in * 100, 6))],
+        "records_in bigint, groups_out bigint, reduction_pct double",
+    )
+
+
+SQL_COMPRESSION_RATIO = """
+WITH g AS (SELECT event_type, user_id % 10 AS ub FROM events GROUP BY 1, 2)
+SELECT (SELECT COUNT(*) FROM events) AS records_in,
+       (SELECT COUNT(*) FROM g) AS groups_out,
+       ROUND(( (SELECT COUNT(*) FROM events) - (SELECT COUNT(*) FROM g) )
+             * 100.0 / (SELECT COUNT(*) FROM events), 6) AS reduction_pct
+"""
+
+
+def q_pricing_summary(spark, sf):
+    """TPC-H Q1 shape: partial-aggregation showcase for the agg engine."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_linestatus").alias("status"),
+        )
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag AS flag, l_linestatus AS status,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 6) AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-data ops (dedup / similarity / text) over documents+embeddings
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf):
+    """Exact dedup: hash-groupBy on content, keep first doc_id."""
+    d = _t(spark, sf, "documents")
+    return d.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("dup_count"),
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS dup_count
+FROM documents GROUP BY 1
+"""
+
+
+def q_text_jaccard_vs_query(spark, sf):
+    """N-gram (word-set) Jaccard similarity of every doc vs doc_id=0."""
+    d = _t(spark, sf, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+    )
+    qwords = words.filter(F.col("doc_id") == 0).select(F.col("w").alias("qw"))
+    nq = qwords.count()
+    inter = (
+        words.join(F.broadcast(qwords), words["w"] == qwords["qw"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nd"))
+    return (
+        sizes.join(inter, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(F.col("inter"), F.lit(0))
+                / (F.col("nd") + F.lit(nq) - F.coalesce(F.col("inter"), F.lit(0))),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+SQL_TEXT_JACCARD_VS_QUERY = """
+WITH words AS (
+  SELECT doc_id, DISTINCT_W AS w FROM (
+    SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS DISTINCT_W
+    FROM documents) t),
+q AS (SELECT w FROM words WHERE doc_id = 0),
+sizes AS (SELECT doc_id, COUNT(*) AS nd FROM words GROUP BY 1),
+inter AS (SELECT doc_id, COUNT(*) AS inter FROM words WHERE w IN (SELECT w FROM q) GROUP BY 1)
+SELECT s.doc_id,
+       ROUND(COALESCE(i.inter, 0) * 1.0
+             / (s.nd + (SELECT COUNT(*) FROM q) - COALESCE(i.inter, 0)), 6) AS jaccard
+FROM sizes s LEFT JOIN inter i ON s.doc_id = i.doc_id
+"""
+
+
+def q_text_token_stats(spark, sf):
+    """Token counting + per-language corpus stats."""
+    d = _t(spark, sf, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(F.size(F.split("text", " "))).alias("total_tokens"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+    )
+
+
+SQL_TEXT_TOKEN_STATS = """
+SELECT lang, COUNT(*) AS docs,
+       SUM(len(string_split(text, ' '))) AS total_tokens,
+       ROUND(AVG(n_chars), 6) AS avg_chars
+FROM documents GROUP BY 1
+"""
+
+
+def q_text_quality(spark, sf):
+    """Quality scoring: length/word-length/uniqueness ratios per source."""
+    d = _t(spark, sf, "documents")
+    n_words = F.size(F.split("text", " "))
+    n_uniq = F.size(F.array_distinct(F.split("text", " ")))
+    score = F.round(
+        (n_uniq / n_words) * F.least(F.length("text") / F.lit(200.0), F.lit(1.0)), 6
+    )
+    return (
+        d.select("source", score.alias("q"))
+        .groupBy("source")
+        .agg(F.round(F.avg("q"), 6).alias("avg_quality"), F.count(F.lit(1)).alias("docs"))
+    )
+
+
+SQL_TEXT_QUALITY = """
+SELECT source,
+       ROUND(AVG(q), 6) AS avg_quality, COUNT(*) AS docs
+FROM (
+  SELECT source,
+         ROUND((len(list_distinct(string_split(text, ' '))) * 1.0
+                / len(string_split(text, ' ')))
+               * LEAST(LENGTH(text) / 200.0, 1.0), 6) AS q
+  FROM documents) t
+GROUP BY 1
+"""
+
+
+def q_ann_cosine_topk(spark, sf):
+    """Brute-force cosine top-k vs the vec_id=0 embedding — the exact
+    baseline for ANN (scale path: LSH bucketing, datax.similarity)."""
+    e = _t(spark, sf, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    qlit = F.array(*[F.lit(float(x)) for x in qvec])
+    dot = F.aggregate(
+        F.zip_with(F.col("embedding"), qlit, lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nx = F.aggregate(
+        F.transform(F.col("embedding"), lambda a: a.cast("double") * a.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    qnorm = float(sum(float(x) * float(x) for x in qvec)) ** 0.5
+    sim = F.round(dot / (F.sqrt(nx) * F.lit(qnorm)), 6)
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .select("vec_id", sim.alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(10)
+    )
+
+
+SQL_ANN_COSINE_TOPK = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+flat AS (
+  SELECT vec_id,
+         SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+         SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS nx,
+         SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS ny
+  FROM (SELECT vec_id, UNNEST(embedding) AS x, UNNEST((SELECT qe FROM q)) AS y
+        FROM embeddings) t
+  GROUP BY vec_id)
+SELECT vec_id, ROUND(dot / (SQRT(nx) * SQRT(ny)), 6) AS cosine
+FROM flat WHERE vec_id <> 0
+ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
+QUERIES: dict[str, Callable] = {
+    "emf_dim_hash_group": q_dim_hash_group,
+    "emf_value_count_hist": q_value_count_hist,
+    "emf_seh_buckets": q_seh_buckets,
+    "emf_seh_representative": q_seh_representative,
+    "emf_tumbling_window": q_tumbling_window,
+    "emf_broadcast_enrich": q_broadcast_enrich,
+    "emf_route_fanout": q_route_fanout,
+    "emf_malformed_filter": q_malformed_filter,
+    "emf_first_wins_metadata": q_first_wins_metadata,
+    "emf_projection_union": q_projection_union,
+    "emf_membership_semi_join": q_membership_semi_join,
+    "emf_compression_ratio": q_compression_ratio,
+    "tpch_pricing_summary": q_pricing_summary,
+    "dedup_exact": q_dedup_exact,
+    "text_jaccard_vs_query": q_text_jaccard_vs_query,
+    "text_token_stats": q_text_token_stats,
+    "text_quality": q_text_quality,
+    "ann_cosine_topk": q_ann_cosine_topk,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "emf_dim_hash_group": SQL_DIM_HASH_GROUP,
+    "emf_value_count_hist": SQL_VALUE_COUNT_HIST,
+    "emf_seh_buckets": SQL_SEH_BUCKETS,
+    "emf_seh_representative": SQL_SEH_REPRESENTATIVE,
+    "emf_tumbling_window": SQL_TUMBLING_WINDOW,
+    "emf_broadcast_enrich": SQL_BROADCAST_ENRICH,
+    "emf_route_fanout": SQL_ROUTE_FANOUT,
+    "emf_malformed_filter": SQL_MALFORMED_FILTER,
+    "emf_first_wins_metadata": SQL_FIRST_WINS_METADATA,
+    "emf_projection_union": SQL_PROJECTION_UNION,
+    "emf_membership_semi_join": SQL_MEMBERSHIP_SEMI_JOIN,
+    "emf_compression_ratio": SQL_COMPRESSION_RATIO,
+    "tpch_pricing_summary": SQL_PRICING_SUMMARY,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "text_jaccard_vs_query": SQL_TEXT_JACCARD_VS_QUERY,
+    "text_token_stats": SQL_TEXT_TOKEN_STATS,
+    "text_quality": SQL_TEXT_QUALITY,
+    "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+}

@@ -18,7 +18,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 from pyspark.sql import functions as F
-from pyspark.sql.types import StringType
+from pyspark.sql.types import ArrayType, IntegerType, StringType
 
 
 def tokenize_bytes(s: str | bytes) -> list[int]:
@@ -53,6 +53,22 @@ def _detok_batch(series: pd.Series) -> pd.Series:
 
 
 detokenize_udf = F.pandas_udf(_detok_batch, StringType())
+
+
+def _tok_batch(series: pd.Series) -> pd.Series:
+    """Inverse UDF (string -> token array); used to materialize tokenized
+    corpora from existing string tables (fixture/entry path, not the
+    engine hot path)."""
+    out = [
+        None if s is None else np.frombuffer(s.encode("utf-8"), dtype=np.uint8).astype(np.int32)
+        for s in series
+    ]
+    return pd.Series(out, dtype=object)
+
+
+# NB: must be a DataType instance, not a DDL string — executors re-import
+# this module and DDL parsing needs an active SparkContext there.
+tokenize_udf = F.pandas_udf(_tok_batch, ArrayType(IntegerType()))
 
 
 def with_payload(df, tokens_col: str = "tokens", out_col: str = "payload"):

@@ -1,0 +1,112 @@
+"""Local stand-in for the driver's correctness gate: run each
+``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB over the
+same sf dir, compare row count, column names, and order-insensitive
+values (doubles to 1e-9 rel / 1e-8 abs).
+
+Usage: python tools/check_contract.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = set(sys.argv[2:])
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return v
+    return v
+
+
+def close(a, b):
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            af, bf = float(a), float(b)
+        except (TypeError, ValueError):
+            return a == b
+        if math.isnan(af) and math.isnan(bf):
+            return True
+        return math.isclose(af, bf, rel_tol=1e-9, abs_tol=1e-8)
+    return a == b
+
+
+def main():
+    import __spark_entry__ as ent
+    from emf_spark.session import get_spark
+
+    spark = get_spark("contract_check", cpus=8, shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+
+    qs, sqls = ent.queries(), ent.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if ONLY and name not in ONLY:
+            continue
+        try:
+            sdf = fn(spark, SF).toPandas()
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, f"spark error: {e}"))
+            print(f"FAIL {name}: spark error: {e}")
+            continue
+        if name not in sqls:
+            print(f"SKIP-ORACLE {name}: rows={len(sdf)}")
+            continue
+        try:
+            ddf = con.execute(sqls[name]).df()
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, f"duckdb error: {e}"))
+            print(f"FAIL {name}: duckdb error: {e}")
+            continue
+        if sorted(sdf.columns) != sorted(ddf.columns):
+            failures.append((name, f"cols {sorted(sdf.columns)} vs {sorted(ddf.columns)}"))
+            print(f"FAIL {name}: column mismatch {sorted(sdf.columns)} vs {sorted(ddf.columns)}")
+            continue
+        if len(sdf) != len(ddf):
+            failures.append((name, f"rows {len(sdf)} vs {len(ddf)}"))
+            print(f"FAIL {name}: row count {len(sdf)} vs {len(ddf)}")
+            continue
+        cols = sorted(sdf.columns)
+        srows = sorted(
+            [tuple(norm(v) for v in row) for row in sdf[cols].itertuples(index=False)],
+            key=lambda r: tuple(str(x) for x in r),
+        )
+        drows = sorted(
+            [tuple(norm(v) for v in row) for row in ddf[cols].itertuples(index=False)],
+            key=lambda r: tuple(str(x) for x in r),
+        )
+        bad = None
+        for i, (sr, dr) in enumerate(zip(srows, drows)):
+            if not all(close(a, b) for a, b in zip(sr, dr)):
+                bad = (i, sr, dr)
+                break
+        if bad:
+            failures.append((name, f"value mismatch at sorted row {bad[0]}: {bad[1]} vs {bad[2]}"))
+            print(f"FAIL {name}: {failures[-1][1]}")
+        else:
+            print(f"OK   {name}: rows={len(sdf)}")
+    print(f"\n{len(qs) - len(failures)}/{len(qs)} queries match")
+    if failures:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

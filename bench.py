@@ -1,0 +1,175 @@
+"""Benchmark harness (driver contract + BASELINE.md scaling evidence).
+
+Default: runs the EMF pipeline end-to-end (parse -> enrich -> route ->
+aggregate -> events) over a tokenized corpus derived from the sf dir's
+events table, plus the driver-query battery, then prints ONE JSON line:
+
+  {"metric": "emf_pipeline_throughput_seq_per_s", "value": N,
+   "unit": "sec", "queries": {...per-query seconds...}, "sf": ...}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32), BENCH_REPLICAS (default 10).
+
+--scaling: re-runs the pipeline job in two fresh subprocesses at
+local[8] and local[32] on the identical corpus and reports throughput at
+both plus scaling efficiency (>= 0.8 target, BASELINE.json north rule) —
+the sandbox stand-in for N vs 4N executors. Writes BENCH/SCALING.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REPLICAS = int(os.environ.get("BENCH_REPLICAS", "10"))
+CACHE = REPO / ".bench_cache"
+
+
+def corpus_path() -> str:
+    sf_tag = Path(SF_DIR).name
+    return str(CACHE / f"corpus_{sf_tag}_x{REPLICAS}.parquet")
+
+
+def build_corpus(spark, path: str) -> int:
+    """Materialize the tokenized EMF corpus: events-derived records
+    replicated REPLICAS x with distinct doc_ids (generation is excluded
+    from timing)."""
+    from pyspark.sql import functions as F
+
+    from __spark_entry__ import _events_as_tokenized
+
+    base = _events_as_tokenized(spark, SF_DIR)
+    rep = base.select(
+        F.explode(F.array(*[F.lit(i) for i in range(REPLICAS)])).alias("rep"),
+        "doc_id",
+        "tokens",
+        "n_tok",
+        "source",
+    ).select(
+        F.concat("doc_id", F.lit("_"), F.col("rep").cast("string")).alias("doc_id"),
+        "tokens",
+        "n_tok",
+        "source",
+    )
+    rep.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path).count()
+
+
+def run_pipeline_job(spark, path: str, out_dir: str) -> dict:
+    """The timed unit: full pipeline incl. routed + event writes."""
+    from emf_spark import pipeline
+
+    t0 = time.time()
+    res = pipeline.run(spark, path, out_dir, window_ms=3_600_000)
+    res.stats.collect()
+    wall = time.time() - t0
+    n = spark.read.parquet(path).count()
+    return {"rows": n, "seconds": round(wall, 3), "rows_per_s": round(n / wall, 1)}
+
+
+def bench_queries(spark) -> dict[str, float]:
+    from emf_spark.driver_queries import QUERIES
+
+    out = {}
+    for name, fn in QUERIES.items():
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main():
+    from emf_spark.session import get_spark
+
+    spark = get_spark("emf_bench", cpus=CPUS)
+    path = corpus_path()
+    if not os.path.exists(path):
+        CACHE.mkdir(exist_ok=True)
+        build_corpus(spark, path)
+
+    out_dir = "/tmp/emf_bench_out"
+    # warm-up pass: exclude one-time whole-stage-codegen compilation and
+    # JVM JIT from the steady-state number (it's fixed cost, not per-row)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    run_pipeline_job(spark, path, out_dir)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    pipe = run_pipeline_job(spark, path, out_dir)
+    queries = bench_queries(spark)
+    queries["emf_pipeline"] = pipe["seconds"]
+    print(
+        json.dumps(
+            {
+                "metric": "emf_pipeline_throughput_seq_per_s",
+                "value": pipe["rows_per_s"],
+                "unit": "sec",
+                "queries": queries,
+                "sf": Path(SF_DIR).name,
+                "pipeline_rows": pipe["rows"],
+                "cpus": CPUS,
+            }
+        )
+    )
+
+
+def one_level(cpus: int):
+    """Subprocess entry: run only the pipeline job at a parallelism level."""
+    from emf_spark.session import get_spark
+
+    spark = get_spark(f"emf_bench_c{cpus}", cpus=cpus)
+    path = corpus_path()
+    if not os.path.exists(path):
+        CACHE.mkdir(exist_ok=True)
+        build_corpus(spark, path)
+    out_dir = f"/tmp/emf_bench_out_c{cpus}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    # warm-up pass to exclude one-time codegen/JIT from the comparison
+    run_pipeline_job(spark, path, out_dir)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    res = run_pipeline_job(spark, path, out_dir)
+    print("LEVEL_RESULT " + json.dumps({"cpus": cpus, **res}))
+
+
+def scaling():
+    levels = {}
+    for cpus in (8, 32):
+        p = subprocess.run(
+            [sys.executable, __file__, "--level", str(cpus)],
+            capture_output=True,
+            text=True,
+            cwd=str(REPO),
+        )
+        for line in p.stdout.splitlines():
+            if line.startswith("LEVEL_RESULT "):
+                levels[cpus] = json.loads(line[len("LEVEL_RESULT "):])
+        if cpus not in levels:
+            print(p.stdout[-2000:], p.stderr[-2000:])
+            raise SystemExit(f"level {cpus} failed")
+    eff = (levels[32]["rows_per_s"] / levels[8]["rows_per_s"]) / 4.0
+    result = {
+        "levels": levels,
+        "scaling_efficiency_8_to_32": round(eff, 3),
+        "target": 0.8,
+    }
+    (REPO / "BENCH").mkdir(exist_ok=True)
+    (REPO / "BENCH" / "SCALING.json").write_text(json.dumps(result, indent=2))
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    elif "--level" in sys.argv:
+        one_level(int(sys.argv[sys.argv.index("--level") + 1]))
+    else:
+        main()

@@ -112,17 +112,25 @@ def aggregate_histograms(
     p1 = obs.groupBy(*keys, "v").agg(F.sum("c").alias("c"))
 
     # Per-(group, metric) stats — always exact (histogram.go:39-88).
-    stats = p1.groupBy(*keys).agg(
-        F.count(F.lit(1)).alias("n_distinct"),
-        F.min("v").alias("min"),
-        F.max("v").alias("max"),
-        F.sum(F.col("v") * F.col("c")).alias("sum"),
-        F.sum("c").alias("count"),
-    )
+    # Whole-partition window aggregates over the already-reduced p1: one
+    # shuffle on the group keys, no self-join (a join here would
+    # recompute the entire upstream once per side), and every following
+    # groupBy reuses this partitioning (subset-key clustering) with no
+    # further exchange. p1 rows are distinct values only, so the
+    # per-partition sort is over post-reduction cardinality.
+    from pyspark.sql.window import Window
 
-    # AQE turns this into a broadcast join when stats is small and
-    # splits skewed partitions otherwise (north-rule skew handling).
-    joined = p1.join(stats, keys)
+    w = Window.partitionBy(*keys)
+    joined = p1.select(
+        *keys,
+        "v",
+        "c",
+        F.count(F.lit(1)).over(w).alias("n_distinct"),
+        F.min("v").over(w).alias("min"),
+        F.max("v").over(w).alias("max"),
+        F.sum(F.col("v") * F.col("c")).over(w).alias("sum"),
+        F.sum("c").over(w).alias("count"),
+    )
 
     # A7 branch select: exact passthrough vs SEH representative value.
     out_v = (
@@ -183,7 +191,12 @@ def aggregate_metadata(df: DataFrame, key_by_namespace: bool = False) -> DataFra
         F.sum("n_tok").alias("bytes_in"),
     )
 
-    proj = df.select(*keys, F.explode("cwm").alias("p"))
+    # Dedupe projection lists BEFORE exploding/collecting: partial
+    # aggregation collapses the per-record replication map-side, so the
+    # collect below only ever sees distinct (group, projection-list)
+    # combinations — bounded per-group state at any input scale.
+    distinct_cwm = df.select(*keys, "cwm").distinct()
+    proj = distinct_cwm.select(*keys, F.explode("cwm").alias("p"))
     per_ns = proj.groupBy(*keys, F.col("p.Namespace").alias("Namespace")).agg(
         F.sort_array(
             F.array_distinct(F.flatten(F.collect_list(F.col("p.Dimensions"))))

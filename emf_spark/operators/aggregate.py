@@ -82,14 +82,28 @@ def group_keys(df: DataFrame, key_by_namespace: bool = False) -> list[str]:
 
 def explode_observations(df: DataFrame, key_by_namespace: bool = False) -> DataFrame:
     """Fan out parsed records into one row per (metric, value, count)
-    observation (A3, aggregator.go:129-150). Two generator expressions,
-    both whole-stage-codegen'd; no shuffle."""
+    observation (A3, aggregator.go:129-150).
+
+    The raw metric JSON fragments explode FIRST; the value-shape
+    normalization (F2/P5/P6) runs once per flat (record, metric) row —
+    not inside nested HOFs pre-explode — so it codegens and the persisted
+    upstream stays a cheap map<string,string>. Namespace lookup only in
+    north-rule keying mode. Two generators, no shuffle."""
+    from emf_spark.operators.parse import _metric_pairs, namespace_of
+
     cols = [c for c in ("sink", "window_start", "dim_hash") if c in df.columns]
-    m = df.select(*cols, F.explode("metrics").alias("m")).select(
+    m = df.select(
         *cols,
-        F.col("m.name").alias("metric_name"),
-        F.col("m.namespace").alias("namespace"),
-        F.explode("m.pairs").alias("p"),
+        *(["cwm"] if key_by_namespace else []),
+        F.explode("metric_raw").alias("metric_name", "raw"),
+    )
+    ns = (
+        namespace_of(F.col("cwm"), F.col("metric_name")).alias("namespace")
+        if key_by_namespace
+        else F.lit(None).cast("string").alias("namespace")
+    )
+    m = m.select(
+        *cols, "metric_name", ns, F.explode(_metric_pairs(F.col("raw"))).alias("p")
     )
     return m.select(
         *cols,

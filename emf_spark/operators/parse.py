@@ -166,32 +166,43 @@ def parse_emf(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             & ~F.array_contains(F.col("metric_names"), k),
         ),
     )
-    # metrics: declared-and-present, normalized to (v, c) pairs, with the
-    # owning namespace = first projection listing the name (metric.go:153-168
-    # loop order)
-    ns_of = lambda name: F.element_at(
-        F.filter(
-            cwm,
-            lambda p: F.exists(p["Metrics"], lambda m: m["Name"] == name),
-        ),
-        1,
-    )["Namespace"]
+    # metric_raw: declared-and-present metric values as raw JSON text.
+    # Value normalization (F2/A3/P5/P6) happens AFTER the aggregation
+    # explode (aggregate.explode_observations): the from_json runs once
+    # per flat (record, metric) row under whole-stage codegen instead of
+    # inside a nested HOF here, and the persisted intermediate stays a
+    # cheap map<string,string> instead of deep structs.
     df = df.withColumn(
-        "metrics",
-        F.filter(
-            F.transform(
-                F.col("metric_names"),
-                lambda name: F.struct(
-                    name.alias("name"),
-                    ns_of(name).alias("namespace"),
-                    _metric_pairs(F.element_at(rec, name)).alias("pairs"),
-                ),
-            ),
-            lambda m: F.element_at(rec, m["name"]).isNotNull(),
-        ),
+        "metric_raw",
+        F.map_filter(rec, lambda k, v: F.array_contains(F.col("metric_names"), k)),
     )
     df = df.withColumn("dim_hash", dim_hash_expr(F.col("dims")))
     return df.drop("_top", "_rec")
+
+
+def namespace_of(cwm: Column, name: Column) -> Column:
+    """Owning namespace = first projection listing the metric name
+    (metric.go:153-168 loop order)."""
+    return F.element_at(
+        F.filter(cwm, lambda p: F.exists(p["Metrics"], lambda m: m["Name"] == name)),
+        1,
+    )["Namespace"]
+
+
+def with_parsed_metrics(df: DataFrame) -> DataFrame:
+    """Test/inspection helper: attach the fully-parsed ``metrics`` column
+    (array<struct<name, namespace, pairs>>) from ``metric_raw``."""
+    return df.withColumn(
+        "metrics",
+        F.transform(
+            F.map_entries(F.col("metric_raw")),
+            lambda e: F.struct(
+                e["key"].alias("name"),
+                namespace_of(F.col("cwm"), e["key"]).alias("namespace"),
+                _metric_pairs(e["value"]).alias("pairs"),
+            ),
+        ),
+    )
 
 
 def split_valid(df: DataFrame) -> tuple[DataFrame, DataFrame]:

@@ -9,7 +9,7 @@ import json
 import pytest
 from pyspark.sql import functions as F
 
-from emf_spark.operators.parse import parse_emf, split_valid
+from emf_spark.operators.parse import parse_emf, split_valid, with_parsed_metrics
 from emf_spark.tokenizer import tokenize_bytes, with_payload
 
 
@@ -19,7 +19,7 @@ def _parse_one(spark, rec: dict):
         [("d0", tokenize_bytes(js), len(js), "app-a")],
         "doc_id string, tokens array<int>, n_tok int, source string",
     )
-    return parse_emf(with_payload(df))
+    return with_parsed_metrics(parse_emf(with_payload(df)))
 
 
 VALID_RECORD = {

@@ -61,7 +61,7 @@ def build_corpus(spark, path: str) -> int:
         "n_tok",
         "source",
     )
-    rep.write.mode("overwrite").parquet(path)
+    rep.repartition(64).write.mode("overwrite").parquet(path)
     return spark.read.parquet(path).count()
 
 

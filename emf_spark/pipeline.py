@@ -120,6 +120,16 @@ def run(
     os.makedirs(out_dir, exist_ok=True)
     tokenized = spark.read.parquet(input_path)
 
+    # Byte-based split sizing misjudges this workload: token payloads
+    # are ~20x cheaper on disk (dictionary-compressed parquet) than the
+    # JSON parse they cost, so a "small" input can still be minutes of
+    # CPU. If the scan yields fewer partitions than the cluster has
+    # cores, fan out first — the shuffle moves only compressed tokens
+    # and buys a fully parallel parse stage.
+    target = spark.sparkContext.defaultParallelism * 2
+    if tokenized.rdd.getNumPartitions() < target:
+        tokenized = tokenized.repartition(target)
+
     # 1. staged checkpoint: the only pass that pays detok+parse
     parsed_all = parse_op.parse_emf(with_payload(tokenized))
     enriched_all = enrich_op.enrich(parsed_all, lookup)

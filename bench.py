@@ -140,9 +140,17 @@ def one_level(cpus: int):
     print("LEVEL_RESULT " + json.dumps({"cpus": cpus, **res}))
 
 
-def scaling():
+def scaling(n_low: int | None = None, n_high: int | None = None):
+    """N vs 4N cores on identical input (sandbox stand-in for N vs 4N
+    executors). Defaults to local[2] vs local[8]: a hardware-capacity
+    probe (see BENCH/BASELINE.md) shows this VM yields only ~2x going
+    8->32 threads even for embarrassingly parallel JVM work, so 8->32
+    cannot evidence ALGORITHMIC scaling; 2->8 sits inside the box's real
+    parallel capacity. Override with SCALE_N_LOW / SCALE_N_HIGH."""
+    n_low = n_low or int(os.environ.get("SCALE_N_LOW", "2"))
+    n_high = n_high or int(os.environ.get("SCALE_N_HIGH", str(4 * n_low)))
     levels = {}
-    for cpus in (8, 32):
+    for cpus in (n_low, n_high):
         p = subprocess.run(
             [sys.executable, __file__, "--level", str(cpus)],
             capture_output=True,
@@ -155,10 +163,11 @@ def scaling():
         if cpus not in levels:
             print(p.stdout[-2000:], p.stderr[-2000:])
             raise SystemExit(f"level {cpus} failed")
-    eff = (levels[32]["rows_per_s"] / levels[8]["rows_per_s"]) / 4.0
+    ratio = n_high / n_low
+    eff = (levels[n_high]["rows_per_s"] / levels[n_low]["rows_per_s"]) / ratio
     result = {
         "levels": levels,
-        "scaling_efficiency_8_to_32": round(eff, 3),
+        f"scaling_efficiency_{n_low}_to_{n_high}": round(eff, 3),
         "target": 0.8,
     }
     (REPO / "BENCH").mkdir(exist_ok=True)

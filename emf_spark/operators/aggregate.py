@@ -211,7 +211,9 @@ def aggregate_metadata(df: DataFrame, key_by_namespace: bool = False) -> DataFra
     # combinations — bounded per-group state at any input scale.
     distinct_cwm = df.select(*keys, "cwm").distinct()
     proj = distinct_cwm.select(*keys, F.explode("cwm").alias("p"))
-    per_ns = proj.groupBy(*keys, F.col("p.Namespace").alias("Namespace")).agg(
+    # "proj_ns" avoids a case-insensitive clash with the optional
+    # "namespace" group key in north-rule keying mode
+    per_ns = proj.groupBy(*keys, F.col("p.Namespace").alias("proj_ns")).agg(
         F.sort_array(
             F.array_distinct(F.flatten(F.collect_list(F.col("p.Dimensions"))))
         ).alias("Dimensions"),
@@ -221,7 +223,11 @@ def aggregate_metadata(df: DataFrame, key_by_namespace: bool = False) -> DataFra
     )
     cwm = per_ns.groupBy(*keys).agg(
         F.sort_array(
-            F.collect_list(F.struct("Namespace", "Dimensions", "Metrics"))
+            F.collect_list(
+                F.struct(
+                    F.col("proj_ns").alias("Namespace"), "Dimensions", "Metrics"
+                )
+            )
         ).alias("cw_metrics")
     )
     joined = meta.join(cwm, keys, "left")

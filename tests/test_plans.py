@@ -1,0 +1,93 @@
+"""Physical-plan regression tests (SURVEY.md §4): the plans that make
+the pipeline scale must stay that way — broadcast enrichment, bounded
+shuffle count in the histogram aggregation, Arrow (not row-at-a-time)
+Python, and column pruning through the staged checkpoint."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from emf_spark import fixtures, pipeline
+from emf_spark.operators import aggregate as agg, enrich as enrich_op, parse as parse_op
+from emf_spark.tokenizer import with_payload
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def parsed(spark, corpus_path):
+    df = spark.read.parquet(corpus_path)
+    valid, _ = parse_op.split_valid(parse_op.parse_emf(with_payload(df)))
+    return agg.with_window(
+        enrich_op.enrich(valid, fixtures.lookup_df(spark)), 60_000
+    )
+
+
+def test_enrich_is_broadcast_join(parsed):
+    plan = plan_of(parsed)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_detokenize_is_arrow_batched(parsed):
+    plan = plan_of(parsed)
+    assert "ArrowEvalPython" in plan  # vectorized, not BatchEvalPython
+    assert "BatchEvalPython" not in plan
+
+
+def test_observation_explode_has_no_shuffle(parsed):
+    obs = agg.explode_observations(parsed.drop("tokens", "payload"))
+    plan = plan_of(obs, "simple")
+    # narrow fan-out: no shuffle (the broadcast exchange from the
+    # upstream enrich join is not a shuffle)
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_histogram_agg_shuffle_count(parsed):
+    """Exactly two exchanges: (keys+value) partial/final agg, then the
+    window-function repartition on the group keys. Everything after
+    reuses that partitioning (subset-key clustering)."""
+    obs = agg.explode_observations(parsed.drop("tokens", "payload"))
+    hist = agg.aggregate_histograms(obs)
+    plan = plan_of(hist, "simple")
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 2, plan[:2000]
+
+
+def test_staged_scan_prunes_columns(spark, corpus_path, tmp_path):
+    """The events path must never read tokens back from the staged
+    checkpoint (ReadSchema excludes them by construction), and the
+    validity filter must push down to the parquet scan."""
+    out = str(tmp_path / "plans_out")
+    pipeline.run(spark, corpus_path, out, write_routed=False)
+    staged = spark.read.parquet(f"{out}/staged")
+    assert "tokens" not in staged.columns  # never staged at all
+    q = staged.filter(F.col("valid")).select("dim_hash", "metric_raw")
+    plan = plan_of(q)
+    assert "PushedFilters: [IsNotNull(valid), EqualTo(valid,true)]" in plan or (
+        "valid" in plan.split("PushedFilters")[1].split("]")[0]
+    )
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "dims" not in read_schema and "cwm" not in read_schema
+
+
+def test_partial_aggregation_before_shuffle(parsed):
+    """Map-side combine (the reference's in-memory map equivalent): the
+    value-count groupBy must show a partial HashAggregate below the
+    exchange."""
+    obs = agg.explode_observations(parsed.drop("tokens", "payload"))
+    keys = agg.group_keys(obs) + ["metric_name", "v"]
+    p1 = obs.groupBy(*keys).agg(F.sum("c").alias("c"))
+    plan = plan_of(p1, "simple")
+    # partial_sum appears below the exchange, final above
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan

@@ -140,16 +140,24 @@ def run(
     res.paths["staged"] = staged_path
     staged = spark.read.parquet(staged_path)
 
+    # 2-4 are independent given the staged checkpoint — submit them as
+    # concurrent driver threads so Spark's scheduler interleaves their
+    # stages (the errors/routed jobs are small; overlapping them hides
+    # their fixed per-job latency behind the aggregation).
+    from concurrent.futures import ThreadPoolExecutor
+
     # 2. errors side-output (columnar filter scan of staged)
     res.errors = staged.filter(~F.col("valid")).select(
         "doc_id", "source", "n_tok", "error"
     )
     res.paths["errors"] = os.path.join(out_dir, "errors")
-    res.errors.write.mode("overwrite").parquet(res.paths["errors"])
+
+    def _write_errors():
+        res.errors.write.mode("overwrite").parquet(res.paths["errors"])
 
     # 3. routed rows: no re-parse — drop the (typically tiny) malformed
     # set via broadcast anti-join on doc_id, then broadcast-enrich
-    if write_routed:
+    def _write_routed():
         bad_ids = staged.filter(~F.col("valid")).select("doc_id")
         routed = enrich_op.enrich(
             tokenized.join(F.broadcast(bad_ids), "doc_id", "left_anti"), lookup
@@ -165,8 +173,17 @@ def run(
     groups = agg.assemble_groups(hist, meta, key_by_namespace)
     events = output_op.events_json(groups).persist()
     res.events = events
-    pq, txt = output_op.write_events(events, out_dir)
-    res.paths["events"], res.paths["events_jsonl"] = pq, txt
+
+    def _write_events():
+        pq, txt = output_op.write_events(events, out_dir)
+        res.paths["events"], res.paths["events_jsonl"] = pq, txt
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futures = [pool.submit(_write_errors), pool.submit(_write_events)]
+        if write_routed:
+            futures.append(pool.submit(_write_routed))
+        for f in futures:
+            f.result()
     res.stats = output_op.compression_stats(events)
     res.paths["stats"] = os.path.join(out_dir, "stats")
     res.stats.write.mode("overwrite").parquet(res.paths["stats"])

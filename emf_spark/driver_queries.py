@@ -442,6 +442,45 @@ GROUP BY 1
 """
 
 
+def q_cw_batching(spark, sf):
+    """S5 PutLogEvents batching plan (flush/cloudwatch.go:83-103) as a
+    windowed running-total assignment over the events table: batches per
+    'sink' (event_type) respecting byte and count limits."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    size = F.octet_length("props") + F.lit(26)
+    batch = F.greatest(
+        F.floor((F.sum(size).over(w) - 1) / F.lit(4096)),
+        F.floor((F.row_number().over(w) - 1) / F.lit(100)),
+    ).cast("int")
+    return (
+        ev.withColumn("batch_id", batch)
+        .groupBy(F.col("event_type").alias("sink"), "batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            F.sum(size).alias("batch_bytes"),
+        )
+    )
+
+
+SQL_CW_BATCHING = """
+WITH sized AS (
+  SELECT event_type AS sink, event_id, strlen(props) + 26 AS sz
+  FROM events),
+planned AS (
+  SELECT sink,
+    CAST(GREATEST(
+      FLOOR((SUM(sz) OVER (PARTITION BY sink ORDER BY event_id
+                           ROWS UNBOUNDED PRECEDING) - 1) / 4096),
+      FLOOR((ROW_NUMBER() OVER (PARTITION BY sink ORDER BY event_id) - 1) / 100)
+    ) AS INTEGER) AS batch_id,
+    sz
+  FROM sized)
+SELECT sink, batch_id, COUNT(*) AS events, SUM(sz) AS batch_bytes
+FROM planned GROUP BY 1, 2
+"""
+
+
 def q_text_langid(spark, sf):
     """Language-ID heuristic (datax.textstats.lang_id): marker-word
     ratios, first-wins argmax."""
@@ -609,6 +648,7 @@ QUERIES: dict[str, Callable] = {
     "emf_projection_union": q_projection_union,
     "emf_membership_semi_join": q_membership_semi_join,
     "emf_compression_ratio": q_compression_ratio,
+    "emf_cw_batching": q_cw_batching,
     "tpch_pricing_summary": q_pricing_summary,
     "dedup_exact": q_dedup_exact,
     "text_jaccard_vs_query": q_text_jaccard_vs_query,
@@ -637,6 +677,7 @@ ORACLE_SQL: dict[str, str] = {
     "emf_projection_union": SQL_PROJECTION_UNION,
     "emf_membership_semi_join": SQL_MEMBERSHIP_SEMI_JOIN,
     "emf_compression_ratio": SQL_COMPRESSION_RATIO,
+    "emf_cw_batching": SQL_CW_BATCHING,
     "tpch_pricing_summary": SQL_PRICING_SUMMARY,
     "dedup_exact": SQL_DEDUP_EXACT,
     "text_jaccard_vs_query": SQL_TEXT_JACCARD_VS_QUERY,

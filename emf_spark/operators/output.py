@@ -101,6 +101,38 @@ def write_events(df: DataFrame, out_dir: str, mode: str = "overwrite") -> tuple[
     return pq_path, txt_path
 
 
+# PutLogEvents batch limits (flush/cloudwatch.go:19-23)
+MAX_BATCH_BYTES = 1_048_576
+MAX_BATCH_EVENTS = 10_000
+
+
+def plan_cw_batches(events: DataFrame, order_cols: list[str] | None = None) -> DataFrame:
+    """S5 batching plan: assign every event a deterministic batch id per
+    sink honoring the 1 MB / 10k-events PutLogEvents limits
+    (flush/cloudwatch.go:83-103). The reference packs greedily while
+    draining its in-memory slice; distributed, we use running totals over
+    a deterministic order — same limits, deterministic assignment:
+
+      batch = max(floor(cum_bytes / 1MB), floor((row_rank-1) / 10k))
+
+    (A greedy repack would need sequential state; floor-based splitting
+    over-splits only when a single event straddles a boundary, and every
+    batch still respects both limits.)"""
+    from pyspark.sql.window import Window
+
+    order_cols = order_cols or ["window_start", "dim_hash"]
+    w = Window.partitionBy("sink").orderBy(*order_cols)
+    cum_bytes = F.sum("event_bytes").over(w)
+    rank = F.row_number().over(w)
+    return events.withColumn(
+        "batch_id",
+        F.greatest(
+            F.floor((cum_bytes - F.lit(1)) / F.lit(MAX_BATCH_BYTES)),
+            F.floor((rank - F.lit(1)) / F.lit(MAX_BATCH_EVENTS)),
+        ).cast("int"),
+    )
+
+
 def compression_stats(groups_with_json: DataFrame) -> DataFrame:
     """A11 per-sink compression ratio (aggregator.go:218-221): input
     records/bytes (carried through metadata agg) vs emitted events."""

@@ -257,6 +257,32 @@ FROM orders GROUP BY 1
 """
 
 
+def q_dimension_set_subset(spark, sf):
+    """U2 dim-set subset test via forall/exists higher-order functions
+    (common/emf.go:53-57; utils.go:27-45 Find/Every): customers whose
+    distinct order-priority set is contained in the 'urgent' family."""
+    o = _t(spark, sf, "orders")
+    urgent = F.array(F.lit("1-URGENT"), F.lit("2-HIGH"))
+    sets = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.collect_set("o_orderpriority").alias("prios")
+    )
+    subset = F.forall(F.col("prios"), lambda p: F.array_contains(urgent, p))
+    return sets.groupBy(subset.alias("is_urgent_only")).agg(
+        F.count(F.lit(1)).alias("customers")
+    )
+
+
+SQL_DIMENSION_SET_SUBSET = """
+WITH sets AS (
+  SELECT o_custkey, list(DISTINCT o_orderpriority) AS prios
+  FROM orders GROUP BY 1)
+SELECT len(list_filter(prios, p -> p IN ('1-URGENT','2-HIGH'))) = len(prios)
+         AS is_urgent_only,
+       COUNT(*) AS customers
+FROM sets GROUP BY 1
+"""
+
+
 def q_membership_semi_join(spark, sf):
     """P3/P4 membership predicate as a broadcast semi-join."""
     li = _t(spark, sf, "lineitem")
@@ -647,6 +673,7 @@ QUERIES: dict[str, Callable] = {
     "emf_first_wins_metadata": q_first_wins_metadata,
     "emf_projection_union": q_projection_union,
     "emf_membership_semi_join": q_membership_semi_join,
+    "emf_dimension_set_subset": q_dimension_set_subset,
     "emf_compression_ratio": q_compression_ratio,
     "emf_cw_batching": q_cw_batching,
     "tpch_pricing_summary": q_pricing_summary,
@@ -676,6 +703,7 @@ ORACLE_SQL: dict[str, str] = {
     "emf_first_wins_metadata": SQL_FIRST_WINS_METADATA,
     "emf_projection_union": SQL_PROJECTION_UNION,
     "emf_membership_semi_join": SQL_MEMBERSHIP_SEMI_JOIN,
+    "emf_dimension_set_subset": SQL_DIMENSION_SET_SUBSET,
     "emf_compression_ratio": SQL_COMPRESSION_RATIO,
     "emf_cw_batching": SQL_CW_BATCHING,
     "tpch_pricing_summary": SQL_PRICING_SUMMARY,

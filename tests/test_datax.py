@@ -32,8 +32,9 @@ def test_exact_dedup(docs):
 
 
 def test_minhash_near_duplicates(docs):
+    # raw mode: exact duplicates pair up with est_jaccard 1.0
     pairs = dedup.minhash_near_duplicates(
-        docs, num_perm=64, bands=16, threshold=0.5
+        docs, num_perm=64, bands=16, threshold=0.5, pre_dedupe_exact=False
     ).collect()
     got = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs}
     assert (1, 2) in got and got[(1, 2)] == 1.0
@@ -41,6 +42,16 @@ def test_minhash_near_duplicates(docs):
     near = [p for p in got if set(p) == {1, 3}]
     assert near, got  # near-dup found by LSH
     assert not any(4 in p or 5 in p for p in got)
+
+
+def test_minhash_pre_dedupe_collapses_exact_clusters(docs):
+    # default mode: exact dups collapse to the min-id representative, so
+    # only the genuine near-dup pair (1, 3) remains
+    pairs = dedup.minhash_near_duplicates(
+        docs, num_perm=64, bands=16, threshold=0.5
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert got == {(1, 3)}
 
 
 def test_minhash_jaccard_estimate_tracks_truth(spark):

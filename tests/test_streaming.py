@@ -75,6 +75,15 @@ def test_eventtime_counts(spark, stream_input, tmp_path):
         .write.mode("overwrite")
         .parquet(ordered_in)
     )
+    # FileStreamSource orders by modification time (ties arbitrary) —
+    # pin mtimes to the range order so batches arrive time-ordered
+    import glob
+    import os
+    import time as _time
+
+    base = _time.time() - 600
+    for i, f in enumerate(sorted(glob.glob(f"{ordered_in}/part-*"))):
+        os.utime(f, (base + i, base + i))
     stream_input = ordered_in
     out = str(tmp_path / "ev_counts")
     q = sjob.run_eventtime_counts(spark, stream_input, out)

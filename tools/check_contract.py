@@ -41,7 +41,7 @@ def close(a, b):
             return a == b
         if math.isnan(af) and math.isnan(bf):
             return True
-        return math.isclose(af, bf, rel_tol=1e-9, abs_tol=1e-8)
+        return math.isclose(af, bf, rel_tol=0.0, abs_tol=0.0)
     return a == b
 
 

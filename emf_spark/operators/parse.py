@@ -39,21 +39,32 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from emf_spark.schema import METRIC_VALUE_DDL
 
-TOP_DDL = (
-    "struct<`_aws`:struct<Timestamp:bigint,CloudWatchMetrics:array<struct<"
-    "Namespace:string,Dimensions:array<array<string>>,"
-    "Metrics:array<struct<Name:string,Unit:string>>>>>>"
+# Projection layers parse as RAW JSON text and re-parse per element: a
+# typed array schema would null the WHOLE projection when one element
+# has the wrong shape, but the reference skips only the bad element
+# (metric.go:78-80 non-map projection, :103-106 non-array dim set,
+# :131-134 non-map metric). String-typed fields absorb any JSON value
+# (Jackson re-serializes), so each level degrades independently.
+TOP_DDL = "struct<`_aws`:struct<Timestamp:bigint,CloudWatchMetrics:array<string>>>"
+
+PROJECTION_RAW_DDL = (
+    "struct<Namespace:string,Dimensions:array<string>,Metrics:array<string>>"
 )
 
 _INF = float("inf")
 
 
-def _valid_projections(cwm: Column) -> Column:
-    """Keep projections with Namespace+Dimensions+Metrics; sort each
-    dimension set (metric.go:83-122,109)."""
+def _valid_projections(cwm_raw: Column) -> Column:
+    """array<raw projection JSON> -> array<struct<Namespace, Dimensions,
+    Metrics>> with reference skip semantics: invalid projections dropped
+    (metric.go:83-122), invalid dimension sets dropped (:103-106), each
+    set sorted (:109), invalid/nameless metric entries dropped
+    (:131-140 intent)."""
+    parsed = F.transform(cwm_raw, lambda s: F.from_json(s, PROJECTION_RAW_DDL))
     valid = F.filter(
-        cwm,
-        lambda p: p["Namespace"].isNotNull()
+        parsed,
+        lambda p: p.isNotNull()
+        & p["Namespace"].isNotNull()
         & p["Dimensions"].isNotNull()
         & p["Metrics"].isNotNull(),
     )
@@ -62,10 +73,21 @@ def _valid_projections(cwm: Column) -> Column:
         lambda p: F.struct(
             p["Namespace"].alias("Namespace"),
             F.transform(
-                F.filter(p["Dimensions"], lambda s: s.isNotNull()),
+                F.filter(
+                    F.transform(
+                        p["Dimensions"], lambda s: F.from_json(s, "array<string>")
+                    ),
+                    lambda s: s.isNotNull(),
+                ),
                 lambda s: F.array_sort(s),
             ).alias("Dimensions"),
-            p["Metrics"].alias("Metrics"),
+            F.filter(
+                F.transform(
+                    p["Metrics"],
+                    lambda m: F.from_json(m, "struct<Name:string,Unit:string>"),
+                ),
+                lambda m: m.isNotNull() & m["Name"].isNotNull(),
+            ).alias("Metrics"),
         ),
     )
 

@@ -64,9 +64,12 @@ def parse_record(rec: dict):
             sorted(str(d) for d in s) for s in p["Dimensions"] if isinstance(s, list)
         ]
         metrics = [
-            {"Name": str(m.get("Name")), "Unit": str(m.get("Unit"))}
+            {
+                "Name": str(m["Name"]),
+                "Unit": None if m.get("Unit") is None else str(m["Unit"]),
+            }
             for m in p["Metrics"]
-            if isinstance(m, dict)
+            if isinstance(m, dict) and m.get("Name") is not None
         ]
         cwm.append(
             {"Namespace": str(p["Namespace"]), "Dimensions": dims_sets, "Metrics": metrics}

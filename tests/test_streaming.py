@@ -110,3 +110,55 @@ def test_eventtime_counts(spark, stream_input, tmp_path):
         (r["window_start"], r["dim_hash"]): r["records"] for r in got.collect()
     }
     assert gmap == bmap
+
+
+def test_stateful_running_totals(spark, stream_input, tmp_path):
+    """applyInPandasWithState keyed state (W4): final per-group running
+    totals equal the batch aggregation over all observations."""
+    from emf_spark.streaming import stateful
+
+    out = str(tmp_path / "stateful_out")
+    q = stateful.run_stateful(spark, stream_input, out)
+    q.awaitTermination(300)
+    got = spark.read.parquet(f"{out}/totals")
+    # update mode emits one row per touched group per batch: the last
+    # batch's row per group is the running total
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("sink", "dim_hash").orderBy(F.desc("batch_id"))
+    final = (
+        got.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("sink", "dim_hash", "records", "obs", "sum", "min", "max")
+    )
+    # batch truth over the same input
+    from emf_spark.operators import aggregate as agg, enrich as enrich_op, parse as parse_op
+    from emf_spark.tokenizer import with_payload
+    from emf_spark import fixtures as fx
+
+    parsed = parse_op.parse_emf(with_payload(spark.read.parquet(stream_input)))
+    valid = parsed.filter(F.col("valid"))
+    enriched = enrich_op.enrich(valid, fx.lookup_df(spark))
+    obs = (
+        enriched.select("sink", "dim_hash", F.explode("metric_raw").alias("n", "raw"))
+        .select(
+            "sink",
+            "dim_hash",
+            F.explode(parse_op._metric_pairs(F.col("raw"))).alias("p"),
+        )
+    )
+    truth = obs.groupBy("sink", "dim_hash").agg(
+        F.count(F.lit(1)).alias("records"),
+        F.sum("p.c").alias("obs"),
+        F.round(F.sum(F.col("p.v") * F.col("p.c")), 6).alias("sum"),
+        F.min("p.v").alias("min"),
+        F.max("p.v").alias("max"),
+    )
+    tmap = {(r["sink"], r["dim_hash"]): r for r in truth.collect()}
+    fmap = {(r["sink"], r["dim_hash"]): r for r in final.collect()}
+    assert set(fmap) == set(tmap)
+    for k, fr in fmap.items():
+        tr = tmap[k]
+        assert fr["records"] == tr["records"] and fr["obs"] == tr["obs"], k
+        assert abs(fr["sum"] - tr["sum"]) < 1e-6
+        assert fr["min"] == tr["min"] and fr["max"] == tr["max"], k

@@ -468,6 +468,46 @@ GROUP BY 1
 """
 
 
+def q_grok_parse(spark, sf):
+    """Grok/regex parse leg (north rule): render events as text log
+    lines, grok them back, aggregate by extracted fields."""
+    from emf_spark.operators.grok import grok_extract
+
+    ev = _t(spark, sf, "events")
+    line = F.concat(
+        F.col("event_type"),
+        F.lit(" uid="),
+        F.col("user_id").cast("string"),
+        F.lit(" val="),
+        F.col("value").cast("string"),
+    )
+    lines = ev.select(line.alias("line"))
+    parsed = grok_extract(lines, "line", "%{WORD:etype} uid=%{INT:uid} val=%{NUMBER:val}")
+    return parsed.groupBy("etype").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum(F.col("val").cast("double")), 2).alias("sum_val"),
+        F.count(F.when(F.col("uid").cast("int") % 2 == 0, 1)).alias("even_uids"),
+    )
+
+
+SQL_GROK_PARSE = r"""
+WITH lines AS (
+  SELECT event_type || ' uid=' || CAST(user_id AS VARCHAR)
+         || ' val=' || CAST(value AS VARCHAR) AS line
+  FROM events),
+parsed AS (
+  SELECT regexp_extract(line, '(\w+) uid=([+-]?\d+) val=([+-]?\d+(?:\.\d+)?)', 1) AS etype,
+         regexp_extract(line, '(\w+) uid=([+-]?\d+) val=([+-]?\d+(?:\.\d+)?)', 2) AS uid,
+         regexp_extract(line, '(\w+) uid=([+-]?\d+) val=([+-]?\d+(?:\.\d+)?)', 3) AS val
+  FROM lines
+  WHERE regexp_matches(line, '(\w+) uid=([+-]?\d+) val=([+-]?\d+(?:\.\d+)?)'))
+SELECT etype, COUNT(*) AS cnt,
+       ROUND(SUM(CAST(val AS DOUBLE)), 2) AS sum_val,
+       COUNT(CASE WHEN CAST(uid AS INTEGER) % 2 = 0 THEN 1 END) AS even_uids
+FROM parsed GROUP BY 1
+"""
+
+
 def q_cw_batching(spark, sf):
     """S5 PutLogEvents batching plan (flush/cloudwatch.go:83-103) as a
     windowed running-total assignment over the events table: batches per
@@ -676,6 +716,7 @@ QUERIES: dict[str, Callable] = {
     "emf_dimension_set_subset": q_dimension_set_subset,
     "emf_compression_ratio": q_compression_ratio,
     "emf_cw_batching": q_cw_batching,
+    "emf_grok_parse": q_grok_parse,
     "tpch_pricing_summary": q_pricing_summary,
     "dedup_exact": q_dedup_exact,
     "text_jaccard_vs_query": q_text_jaccard_vs_query,
@@ -706,6 +747,7 @@ ORACLE_SQL: dict[str, str] = {
     "emf_dimension_set_subset": SQL_DIMENSION_SET_SUBSET,
     "emf_compression_ratio": SQL_COMPRESSION_RATIO,
     "emf_cw_batching": SQL_CW_BATCHING,
+    "emf_grok_parse": SQL_GROK_PARSE,
     "tpch_pricing_summary": SQL_PRICING_SUMMARY,
     "dedup_exact": SQL_DEDUP_EXACT,
     "text_jaccard_vs_query": SQL_TEXT_JACCARD_VS_QUERY,

@@ -39,13 +39,23 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def _shingle_idx(n: F.Column, k: int) -> F.Column:
+    """Start offsets 0..n-k; EMPTY for docs shorter than k words (so no
+    partial shingles, and no out-of-range element_at under ANSI mode —
+    Spark 4 throws INVALID_ARRAY_INDEX_IN_ELEMENT_AT rather than
+    returning null)."""
+    return F.when(n >= k, F.sequence(F.lit(0), n - F.lit(k))).otherwise(
+        F.array().cast("array<int>")
+    )
+
+
 def word_shingles(text: F.Column, k: int = 3) -> F.Column:
-    """Distinct k-word shingles as an array column."""
+    """Distinct k-word shingles as an array column; empty for docs with
+    fewer than k words (consistent with word_shingle_hashes)."""
     words = F.split(normalized(text), " ")
-    n = F.size(words)
-    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
     sh = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k))
+        _shingle_idx(F.size(words), k),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
     )
     return F.array_distinct(sh)
 
@@ -58,8 +68,7 @@ def word_shingle_hashes(text: F.Column, k: int = 3) -> F.Column:
     hashes in [0, P)."""
     words = F.split(normalized(text), " ")
     wh = F.transform(words, lambda w: F.abs(F.xxhash64(w)) % F.lit(_P))
-    n = F.size(words)
-    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
+    idx = _shingle_idx(F.size(words), k)
     # fixed odd multipliers keep the combine order-sensitive and in-range
     coefs = [1_000_003, 998_244_353, 1][:k] + [1] * max(0, k - 3)
 

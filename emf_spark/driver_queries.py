@@ -205,7 +205,7 @@ def q_malformed_filter(spark, sf):
 
 
 SQL_MALFORMED_FILTER = """
-SELECT event_type, COUNT(*) AS cnt, SUM(k) AS sum_k FROM (
+SELECT event_type, COUNT(*) AS cnt, CAST(SUM(k) AS BIGINT) AS sum_k FROM (
   SELECT event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
   FROM events) t
 WHERE k IS NOT NULL AND k > 50
@@ -434,7 +434,7 @@ def q_text_token_stats(spark, sf):
 
 SQL_TEXT_TOKEN_STATS = """
 SELECT lang, COUNT(*) AS docs,
-       SUM(len(string_split(text, ' '))) AS total_tokens,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
        ROUND(AVG(n_chars), 6) AS avg_chars
 FROM documents GROUP BY 1
 """
@@ -542,7 +542,7 @@ planned AS (
     ) AS INTEGER) AS batch_id,
     sz
   FROM sized)
-SELECT sink, batch_id, COUNT(*) AS events, SUM(sz) AS batch_bytes
+SELECT sink, batch_id, COUNT(*) AS events, CAST(SUM(sz) AS BIGINT) AS batch_bytes
 FROM planned GROUP BY 1, 2
 """
 

@@ -70,6 +70,25 @@ def test_minhash_jaccard_estimate_tracks_truth(spark):
     assert abs(est - true_j) < 0.15
 
 
+def test_short_docs_yield_no_shingles_and_no_ansi_crash(spark):
+    # ADVICE r1: docs with fewer than k words used to read past the end of
+    # the word-hash array (ANSI INVALID_ARRAY_INDEX_IN_ELEMENT_AT).
+    df = spark.createDataFrame(
+        [(1, "two words"), (2, ""), (3, "one"), (4, "the quick brown fox jumps")],
+        "doc_id bigint, text string",
+    )
+    rows = df.select(
+        "doc_id",
+        dedup.word_shingles(F.col("text"), 3).alias("s"),
+        dedup.word_shingle_hashes(F.col("text"), 3).alias("h"),
+    ).collect()
+    by = {r["doc_id"]: (r["s"], r["h"]) for r in rows}
+    assert by[1] == ([], []) and by[2] == ([], []) and by[3] == ([], [])
+    assert len(by[4][0]) == 3 and len(by[4][1]) == 3
+    # end-to-end near-dup over a corpus containing short docs must not crash
+    dedup.minhash_near_duplicates(df, num_perm=16, bands=4, threshold=0.5).collect()
+
+
 def test_dedup_clusters(spark):
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11)], "id_a bigint, id_b bigint"

@@ -509,40 +509,46 @@ FROM parsed GROUP BY 1
 
 
 def q_cw_batching(spark, sf):
-    """S5 PutLogEvents batching plan (flush/cloudwatch.go:83-103) as a
-    windowed running-total assignment over the events table: batches per
-    'sink' (event_type) respecting byte and count limits."""
+    """S5 PutLogEvents batching plan (flush/cloudwatch.go:83-103) via
+    operators.output.plan_cw_batches: one integer unit-cost running total
+    per 'sink' (event_type) that provably respects both the byte and the
+    count limit per batch (scaled-down limits: 4 KiB / 100 events,
+    1 KiB max event)."""
+    from emf_spark.operators.output import plan_cw_batches
+
     ev = _t(spark, sf, "events")
-    w = Window.partitionBy("event_type").orderBy("event_id")
-    size = F.octet_length("props") + F.lit(26)
-    batch = F.greatest(
-        F.floor((F.sum(size).over(w) - 1) / F.lit(4096)),
-        F.floor((F.row_number().over(w) - 1) / F.lit(100)),
-    ).cast("int")
-    return (
-        ev.withColumn("batch_id", batch)
-        .groupBy(F.col("event_type").alias("sink"), "batch_id")
-        .agg(
-            F.count(F.lit(1)).alias("events"),
-            F.sum(size).alias("batch_bytes"),
-        )
+    sized = ev.select(
+        F.col("event_type").alias("sink"),
+        "event_id",
+        (F.octet_length("props") + F.lit(26)).cast("bigint").alias("sz"),
+    )
+    planned = plan_cw_batches(
+        sized,
+        order_cols=["event_id"],
+        max_batch_bytes=4096,
+        max_batch_events=100,
+        max_event_bytes=1024,
+        bytes_col="sz",
+    )
+    return planned.groupBy("sink", "batch_id").agg(
+        F.count(F.lit(1)).alias("events"),
+        F.sum("sz").alias("batch_bytes"),
     )
 
 
+# unit = max(sz*100, 3072); batch = cum_before_units // (3072*100)
 SQL_CW_BATCHING = """
 WITH sized AS (
-  SELECT event_type AS sink, event_id, strlen(props) + 26 AS sz
+  SELECT event_type AS sink, event_id, CAST(strlen(props) + 26 AS BIGINT) AS sz
   FROM events),
 planned AS (
-  SELECT sink,
-    CAST(GREATEST(
-      FLOOR((SUM(sz) OVER (PARTITION BY sink ORDER BY event_id
-                           ROWS UNBOUNDED PRECEDING) - 1) / 4096),
-      FLOOR((ROW_NUMBER() OVER (PARTITION BY sink ORDER BY event_id) - 1) / 100)
-    ) AS INTEGER) AS batch_id,
-    sz
+  SELECT sink, sz,
+    CAST(SUM(GREATEST(sz * 100, 3072)) OVER (
+           PARTITION BY sink ORDER BY event_id ROWS UNBOUNDED PRECEDING)
+         - GREATEST(sz * 100, 3072) AS BIGINT) AS cum_before
   FROM sized)
-SELECT sink, batch_id, COUNT(*) AS events, CAST(SUM(sz) AS BIGINT) AS batch_bytes
+SELECT sink, CAST(cum_before // 307200 AS INTEGER) AS batch_id,
+       COUNT(*) AS events, CAST(SUM(sz) AS BIGINT) AS batch_bytes
 FROM planned GROUP BY 1, 2
 """
 

@@ -53,14 +53,22 @@ def events_json(groups: DataFrame, scalar_collapse: bool = True) -> DataFrame:
             F.col("cw_metrics").alias("CloudWatchMetrics"),
         )
     )
+    def _quoted_key(name: Column) -> Column:
+        # JSON-escape the metric name (quotes/backslashes/control chars —
+        # record keys are arbitrary user input; the reference escapes via
+        # json.Marshal): render {"<escaped>":0} with to_json and slice out
+        # the quoted key.
+        kj = F.to_json(F.create_map(name, F.lit(0)))
+        return kj.substr(F.lit(2), F.length(kj) - F.lit(4))
+
     metric_parts = F.concat_ws(
         "",
         F.transform(
             F.col("metrics"),
             lambda m: F.concat(
-                F.lit(',"'),
-                m["metric_name"],
-                F.lit('":'),
+                F.lit(","),
+                _quoted_key(m["metric_name"]),
+                F.lit(":"),
                 _metric_fragment(m, scalar_collapse),
             ),
         ),
@@ -106,30 +114,53 @@ MAX_BATCH_BYTES = 1_048_576
 MAX_BATCH_EVENTS = 10_000
 
 
-def plan_cw_batches(events: DataFrame, order_cols: list[str] | None = None) -> DataFrame:
+def plan_cw_batches(
+    events: DataFrame,
+    order_cols: list[str] | None = None,
+    max_batch_bytes: int = MAX_BATCH_BYTES,
+    max_batch_events: int = MAX_BATCH_EVENTS,
+    max_event_bytes: int = MAX_EVENT_BYTES,
+    bytes_col: str = "event_bytes",
+    sink_col: str = "sink",
+) -> DataFrame:
     """S5 batching plan: assign every event a deterministic batch id per
     sink honoring the 1 MB / 10k-events PutLogEvents limits
     (flush/cloudwatch.go:83-103). The reference packs greedily while
-    draining its in-memory slice; distributed, we use running totals over
-    a deterministic order — same limits, deterministic assignment:
+    draining its in-memory slice; distributed, we derive the split from
+    ONE running total of integer unit costs over a deterministic order:
 
-      batch = max(floor(cum_bytes / 1MB), floor((row_rank-1) / 10k))
+      B' = max_batch_bytes - max_event_bytes      (byte budget w/ headroom)
+      C  = max_batch_events
+      unit(e) = max(bytes(e) * C, B')             (integer, no division)
+      batch(e) = cum_units_before(e) div (B' * C)
 
-    (A greedy repack would need sequential state; floor-based splitting
-    over-splits only when a single event straddles a boundary, and every
-    batch still respects both limits.)"""
+    Every batch then provably respects both limits (assuming the P7
+    oversize drop already removed events > max_event_bytes):
+      - count: each unit >= B', and a batch spans < B'*C units, so
+        (n-1)*B' < B'*C  =>  n <= C.
+      - bytes: sum(bytes) <= sum(unit)/C < (B'*C + unit_last)/C
+        = B' + max(bytes_last, B'/C) <= B' + max_event_bytes
+        = max_batch_bytes.
+    Integer math throughout (a double running sum would lose precision
+    past 2^53 units on very large sink partitions); unit sums stay in
+    int64 up to ~3.5e9 events per sink partition."""
     from pyspark.sql.window import Window
 
+    byte_budget = max_batch_bytes - max_event_bytes
+    if byte_budget <= 0:
+        raise ValueError("max_event_bytes must be smaller than max_batch_bytes")
+    denom = byte_budget * max_batch_events
     order_cols = order_cols or ["window_start", "dim_hash"]
-    w = Window.partitionBy("sink").orderBy(*order_cols)
-    cum_bytes = F.sum("event_bytes").over(w)
-    rank = F.row_number().over(w)
-    return events.withColumn(
-        "batch_id",
-        F.greatest(
-            F.floor((cum_bytes - F.lit(1)) / F.lit(MAX_BATCH_BYTES)),
-            F.floor((rank - F.lit(1)) / F.lit(MAX_BATCH_EVENTS)),
-        ).cast("int"),
+    w = Window.partitionBy(sink_col).orderBy(*order_cols)
+    unit = F.greatest(
+        F.col(bytes_col).cast("bigint") * F.lit(max_batch_events),
+        F.lit(byte_budget).cast("bigint"),
+    )
+    return (
+        events.withColumn("_unit", unit)
+        .withColumn("_cum_before", F.sum("_unit").over(w) - F.col("_unit"))
+        .withColumn("batch_id", F.expr(f"_cum_before div {denom}L").cast("int"))
+        .drop("_unit", "_cum_before")
     )
 
 

@@ -222,3 +222,31 @@ def test_nan_inf_insert_filter_divergence(spark):
     m = {m["metric_name"]: m for m in ev["metrics"]}
     assert list(m["M"]["values"]) == [2.0]
     assert m["M"]["count"] == 1
+
+
+def test_metric_name_json_escaping(spark):
+    """F7: metric names are arbitrary user input; quotes/backslashes must
+    be JSON-escaped in event_json (the reference escapes via json.Marshal;
+    ADVICE r1 found our raw splice produced malformed JSON)."""
+    weird = 'M"q\\b'
+    rec = {
+        "_aws": {
+            "Timestamp": 1,
+            "CloudWatchMetrics": [
+                {
+                    "Namespace": "NS",
+                    "Dimensions": [["D"]],
+                    "Metrics": [{"Name": weird, "Unit": "Count"}],
+                }
+            ],
+        },
+        weird: 5,
+        "D": "x",
+    }
+    tok = spark.createDataFrame(
+        [("d0", tokenize_bytes(json.dumps(rec, separators=(",", ":"))), 9, "app-a")],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    raw = pipeline.build_events(spark, tok).events.collect()[0]["event_json"]
+    obj = json.loads(raw)  # malformed JSON raises here pre-fix
+    assert obj[weird] == 5.0

@@ -45,6 +45,10 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("n_bytes", T.IntegerType()),
         T.StructField("feature", T.ArrayType(T.FloatType())),
         T.StructField("frames_sampled", T.IntegerType()),
+        # 56-bit md5 payload checksum: lets an external SQL oracle verify
+        # the mapInPandas plumbing end to end (DuckDB: CAST('0x' ||
+        # substr(md5(text),1,14) AS BIGINT) when payload = encode(text))
+        T.StructField("checksum", T.LongType()),
     ]
 )
 
@@ -81,11 +85,18 @@ def extract_features(
                     "real media decode requires PIL/ffmpeg — not in this "
                     "container; wire the decoder here"
                 )
-            feats, frames = [], []
+            import hashlib
+
+            feats, frames, sums = [], [], []
             for payload, kind, meta in zip(
                 pdf["payload"], pdf["kind"], pdf["meta"]
             ):
                 feats.append(_fake_feature(payload))
+                sums.append(
+                    int(hashlib.md5(payload).hexdigest()[:14], 16)
+                    if payload is not None
+                    else 0
+                )
                 if kind == "video":
                     dur = (meta or {}).get("duration_ms") or 0
                     frames.append(max(1, int(dur // frame_stride_ms)))
@@ -100,6 +111,7 @@ def extract_features(
                     ],
                     "feature": feats,
                     "frames_sampled": frames,
+                    "checksum": sums,
                 }
             )
 
@@ -128,6 +140,31 @@ def fake_media_df(spark, n: int = 64, seed: int = 42) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Derive a deterministic media table from the documents table:
+    payload = utf-8 bytes of text, kind cycles image/audio/video by
+    doc_id, duration_ms = n_chars * 10 for audio/video. Every derived
+    stat (n_bytes, checksum, frames) is reproducible by a SQL oracle on
+    the documents table, so the mapInPandas path gets an exact check."""
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3).cast("int") + 1,
+    )
+    return docs.select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("media_id"),
+        kind.alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.when(kind != "image", (F.col("n_chars") * 10).cast("int")).alias(
+                "duration_ms"
+            ),
+            F.concat(F.lit("application/x-"), kind).alias("mime"),
+        ).alias("meta"),
+    )
 
 
 def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:

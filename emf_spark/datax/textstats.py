@@ -85,14 +85,27 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("quality", score)
 
 
-def fingerprint(df: DataFrame, text_col: str = "text", k: int = 5, keep: int = 8) -> DataFrame:
-    """Winnowing-style document fingerprint: k-word rolling shingles ->
-    xxhash64 -> keep the ``keep`` smallest hashes (a deterministic min-k
-    sketch; two docs sharing most content share most of the sketch)."""
-    from emf_spark.datax.dedup import word_shingles
+def fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+    keep: int = 8,
+    portable: bool = False,
+) -> DataFrame:
+    """Winnowing-style document fingerprint: k-word rolling shingle
+    hashes -> keep the ``keep`` smallest (a deterministic min-k sketch;
+    two docs sharing most content share most of the sketch).
 
-    hashes = F.transform(word_shingles(F.col(text_col), k), lambda s: F.xxhash64(s))
-    sketch = F.slice(F.array_sort(hashes), 1, keep)
+    Default path reuses word_shingle_hashes (hash each word once +
+    arithmetic combine — ~3x cheaper than hashing shingle strings,
+    VERDICT r1 item 5). ``portable=True`` hashes shingle strings with
+    portable_hash56 so a DuckDB oracle can reproduce the sketch
+    bit-exactly. Docs shorter than k words sketch to md5('')."""
+    from emf_spark.datax.dedup import portable_shingle_hashes, word_shingle_hashes
+
+    hasher = portable_shingle_hashes if portable else word_shingle_hashes
+    sketch = F.slice(F.array_sort(hasher(F.col(text_col), k)), 1, keep)
     return df.withColumn("fingerprint", sketch).withColumn(
-        "fingerprint_key", F.xxhash64(F.col("fingerprint").cast("string"))
+        "fingerprint_key",
+        F.md5(F.concat_ws(",", F.transform(F.col("fingerprint"), lambda h: h.cast("string")))),
     )

@@ -34,7 +34,13 @@ class Manifest:
         self.path = os.path.join(out_dir, "_manifest")
 
     def exists(self) -> bool:
-        return os.path.exists(self.path)
+        # Hadoop FS check, not os.path: the manifest may live on any
+        # supported scheme (file:/ s3a:/ hdfs:/ ...), matching wherever
+        # the event tables are written (VERDICT r1 item 9).
+        jvm = self.spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(self.path)
+        conf = self.spark._jsc.hadoopConfiguration()
+        return path.getFileSystem(conf).exists(path)
 
     def read(self) -> DataFrame:
         if not self.exists():

@@ -54,19 +54,53 @@ PROJECTION_RAW_DDL = (
 _INF = float("inf")
 
 
+def _dims_eligible_projections(cwm_raw: Column) -> Column:
+    """Projections that contribute to the record's DimensionSet: map-parse
+    ok, Namespace present, Dimensions present — INDEPENDENT of the
+    Metrics leg. The reference accumulates emf.DimensionSet from the
+    Dimensions leg and only then skips on a bad/missing Metrics field
+    (metric.go:80-117 accumulate, :117-124 skip), so a partially-valid
+    projection still names dimensions (ADVICE r1)."""
+    parsed = F.transform(cwm_raw, lambda s: F.from_json(s, PROJECTION_RAW_DDL))
+    return F.filter(
+        parsed,
+        lambda p: p.isNotNull()
+        & p["Namespace"].isNotNull()
+        & p["Dimensions"].isNotNull(),
+    )
+
+
+def accumulated_dim_names(cwm_raw: Column) -> Column:
+    """Record-wide dimension-name set (U3, emf.DimensionSet): every name
+    in every array-parsing dimension set of every dims-eligible
+    projection."""
+    return F.array_distinct(
+        F.flatten(
+            F.flatten(
+                F.transform(
+                    _dims_eligible_projections(cwm_raw),
+                    lambda p: F.filter(
+                        F.transform(
+                            p["Dimensions"],
+                            lambda s: F.from_json(s, "array<string>"),
+                        ),
+                        lambda s: s.isNotNull(),
+                    ),
+                )
+            )
+        )
+    )
+
+
 def _valid_projections(cwm_raw: Column) -> Column:
     """array<raw projection JSON> -> array<struct<Namespace, Dimensions,
     Metrics>> with reference skip semantics: invalid projections dropped
     (metric.go:83-122), invalid dimension sets dropped (:103-106), each
     set sorted (:109), invalid/nameless metric entries dropped
     (:131-140 intent)."""
-    parsed = F.transform(cwm_raw, lambda s: F.from_json(s, PROJECTION_RAW_DDL))
     valid = F.filter(
-        parsed,
-        lambda p: p.isNotNull()
-        & p["Namespace"].isNotNull()
-        & p["Dimensions"].isNotNull()
-        & p["Metrics"].isNotNull(),
+        _dims_eligible_projections(cwm_raw),
+        lambda p: p["Metrics"].isNotNull(),
     )
     return F.transform(
         valid,
@@ -168,9 +202,9 @@ def parse_emf(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     cwm = F.col("cwm")
     df = df.withColumns(
         {
-            "dim_names": F.array_distinct(
-                F.flatten(F.transform(cwm, lambda p: F.flatten(p["Dimensions"])))
-            ),
+            # dim_names from dims-ELIGIBLE projections (Metrics leg may be
+            # invalid — reference accumulates DimensionSet first, ADVICE r1)
+            "dim_names": accumulated_dim_names(aws["CloudWatchMetrics"]),
             "metric_names": F.array_distinct(
                 F.flatten(
                     F.transform(cwm, lambda p: F.transform(p["Metrics"], lambda m: m["Name"]))

@@ -85,22 +85,32 @@ def _update_group(
 def running_group_totals(parsed_stream: DataFrame) -> DataFrame:
     """Streaming DF of parsed+enriched records -> running per-(sink,
     dim_hash) totals over ALL metric observations, maintained across
-    micro-batches. Input needs columns: sink, dim_hash, metric_raw."""
+    micro-batches. Input needs columns: sink, dim_hash, metric_raw.
+
+    Each input record reduces to ONE row via in-row HOF aggregation (no
+    explode in the stream), so ``records`` counts true input records —
+    not observation rows (ADVICE r1) — and the per-batch shuffle carries
+    one row per record instead of one per value-pair."""
     from emf_spark.operators.parse import _metric_pairs
 
+    pairs = F.flatten(
+        F.transform(F.map_values("metric_raw"), lambda r: _metric_pairs(r))
+    )
     obs = (
-        parsed_stream.select(
-            "sink", "dim_hash", F.explode("metric_raw").alias("name", "raw")
-        )
-        .select("sink", "dim_hash", F.explode(_metric_pairs(F.col("raw"))).alias("p"))
+        parsed_stream.select("sink", "dim_hash", pairs.alias("pairs"))
+        .filter(F.size("pairs") > 0)
         .select(
             "sink",
             "dim_hash",
             F.lit(1).cast("long").alias("records"),
-            F.col("p.c").alias("obs"),
-            (F.col("p.v") * F.col("p.c")).alias("sum"),
-            F.col("p.v").alias("min"),
-            F.col("p.v").alias("max"),
+            F.aggregate(
+                "pairs", F.lit(0).cast("long"), lambda acc, p: acc + p["c"]
+            ).alias("obs"),
+            F.aggregate(
+                "pairs", F.lit(0.0), lambda acc, p: acc + p["v"] * p["c"]
+            ).alias("sum"),
+            F.array_min(F.transform("pairs", lambda p: p["v"])).alias("min"),
+            F.array_max(F.transform("pairs", lambda p: p["v"])).alias("max"),
         )
     )
     return obs.groupBy("sink", "dim_hash").applyInPandasWithState(

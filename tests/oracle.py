@@ -51,18 +51,23 @@ def parse_record(rec: dict):
     ):
         raise ValueError("no CloudWatchMetrics")
     cwm = []
+    dim_names = set()
     for p in aws["CloudWatchMetrics"]:
         if not isinstance(p, dict):
             continue
-        if "Namespace" not in p or "Dimensions" not in p or "Metrics" not in p:
+        if "Namespace" not in p or "Dimensions" not in p:
             continue
-        if not isinstance(p["Dimensions"], list) or not isinstance(
-            p["Metrics"], list
-        ):
+        if not isinstance(p["Dimensions"], list):
             continue
         dims_sets = [
             sorted(str(d) for d in s) for s in p["Dimensions"] if isinstance(s, list)
         ]
+        # reference accumulates emf.DimensionSet from the Dimensions leg
+        # BEFORE skipping on a bad/missing Metrics field (metric.go:80-124)
+        for s in dims_sets:
+            dim_names.update(s)
+        if "Metrics" not in p or not isinstance(p["Metrics"], list):
+            continue
         metrics = [
             {
                 "Name": str(m["Name"]),
@@ -74,7 +79,6 @@ def parse_record(rec: dict):
         cwm.append(
             {"Namespace": str(p["Namespace"]), "Dimensions": dims_sets, "Metrics": metrics}
         )
-    dim_names = {d for p in cwm for s in p["Dimensions"] for d in s}
     metric_names = {m["Name"] for p in cwm for m in p["Metrics"]}
     dims, pairs = {}, {}
     for k, v in rec.items():

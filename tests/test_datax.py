@@ -118,6 +118,36 @@ def test_simhash_stability_and_distance(spark, docs):
     assert ham(sim[1], sim[3]) < ham(sim[1], sim[4])
 
 
+def test_shingle_hash_order_sensitive_at_every_position(spark):
+    # regression (round 2): the old fixed-coef combine padded positions
+    # >= 3 with coefficient 1, so k=5 shingles differing only by a
+    # permutation of their tail words collided
+    t = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b e d c"), (3, "b a c d e")],
+        "doc_id bigint, text string",
+    )
+    hs = {
+        r["doc_id"]: tuple(r["h"])
+        for r in t.select(
+            "doc_id", dedup.word_shingle_hashes(F.col("text"), 5).alias("h")
+        ).collect()
+    }
+    assert len(set(hs.values())) == 3, hs
+
+
+def test_simhash_fingerprints_match_column_form(spark, docs):
+    # explode+groupBy fast form must be output-identical to the nested-HOF
+    # column form (the semantic spec) — VERDICT r1 item 3
+    new = {r["id"]: r["sim"] for r in dedup.simhash_fingerprints(docs).collect()}
+    old = {
+        r["doc_id"]: r["s"]
+        for r in docs.select(
+            "doc_id", dedup.simhash64(F.col("text")).alias("s")
+        ).collect()
+    }
+    assert new == old
+
+
 def test_ngram_jaccard_pairs(spark, docs):
     pairs = spark.createDataFrame(
         [(1, 2), (1, 3), (1, 4)], "id_a bigint, id_b bigint"

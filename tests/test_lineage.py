@@ -69,3 +69,15 @@ def test_manifest_metrics(spark, events, tmp_path):
         for r in events.select("sink", "window_start").distinct().collect()
     }
     assert cells == expect
+
+
+def test_manifest_exists_is_scheme_aware(spark, events, tmp_path):
+    # VERDICT r1 item 9: exists() must go through Hadoop FS, not os.path,
+    # so scheme-qualified paths (file:/, s3a:/, ...) resolve correctly
+    out = str(tmp_path / "scheme")
+    lineage.write_events_resumable(spark, events, out)
+    qualified = lineage.Manifest(spark, "file://" + out)
+    assert qualified.exists()  # os.path.exists('file://...') would be False
+    assert qualified.read().count() > 0
+    missing = lineage.Manifest(spark, "file://" + str(tmp_path / "nope"))
+    assert not missing.exists()

@@ -250,3 +250,38 @@ def test_metric_name_json_escaping(spark):
     raw = pipeline.build_events(spark, tok).events.collect()[0]["event_json"]
     obj = json.loads(raw)  # malformed JSON raises here pre-fix
     assert obj[weird] == 5.0
+
+
+def test_partially_valid_projection_still_names_dimensions(spark):
+    """Reference accumulates emf.DimensionSet from the Dimensions leg and
+    only then skips on a bad/missing Metrics field (metric.go:80-124), so
+    a partially-valid projection still turns record keys into dimensions
+    (changes dims map and dim_hash). ADVICE r1."""
+    rec = {
+        "_aws": {
+            "Timestamp": 1,
+            "CloudWatchMetrics": [
+                # valid projection referencing D1
+                {"Namespace": "NS", "Dimensions": [["D1"]],
+                 "Metrics": [{"Name": "M", "Unit": "Count"}]},
+                # Metrics MISSING: dims leg must still register D2
+                {"Namespace": "NS2", "Dimensions": [["D2"]]},
+                # Metrics non-array: dims leg must still register D3
+                {"Namespace": "NS3", "Dimensions": [["D3"]], "Metrics": 5},
+                # Dimensions non-array: projection skipped entirely, D4 NOT a dim
+                {"Namespace": "NS4", "Dimensions": "D4",
+                 "Metrics": [{"Name": "M2", "Unit": "Count"}]},
+            ],
+        },
+        "M": 1.5, "D1": "a", "D2": "b", "D3": "c", "D4": "d",
+    }
+    row = _parse(spark, [rec]).collect()[0]
+    assert sorted(row["dim_names"]) == ["D1", "D2", "D3"]
+    assert dict(row["dims"]) == {"D1": "a", "D2": "b", "D3": "c"}
+    # only fully-valid projections are emitted as cwm
+    assert [p["Namespace"] for p in row["cwm"]] == ["NS"]
+    # oracle agrees
+    from tests import oracle as orc
+    ts, cwm, dims, pairs = orc.parse_record(rec)
+    assert dims == {"D1": "a", "D2": "b", "D3": "c"}
+    assert [p["Namespace"] for p in cwm] == ["NS"]

@@ -147,13 +147,23 @@ def test_stateful_running_totals(spark, stream_input, tmp_path):
             F.explode(parse_op._metric_pairs(F.col("raw"))).alias("p"),
         )
     )
+    # records = TRUE input records with >=1 value pair (ADVICE r1), not
+    # observation rows
+    pairs = F.flatten(
+        F.transform(F.map_values("metric_raw"), lambda r: parse_op._metric_pairs(r))
+    )
+    rec_counts = (
+        enriched.select("sink", "dim_hash", pairs.alias("pairs"))
+        .filter(F.size("pairs") > 0)
+        .groupBy("sink", "dim_hash")
+        .agg(F.count(F.lit(1)).alias("records"))
+    )
     truth = obs.groupBy("sink", "dim_hash").agg(
-        F.count(F.lit(1)).alias("records"),
         F.sum("p.c").alias("obs"),
         F.round(F.sum(F.col("p.v") * F.col("p.c")), 6).alias("sum"),
         F.min("p.v").alias("min"),
         F.max("p.v").alias("max"),
-    )
+    ).join(rec_counts, ["sink", "dim_hash"])
     tmap = {(r["sink"], r["dim_hash"]): r for r in truth.collect()}
     fmap = {(r["sink"], r["dim_hash"]): r for r in final.collect()}
     assert set(fmap) == set(tmap)

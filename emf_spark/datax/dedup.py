@@ -115,9 +115,11 @@ def _perm_literals(num_perm: int, seed: int = 42):
 
 
 def portable_shingle_hashes(text: F.Column, k: int = 3) -> F.Column:
-    """Shingle-string hashes via portable_hash56 (mod P) — bit-matchable
-    by a DuckDB oracle at the cost of building shingle strings."""
-    return F.transform(word_shingles(text, k), lambda s: portable_hash56(s) % F.lit(_P))
+    """Shingle hashes bit-matchable by a DuckDB oracle: portable md5 word
+    hash + the same rolling-poly combine as the fast path (one short md5
+    per word instead of one long md5 per shingle string — ~2x cheaper,
+    and the combine is plain arithmetic both engines express)."""
+    return word_shingle_hashes(text, k, word_hash=portable_word_hash)
 
 
 def minhash_signatures(

@@ -596,6 +596,93 @@ FROM s GROUP BY 1, 2
 """
 
 
+def q_emf_namespace_keyed(spark, sf):
+    """North-rule keying mode ((namespace, dim_hash, window) group key,
+    SURVEY §2.5 A1 note): events rendered as two-namespace EMF payloads,
+    tokenized, then run through the real parse -> window -> namespace-
+    keyed aggregation; the oracle recomputes every per-(namespace,
+    dim_hash) stat from the raw events table."""
+    from emf_spark.operators import aggregate as agg
+    from emf_spark.operators import parse as parse_op
+    from emf_spark.tokenizer import tokenize_udf, with_payload
+
+    ev = _t(spark, sf, "events")
+    payload = F.to_json(
+        F.struct(
+            F.struct(
+                (F.unix_timestamp("ts") * 1000).cast("bigint").alias("Timestamp"),
+                F.array(
+                    F.struct(
+                        F.lit("NS_Type").alias("Namespace"),
+                        F.array(F.array(F.lit("EventType"))).alias("Dimensions"),
+                        F.array(
+                            F.struct(F.lit("Value").alias("Name"), F.lit("None").alias("Unit"))
+                        ).alias("Metrics"),
+                    ),
+                    F.struct(
+                        F.lit("NS_User").alias("Namespace"),
+                        F.array(F.array(F.lit("UserBucket"))).alias("Dimensions"),
+                        F.array(
+                            F.struct(F.lit("Score").alias("Name"), F.lit("None").alias("Unit"))
+                        ).alias("Metrics"),
+                    ),
+                ).alias("CloudWatchMetrics"),
+            ).alias("_aws"),
+            F.col("value").alias("Value"),
+            (F.col("user_id") % 100).alias("Score"),
+            F.col("event_type").alias("EventType"),
+            (F.col("user_id") % 10).cast("string").alias("UserBucket"),
+        )
+    )
+    tok = ev.select(
+        F.concat(F.lit("d"), F.col("event_id").cast("string")).alias("doc_id"),
+        payload.alias("payload"),
+        F.lit("app-a").alias("source"),
+    ).withColumn("tokens", tokenize_udf("payload"))
+    tok = tok.select(
+        "doc_id", "tokens", F.size("tokens").cast("int").alias("n_tok"), "source"
+    )
+    parsed = parse_op.parse_emf(with_payload(tok)).filter(F.col("valid"))
+    windowed = agg.with_window(parsed, window_ms=3_600_000)
+    obs = agg.explode_observations(windowed, key_by_namespace=True)
+    hist = agg.aggregate_histograms(obs, key_by_namespace=True)
+    return hist.groupBy("namespace", "dim_hash").agg(
+        F.count_distinct("window_start").alias("windows"),
+        F.sum("count").alias("total_cnt"),
+        F.round(F.sum("sum"), 2).alias("sum_v"),
+        F.round(F.min("min"), 2).alias("min_v"),
+        F.round(F.max("max"), 2).alias("max_v"),
+    )
+
+
+SQL_EMF_NAMESPACE_KEYED = """
+WITH base AS (
+  SELECT CAST(FLOOR(EPOCH(ts)) AS BIGINT) * 1000 AS tsms, value, event_type,
+         CAST(user_id % 10 AS VARCHAR) AS ub,
+         CAST(user_id % 100 AS DOUBLE) AS score
+  FROM events),
+obs AS (
+  SELECT 'NS_Type' AS namespace,
+         CAST(FLOOR(tsms / 3600000) * 3600000 AS BIGINT) AS window_start,
+         'EventType=' || event_type || ';UserBucket=' || ub AS dim_hash,
+         value AS v
+  FROM base
+  UNION ALL
+  SELECT 'NS_User',
+         CAST(FLOOR(tsms / 3600000) * 3600000 AS BIGINT),
+         'EventType=' || event_type || ';UserBucket=' || ub,
+         score
+  FROM base)
+SELECT namespace, dim_hash,
+       COUNT(DISTINCT window_start) AS windows,
+       COUNT(*) AS total_cnt,
+       ROUND(SUM(v), 2) AS sum_v,
+       ROUND(MIN(v), 2) AS min_v,
+       ROUND(MAX(v), 2) AS max_v
+FROM obs GROUP BY 1, 2
+"""
+
+
 # --- portable-hash oracles (VERDICT r1 item 2) --------------------------
 # The engine-internal hash families (permutation constants, hyperplanes,
 # centroid picks) are deterministic literals, so they are GENERATED into
@@ -610,14 +697,23 @@ _NORM_TXT = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
 
 
 def _sql_shingle_hashes(k: int) -> str:
-    """DuckDB expr: distinct k-word shingle hashes (mod P) of word list w."""
-    h = _PORT_HASH.format(s="s")
+    """DuckDB expr: distinct k-word shingle hashes of word list ``w`` —
+    portable md5 word hash + the engine's rolling-poly combine
+    (dedup.word_shingle_hashes: acc = (acc*B + h) mod P)."""
+    B = 1_000_003
+    acc = f"(wh[i])"
+    for j in range(1, k):
+        acc = f"(({acc} * {B} + wh[i + {j}]) % {_P31})"
     return (
-        f"list_transform(list_distinct(list_transform("
-        f"range(1, greatest(len(w) - {k - 1}, 0) + 1), "
-        f"i -> array_to_string(list_slice(w, i, i + {k - 1}), ' '))), "
-        f"s -> {h} % {_P31})"
+        f"list_distinct(list_transform("
+        f"range(1, greatest(len(wh) - {k - 1}, 0) + 1), "
+        f"i -> {acc}))"
     )
+
+
+_SQL_WORD_HASHES = (
+    "list_transform(w, s -> " + _PORT_HASH.format(s="s") + f" % {_P31})"
+)
 
 
 def q_dedup_minhash(spark, sf):
@@ -651,7 +747,8 @@ def _sql_dedup_minhash() -> str:
     return f"""
 WITH norm AS (SELECT doc_id, {_NORM_TXT} AS t FROM documents),
 rep AS (SELECT MIN(doc_id) AS doc_id, t FROM norm GROUP BY t),
-words AS (SELECT doc_id, string_split(t, ' ') AS w FROM rep),
+words AS (SELECT doc_id, {_SQL_WORD_HASHES} AS wh
+          FROM (SELECT doc_id, string_split(t, ' ') AS w FROM rep) t),
 sh AS (SELECT doc_id, UNNEST({_sql_shingle_hashes(3)}) AS h FROM words),
 sig AS (SELECT doc_id,
     {sig_cols}
@@ -717,7 +814,9 @@ def q_text_fingerprint(spark, sf):
 
 def _sql_text_fingerprint() -> str:
     return f"""
-WITH words AS (SELECT doc_id, string_split({_NORM_TXT}, ' ') AS w FROM documents),
+WITH words AS (SELECT doc_id, {_SQL_WORD_HASHES} AS wh
+               FROM (SELECT doc_id, string_split({_NORM_TXT}, ' ') AS w
+                     FROM documents) t),
 sh AS (SELECT doc_id, {_sql_shingle_hashes(5)} AS hs FROM words),
 fp AS (SELECT doc_id,
          md5(array_to_string(list_slice(list_sort(hs), 1, 8), ',')) AS fingerprint_key
@@ -917,6 +1016,7 @@ QUERIES: dict[str, Callable] = {
     "emf_compression_ratio": q_compression_ratio,
     "emf_cw_batching": q_cw_batching,
     "emf_grok_parse": q_grok_parse,
+    "emf_namespace_keyed": q_emf_namespace_keyed,
     "tpch_pricing_summary": q_pricing_summary,
     "dedup_exact": q_dedup_exact,
     "text_jaccard_vs_query": q_text_jaccard_vs_query,
@@ -948,6 +1048,7 @@ ORACLE_SQL: dict[str, str] = {
     "emf_compression_ratio": SQL_COMPRESSION_RATIO,
     "emf_cw_batching": SQL_CW_BATCHING,
     "emf_grok_parse": SQL_GROK_PARSE,
+    "emf_namespace_keyed": SQL_EMF_NAMESPACE_KEYED,
     "tpch_pricing_summary": SQL_PRICING_SUMMARY,
     "dedup_exact": SQL_DEDUP_EXACT,
     "text_jaccard_vs_query": SQL_TEXT_JACCARD_VS_QUERY,

@@ -193,8 +193,12 @@ def aggregate_metadata(df: DataFrame, key_by_namespace: bool = False) -> DataFra
     A6 intended CloudWatchMetrics merge. One shuffle on the group keys
     (shared partitioning with the final event-assembly join)."""
     if key_by_namespace:
-        # replicate record metadata under each namespace it projects to
-        df = df.withColumn("namespace", F.explode(F.col("cwm.Namespace")))
+        # replicate record metadata under each DISTINCT namespace it
+        # projects to (two projections sharing a namespace must not
+        # double-count the record)
+        df = df.withColumn(
+            "namespace", F.explode(F.array_distinct(F.col("cwm.Namespace")))
+        )
     keys = group_keys(df, key_by_namespace)
 
     ord_ = F.struct(F.col("ts"), F.col("doc_id"))
@@ -211,6 +215,11 @@ def aggregate_metadata(df: DataFrame, key_by_namespace: bool = False) -> DataFra
     # combinations — bounded per-group state at any input scale.
     distinct_cwm = df.select(*keys, "cwm").distinct()
     proj = distinct_cwm.select(*keys, F.explode("cwm").alias("p"))
+    if key_by_namespace:
+        # a namespace-keyed group's projection metadata is only the
+        # projections OF that namespace (north-rule EMF structure keyed
+        # by (namespace, dim_hash, window))
+        proj = proj.filter(F.col("p.Namespace") == F.col("namespace"))
     # "proj_ns" avoids a case-insensitive clash with the optional
     # "namespace" group key in north-rule keying mode
     per_ns = proj.groupBy(*keys, F.col("p.Namespace").alias("proj_ns")).agg(

@@ -164,13 +164,28 @@ def reduce_histogram(vc: dict[float, int]):
     }
 
 
-def aggregate(records, window_ms: int = WINDOW_MS):
+def metric_namespace(cwm, name):
+    """Owning namespace = first projection listing the metric
+    (metric.go:153-168 loop order; engine parse.namespace_of)."""
+    for p in cwm:
+        if any(m["Name"] == name for m in p["Metrics"]):
+            return p["Namespace"]
+    return None
+
+
+def aggregate(records, window_ms: int = WINDOW_MS, key_by_namespace: bool = False):
     """records: iterable of (doc_id, json_str, sink).
 
     -> dict[(sink, window_start, dim_hash)] = {
          'dimensions', 'timestamp', 'cw_metrics', 'metrics': {name: vc},
          'records'}
     Processed in deterministic (ts, doc_id) order (SURVEY.md §7.4).
+
+    ``key_by_namespace=True`` models the north-rule key (sink, window,
+    namespace, dim_hash): record metadata replicates under each DISTINCT
+    projected namespace, a group's cw_metrics merge only that
+    namespace's projections, and each metric's observations land in its
+    owning namespace's group (first projection listing it).
     """
     parsed = []
     for doc_id, js, sink in records:
@@ -183,37 +198,57 @@ def aggregate(records, window_ms: int = WINDOW_MS):
     parsed.sort(key=lambda r: (r[0], r[1]))
 
     groups = {}
-    for ts, doc_id, sink, cwm, dims, pairs in parsed:
-        w = (ts // window_ms) * window_ms
-        key = (sink, w, dim_hash(dims))
+
+    def group_for(key, dims):
         g = groups.setdefault(
             key,
             {
                 "dimensions": dict(dims),
-                "timestamp": ts,
+                "timestamp": None,
                 "ns": {},
                 "metrics": defaultdict(lambda: defaultdict(int)),
                 "records": 0,
             },
         )
-        g["timestamp"] = ts  # A5 last-wins
-        for k, v in dims.items():  # A4 first-wins
-            g["dimensions"].setdefault(k, v)
-        for p in cwm:  # A6 intended union per namespace
-            ns = g["ns"].setdefault(
-                p["Namespace"], {"Dimensions": [], "Metrics": []}
-            )
-            for s in p["Dimensions"]:
-                if s not in ns["Dimensions"]:
-                    ns["Dimensions"].append(s)
-            for m in p["Metrics"]:
-                if m not in ns["Metrics"]:
-                    ns["Metrics"].append(m)
+        return g
+
+    for ts, doc_id, sink, cwm, dims, pairs in parsed:
+        w = (ts // window_ms) * window_ms
+        dh = dim_hash(dims)
+        if key_by_namespace:
+            namespaces = list(dict.fromkeys(p["Namespace"] for p in cwm))
+            record_keys = [(sink, w, ns, dh) for ns in namespaces]
+        else:
+            record_keys = [(sink, w, dh)]
+        for key in record_keys:
+            g = group_for(key, dims)
+            g["timestamp"] = ts  # A5 last-wins
+            for k, v in dims.items():  # A4 first-wins
+                g["dimensions"].setdefault(k, v)
+            for p in cwm:  # A6 intended union per namespace
+                if key_by_namespace and p["Namespace"] != key[2]:
+                    continue
+                ns = g["ns"].setdefault(
+                    p["Namespace"], {"Dimensions": [], "Metrics": []}
+                )
+                for s in p["Dimensions"]:
+                    if s not in ns["Dimensions"]:
+                        ns["Dimensions"].append(s)
+                for m in p["Metrics"]:
+                    if m not in ns["Metrics"]:
+                        ns["Metrics"].append(m)
+            g["records"] += 1
         for name, vps in pairs.items():
-            vc = g["metrics"][name]
+            if key_by_namespace:
+                owner = metric_namespace(cwm, name)
+                if owner is None:
+                    continue
+                key = (sink, w, owner, dh)
+            else:
+                key = (sink, w, dh)
+            vc = groups[key]["metrics"][name]
             for v, c in vps:
                 vc[v] += c
-        g["records"] += 1
 
     # canonicalize cw_metrics like the engine (sorted ns / dims / metrics)
     for g in groups.values():

@@ -285,3 +285,36 @@ def test_partially_valid_projection_still_names_dimensions(spark):
     ts, cwm, dims, pairs = orc.parse_record(rec)
     assert dims == {"D1": "a", "D2": "b", "D3": "c"}
     assert [p["Namespace"] for p in cwm] == ["NS"]
+
+
+def test_timestamp_type_strictness(spark):
+    """Reference accepts only Go integer types for Timestamp and rejects
+    floats/strings/bools (metric.go:48-65, type switch). Our
+    from_json(..., Timestamp:bigint) nulls exactly those (VERDICT r1
+    item 7: probed — 1.5, 1738022400000.0, "1738022400000", true all
+    parse to null under Spark 4)."""
+    mk = lambda ts: {"_aws": {"Timestamp": ts, "CloudWatchMetrics": [
+        {"Namespace": "NS", "Dimensions": [["D"]],
+         "Metrics": [{"Name": "M", "Unit": "Count"}]}]}, "M": 1, "D": "x"}
+    recs = [mk(1738022400000), mk(1.5), mk(1738022400000.0), mk("1738022400000"), mk(True)]
+    rows = {}
+    for i, rec in enumerate(recs):
+        js = json.dumps(rec, separators=(",", ":"))
+        rows[i] = (f"d{i}", tokenize_bytes(js), len(js), "app-a")
+    df = spark.createDataFrame(
+        list(rows.values()), "doc_id string, tokens array<int>, n_tok int, source string"
+    )
+    out = {r["doc_id"]: (r["valid"], r["error"])
+           for r in parse_emf(with_payload(df)).select("doc_id", "valid", "error").collect()}
+    assert out["d0"] == (True, None)
+    for d in ["d1", "d2", "d3", "d4"]:
+        assert out[d] == (False, "no timestamp found in aws data"), (d, out[d])
+    # oracle agrees record-by-record
+    from tests import oracle as orc
+    for i, rec in enumerate(recs):
+        try:
+            orc.parse_record(rec)
+            ok = True
+        except ValueError:
+            ok = False
+        assert ok == out[f"d{i}"][0], i

@@ -65,27 +65,35 @@ def build_corpus(spark, path: str) -> int:
     return spark.read.parquet(path).count()
 
 
-def run_pipeline_job(spark, path: str, out_dir: str) -> dict:
+def run_pipeline_job(spark, path: str, out_dir: str, staging: str = "parquet") -> dict:
     """The timed unit: full pipeline incl. routed + event writes."""
     from emf_spark import pipeline
 
     t0 = time.time()
-    res = pipeline.run(spark, path, out_dir, window_ms=3_600_000)
+    res = pipeline.run(spark, path, out_dir, window_ms=3_600_000, staging=staging)
     res.stats.collect()
     wall = time.time() - t0
     n = spark.read.parquet(path).count()
     return {"rows": n, "seconds": round(wall, 3), "rows_per_s": round(n / wall, 1)}
 
 
-def bench_queries(spark) -> dict[str, float]:
+def _median(xs: list[float]) -> float:
+    return sorted(xs)[len(xs) // 2]
+
+
+def bench_queries(spark, runs: int = 3) -> dict[str, float]:
+    """Median of ``runs`` per query (VM wall-clock is ±2x noisy; medians
+    make BENCH_r{N}.json comparable across rounds)."""
     from emf_spark.driver_queries import QUERIES
 
     out = {}
     for name, fn in QUERIES.items():
-        t0 = time.time()
-        df = fn(spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        out[name] = round(time.time() - t0, 3)
+        times = []
+        for _ in range(runs):
+            t0 = time.time()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            times.append(time.time() - t0)
+        out[name] = round(_median(times), 3)
     return out
 
 
@@ -103,10 +111,17 @@ def main():
     # JVM JIT from the steady-state number (it's fixed cost, not per-row)
     shutil.rmtree(out_dir, ignore_errors=True)
     run_pipeline_job(spark, path, out_dir)
-    shutil.rmtree(out_dir, ignore_errors=True)
-    pipe = run_pipeline_job(spark, path, out_dir)
+    pipe_runs, sp_runs = [], []
+    for _ in range(3):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        pipe_runs.append(run_pipeline_job(spark, path, out_dir))
+        shutil.rmtree(out_dir, ignore_errors=True)
+        sp_runs.append(run_pipeline_job(spark, path, out_dir, staging="persist"))
+    pipe = sorted(pipe_runs, key=lambda r: r["seconds"])[1]
+    single = sorted(sp_runs, key=lambda r: r["seconds"])[1]
     queries = bench_queries(spark)
     queries["emf_pipeline"] = pipe["seconds"]
+    queries["emf_pipeline_singlepass"] = single["seconds"]
     print(
         json.dumps(
             {
@@ -116,6 +131,7 @@ def main():
                 "queries": queries,
                 "sf": Path(SF_DIR).name,
                 "pipeline_rows": pipe["rows"],
+                "singlepass_rows_per_s": single["rows_per_s"],
                 "cpus": CPUS,
             }
         )

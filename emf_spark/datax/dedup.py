@@ -23,6 +23,9 @@ from pyspark.sql import DataFrame, functions as F
 # 31-bit operands keep a*h + b < 2^62, inside signed-64 (Spark 4 runs
 # ANSI mode: long overflow is an error, not a wrap).
 _P = (1 << 31) - 1
+# rolling-poly base for the k-word shingle combine (order-sensitive at
+# every position; see word_shingle_hashes / shingle_hash_rows)
+_B = 1_000_003
 
 
 def portable_hash56(col: F.Column) -> F.Column:
@@ -93,12 +96,10 @@ def word_shingle_hashes(text: F.Column, k: int = 3, word_hash=None) -> F.Column:
     # EVERY position for any k (a fixed-coef list with padding collided
     # tail-word permutations for k > 3 — caught by a fast-vs-portable
     # fingerprint grouping probe in round 2)
-    B = 1_000_003
-
     def combine(i: F.Column) -> F.Column:
         acc = F.lit(0).cast("bigint")
         for j in range(k):
-            acc = (acc * F.lit(B) + F.element_at(wh, i + j + 1)) % F.lit(_P)
+            acc = (acc * F.lit(_B) + F.element_at(wh, i + j + 1)) % F.lit(_P)
         return acc
 
     return F.array_distinct(F.transform(idx, combine))
@@ -116,10 +117,41 @@ def _perm_literals(num_perm: int, seed: int = 42):
 
 def portable_shingle_hashes(text: F.Column, k: int = 3) -> F.Column:
     """Shingle hashes bit-matchable by a DuckDB oracle: portable md5 word
-    hash + the same rolling-poly combine as the fast path (one short md5
-    per word instead of one long md5 per shingle string — ~2x cheaper,
-    and the combine is plain arithmetic both engines express)."""
+    hash + the same rolling-poly combine as the fast path. Column form —
+    hot paths use shingle_hash_rows(word_hash=portable_word_hash)."""
     return word_shingle_hashes(text, k, word_hash=portable_word_hash)
+
+
+def shingle_hash_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    word_hash=None,
+) -> DataFrame:
+    """(id, h) rows of k-word rolling-poly shingle hashes — the hot-path
+    form of word_shingle_hashes (identical hash values). Words EXPLODE to
+    rows so each word is hashed exactly once; the k-word combine is k-1
+    window leads over (id, pos). The array-HOF combine re-evaluates the
+    word-hash array per element reference inside the lambda (Catalyst
+    does no CSE there) — measured 30x slower with the md5-based portable
+    hash at sf0.1. One shuffle on id, and every downstream groupBy(id)
+    (minhash minima, fingerprint sketch) reuses that partitioning with
+    no further exchange. Emits duplicate hashes (no array_distinct);
+    min/collect_set consumers are insensitive. Docs shorter than k words
+    emit no rows."""
+    from pyspark.sql.window import Window
+
+    wh_fn = word_hash or xxhash_word
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(normalized(F.col(text_col)), " ")).alias("pos", "w"),
+    ).select("id", "pos", wh_fn(F.col("w")).alias("h"))
+    w = Window.partitionBy("id").orderBy("pos")
+    expr = F.col("h")
+    for j in range(1, k):
+        expr = (expr * F.lit(_B) + F.lead("h", j).over(w)) % F.lit(_P)
+    return words.select("id", expr.alias("h")).filter(F.col("h").isNotNull())
 
 
 def minhash_signatures(
@@ -129,29 +161,25 @@ def minhash_signatures(
     num_perm: int = 64,
     shingle_k: int = 3,
     seed: int = 42,
-    shingle_hashes=None,
+    word_hash=None,
 ) -> DataFrame:
     """MinHash signatures as (id, sig:array<bigint> of length num_perm):
-    base = xxhash64(shingle) mod P, h_i = (a_i*base + b_i) mod P,
-    sig_i = min over shingles.
+    base = word-rolling-poly shingle hash mod P, h_i = (a_i*base + b_i)
+    mod P, sig_i = min over shingles.
 
-    Shape matters for speed: the shingle hashes EXPLODE into rows and the
+    Shape matters for speed: shingle hashes arrive as ROWS
+    (shingle_hash_rows — words hashed once, window-lead combine) and the
     num_perm minima are plain aggregate expressions in one groupBy —
-    whole-stage-codegen'd, one shuffle, and the shingling runs once.
-    (The tempting nested-HOF form — array(min(transform(base, perm_i)))
-    — recomputes the shingle hashing per permutation because Catalyst
-    does not CSE across array elements: measured 50x slower.)
+    whole-stage-codegen'd, and the groupBy(id) reuses the window's id
+    partitioning (one shuffle total). The nested-HOF forms recompute
+    hashing per array-element reference because Catalyst does not CSE
+    inside lambdas: measured 50x (perms) and 30x (word hashes) slower.
 
     Docs with no shingles (shorter than shingle_k words) yield no rows.
-    ``shingle_hashes`` swaps the shingle hashing (default fast
-    word_shingle_hashes; pass portable_shingle_hashes for an
-    ANSI-SQL-checkable variant)."""
+    ``word_hash`` swaps the per-word hash (default fast xxhash64; pass
+    portable_word_hash for an ANSI-SQL-checkable variant)."""
     perms = _perm_literals(num_perm, seed)
-    hasher = shingle_hashes or word_shingle_hashes
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(hasher(F.col(text_col), shingle_k)).alias("h"),
-    )
+    base = shingle_hash_rows(df, text_col, id_col, shingle_k, word_hash)
     aggs = [
         F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_P)).alias(f"_s{i}")
         for i, (a, b) in enumerate(perms)
@@ -218,7 +246,7 @@ def minhash_near_duplicates(
     shingle_k: int = 3,
     seed: int = 42,
     pre_dedupe_exact: bool = True,
-    shingle_hashes=None,
+    word_hash=None,
     max_bucket: int = 200,
 ) -> DataFrame:
     """Candidate pairs whose signature-estimated Jaccard >= threshold:
@@ -244,7 +272,7 @@ def minhash_near_duplicates(
     # the caller's action runs (callers running many dedup passes in one
     # session can sigs.unpersist() via spark.catalog.clearCache()).
     sigs = minhash_signatures(
-        df, text_col, id_col, num_perm, shingle_k, seed, shingle_hashes
+        df, text_col, id_col, num_perm, shingle_k, seed, word_hash
     ).persist()
     pairs = lsh_candidate_pairs(sigs, bands, max_bucket)
     sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))

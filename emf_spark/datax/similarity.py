@@ -132,6 +132,35 @@ def deterministic_centroids(
     return [[float(x) for x in row[0]] for row in rows]
 
 
+def kmeans_refine(
+    df: DataFrame,
+    centroids: list[list[float]],
+    iters: int = 2,
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Lloyd refinement of the seed centroids (cosine assignment, mean
+    update). Per iteration: ONE distributed pass (R fused dot products
+    per row + groupBy mean over dims); only the R centroid rows ever
+    reach the driver. Empty lists keep their previous centroid."""
+    dim = len(centroids[0])
+    cents = [[float(x) for x in c] for c in centroids]
+    for _ in range(iters):
+        assigned = ivf_assign(df, cents, vec_col)
+        rows = (
+            assigned.groupBy("_list")
+            .agg(
+                *[
+                    F.avg(F.col(vec_col)[i].cast("double")).alias(f"c{i}")
+                    for i in range(dim)
+                ]
+            )
+            .collect()
+        )
+        new = {int(r["_list"]): [float(r[f"c{i}"]) for i in range(dim)] for r in rows}
+        cents = [new.get(i, cents[i]) for i in range(len(cents))]
+    return cents
+
+
 def ivf_topk(
     df: DataFrame,
     qvec: list[float],
@@ -154,6 +183,62 @@ def ivf_topk(
     assigned = ivf_assign(df, centroids, vec_col)
     cand = assigned.filter(F.col("_list").isin(probe_lists))
     return cosine_topk(cand, qvec, k, id_col, vec_col)
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs: (id_a, id_b, cosine) with
+    bucket-hamming <= probe_hamming AND exact cosine >= threshold.
+
+    Never a cross join: side A explodes each vector's bucket into its
+    multiprobe set (the bucket plus every <=probe_hamming bit flip,
+    C(n_planes, <=h)+1 keys) and hash-joins side B on bucket equality —
+    exactly the hamming-ball pairs. The candidate predicate (not just
+    the acceleration) is part of the operator's definition, so an
+    external oracle can reproduce the result set exactly from the
+    hyperplane literals."""
+    import itertools
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    b = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        rp_lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    masks = [0]
+    for h in range(1, probe_hamming + 1):
+        for bits in itertools.combinations(range(n_planes), h):
+            m = 0
+            for j in bits:
+                m |= 1 << j
+            masks.append(m)
+    probes = b.select(
+        F.col("id").alias("id_a"),
+        F.col("v").alias("v_a"),
+        F.explode(
+            F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])
+        ).alias("bucket"),
+    )
+    cand = probes.join(b, "bucket").filter(F.col("id_a") < F.col("id"))
+    dot = F.aggregate(
+        F.zip_with("v_a", "v", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = F.round(dot / (_norm(F.col("v_a")) * _norm(F.col("v"))), 6)
+    return (
+        cand.select("id_a", F.col("id").alias("id_b"), cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .distinct()
+    )
 
 
 def pairwise_topk_per_row(

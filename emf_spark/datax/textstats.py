@@ -91,21 +91,38 @@ def fingerprint(
     k: int = 5,
     keep: int = 8,
     portable: bool = False,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Winnowing-style document fingerprint: k-word rolling shingle
-    hashes -> keep the ``keep`` smallest (a deterministic min-k sketch;
-    two docs sharing most content share most of the sketch).
+    hashes -> keep the ``keep`` smallest DISTINCT (a deterministic min-k
+    sketch; two docs sharing most content share most of the sketch).
 
-    Default path reuses word_shingle_hashes (hash each word once +
-    arithmetic combine — ~3x cheaper than hashing shingle strings,
-    VERDICT r1 item 5). ``portable=True`` hashes shingle strings with
-    portable_hash56 so a DuckDB oracle can reproduce the sketch
-    bit-exactly. Docs shorter than k words sketch to md5('')."""
-    from emf_spark.datax.dedup import portable_shingle_hashes, word_shingle_hashes
+    Hot path: dedup.shingle_hash_rows (words hashed once, window-lead
+    combine — the array-HOF form re-hashes per element reference,
+    measured 30x slower with the portable md5 hash), collect_set +
+    sort + slice per doc (reuses the rows' id partitioning), then one
+    join back onto df. ``portable=True`` swaps in the md5-based word
+    hash so a DuckDB oracle reproduces the sketch bit-exactly. Docs
+    shorter than k words sketch to the empty list (key = md5(''))."""
+    from emf_spark.datax.dedup import portable_word_hash, shingle_hash_rows
 
-    hasher = portable_shingle_hashes if portable else word_shingle_hashes
-    sketch = F.slice(F.array_sort(hasher(F.col(text_col), k)), 1, keep)
-    return df.withColumn("fingerprint", sketch).withColumn(
-        "fingerprint_key",
-        F.md5(F.concat_ws(",", F.transform(F.col("fingerprint"), lambda h: h.cast("string")))),
+    rows = shingle_hash_rows(
+        df, text_col, id_col, k, portable_word_hash if portable else None
+    )
+    sk = rows.groupBy("id").agg(
+        F.slice(F.array_sort(F.collect_set("h")), 1, keep).alias("_fp")
+    )
+    out = df.join(sk.withColumnRenamed("id", id_col), id_col, "left")
+    fp = F.coalesce(F.col("_fp"), F.array().cast("array<bigint>"))
+    return (
+        out.withColumn("fingerprint", fp)
+        .drop("_fp")
+        .withColumn(
+            "fingerprint_key",
+            F.md5(
+                F.concat_ws(
+                    ",", F.transform(F.col("fingerprint"), lambda h: h.cast("string"))
+                )
+            ),
+        )
     )

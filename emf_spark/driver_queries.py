@@ -729,7 +729,7 @@ def q_dedup_minhash(spark, sf):
         num_perm=32,
         bands=8,
         threshold=0.8,
-        shingle_hashes=dd.portable_shingle_hashes,
+        word_hash=dd.portable_word_hash,
         max_bucket=1_000_000,
     ).orderBy("id_a", "id_b")
 
@@ -915,6 +915,40 @@ cand AS (SELECT b.vec_id, b.embedding FROM b, qb
 {_SQL_COSINE_TAIL}"""
 
 
+def q_dedup_embedding(spark, sf):
+    """Embedding-cosine near-dup pairs: multiprobe RP-LSH bucket join
+    (hamming <= 1, part of the operator definition) + exact cosine >=
+    0.35 — the embedding leg of the dedup family (threshold sits at the
+    ~p97 of this corpus's candidate-pair cosines; 0.95 was vacuous)."""
+    from emf_spark.datax import similarity
+
+    e = _t(spark, sf, "embeddings")
+    return similarity.embedding_near_duplicates(
+        e, dim=64, threshold=0.35, n_planes=6, probe_hamming=1
+    ).orderBy("id_a", "id_b")
+
+
+def _sql_dedup_embedding() -> str:
+    from emf_spark.datax.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 6, 42)
+    bucket = _sql_bucket_expr(planes, "CAST(embedding AS DOUBLE[])")
+    return f"""
+WITH b AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         CAST({bucket} AS BIGINT) AS bucket
+  FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+         ROUND(list_dot_product(a.v, c.v)
+               / (SQRT(list_dot_product(a.v, a.v))
+                  * SQRT(list_dot_product(c.v, c.v))), 6) AS cosine
+  FROM b a JOIN b c
+    ON a.vec_id < c.vec_id AND bit_count(xor(a.bucket, c.bucket)) <= 1)
+SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.35
+"""
+
+
 def q_ann_ivf_topk(spark, sf):
     """IVF coarse-quantized ANN top-k; centroids = 8 lowest-id vectors,
     so the oracle reproduces assignment + probe selection in SQL."""
@@ -1030,6 +1064,7 @@ QUERIES: dict[str, Callable] = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "dedup_embedding": q_dedup_embedding,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1065,4 +1100,5 @@ ORACLE_SQL: dict[str, str] = {
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "ann_lsh_topk": _sql_ann_lsh_topk(),
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,
+    "dedup_embedding": _sql_dedup_embedding(),
 }

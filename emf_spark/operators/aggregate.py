@@ -134,7 +134,18 @@ def aggregate_histograms(
     # per-partition sort is over post-reduction cardinality.
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy(*keys)
+    # Value-ordered full frame: double SUM accumulates ascending-v, so
+    # the canonical Sum is identical whatever the physical layout
+    # (persist vs parquet staging re-partitions reordered p1 rows and
+    # flipped last-ulp digits in event_json — caught in round 2). The
+    # reference itself is map-order nondeterministic here; ascending-v
+    # is our documented canonicalization (O3). WindowExec sorts by
+    # (partition keys, order key) anyway, so the extra key is ~free.
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
     joined = p1.select(
         *keys,
         "v",

@@ -99,6 +99,7 @@ def run(
     window_ms: int = agg.WINDOW_MS,
     key_by_namespace: bool = False,
     write_routed: bool = True,
+    staging: str = "parquet",
 ) -> PipelineResult:
     """Full job with writes: staged parse checkpoint, routed rows,
     per-sink events, errors, stats.
@@ -110,11 +111,16 @@ def run(
       tokenized --anti-join(error ids)+broadcast lookup--> routed (no parse)
       staged --filter valid--> hist+meta --> events --> per-sink writes
 
-    Staging to parquet instead of .persist(): columnar parquet reads of
-    the nested dims/cwm/metric_raw columns are vectorized (measured ~8x
-    faster than InMemoryRelation scans of the same data), the staged
-    table doubles as the resume checkpoint, and on a cluster it is the
-    natural Iceberg stage boundary.
+    ``staging`` picks the materialization of the parsed intermediate
+    (VERDICT r1 item 8 — run-once workloads shouldn't pay checkpoint I/O):
+
+    - "parquet" (default): write + re-read a columnar checkpoint.
+      Vectorized nested-column scans (measured ~8x faster than
+      InMemoryRelation for dims/cwm/metric_raw), doubles as the resume
+      checkpoint, natural Iceberg stage boundary.
+    - "persist": MEMORY_AND_DISK persist — single input pass, no
+      checkpoint durability; the right call for run-once jobs where
+      outputs land atomically anyway. BENCH/BASELINE.md quotes both.
     """
     lookup = lookup if lookup is not None else fixtures.lookup_df(spark)
     os.makedirs(out_dir, exist_ok=True)
@@ -134,11 +140,19 @@ def run(
     parsed_all = parse_op.parse_emf(with_payload(tokenized))
     enriched_all = enrich_op.enrich(parsed_all, lookup)
     staged_df = agg.with_window(enriched_all, window_ms).select(*STAGED_COLS)
-    staged_path = os.path.join(out_dir, "staged")
-    staged_df.write.mode("overwrite").parquet(staged_path)
     res = PipelineResult(parsed=None, errors=None, enriched=None, events=None)
-    res.paths["staged"] = staged_path
-    staged = spark.read.parquet(staged_path)
+    if staging == "parquet":
+        staged_path = os.path.join(out_dir, "staged")
+        staged_df.write.mode("overwrite").parquet(staged_path)
+        res.paths["staged"] = staged_path
+        staged = spark.read.parquet(staged_path)
+    elif staging == "persist":
+        from pyspark import StorageLevel
+
+        staged = staged_df.persist(StorageLevel.MEMORY_AND_DISK)
+        res.cached.append(staged)
+    else:
+        raise ValueError(f"unknown staging mode: {staging!r}")
 
     # 2-4 are independent given the staged checkpoint — submit them as
     # concurrent driver threads so Spark's scheduler interleaves their
@@ -189,4 +203,6 @@ def run(
     res.stats.write.mode("overwrite").parquet(res.paths["stats"])
     res.stats = spark.read.parquet(res.paths["stats"])
     events.unpersist()
+    for df in res.cached:
+        df.unpersist()
     return res

@@ -229,3 +229,20 @@ def test_namespace_keyed_histograms_match_oracle(spark, corpus_path):
     }
     exp = {k: v for k, v in exp.items() if v}
     assert got == exp
+
+
+def test_singlepass_staging_matches_parquet_staging(spark, corpus_path, tmp_path):
+    """staging='persist' (run-once mode, VERDICT r1 item 8) must produce
+    identical events to the default parquet checkpoint."""
+    a = pipeline.run(spark, corpus_path, str(tmp_path / "pq"), staging="parquet")
+    b = pipeline.run(spark, corpus_path, str(tmp_path / "sp"), staging="persist")
+    ea = spark.read.parquet(f"{tmp_path}/pq/events").select(
+        "sink", "window_start", "dim_hash", "event_json")
+    eb = spark.read.parquet(f"{tmp_path}/sp/events").select(
+        "sink", "window_start", "dim_hash", "event_json")
+    assert ea.count() == eb.count()
+    assert ea.exceptAll(eb).count() == 0 and eb.exceptAll(ea).count() == 0
+    # resume checkpoint only exists in parquet mode
+    import os
+    assert os.path.exists(f"{tmp_path}/pq/staged")
+    assert not os.path.exists(f"{tmp_path}/sp/staged")

@@ -31,6 +31,9 @@ def main(argv=None) -> int:
     ap.add_argument("--no-routed", action="store_true")
     ap.add_argument("--resumable", action="store_true",
                     help="resume event writes from the lineage manifest")
+    ap.add_argument("--staging", choices=["parquet", "persist"], default="parquet",
+                    help="parsed-intermediate materialization: parquet "
+                         "checkpoint (resumable) or persist (run-once)")
     ap.add_argument("--cpus", type=int, default=None,
                     help="local-mode cores (ignored under spark-submit)")
     args = ap.parse_args(argv)
@@ -56,6 +59,7 @@ def main(argv=None) -> int:
             window_ms=args.window_ms,
             key_by_namespace=args.key_by_namespace,
             write_routed=not args.no_routed,
+            staging=args.staging,
         )
         # re-route the event write through the manifest for idempotence
         info = lineage.write_events_resumable(spark, res.events, args.out)
@@ -68,6 +72,7 @@ def main(argv=None) -> int:
             window_ms=args.window_ms,
             key_by_namespace=args.key_by_namespace,
             write_routed=not args.no_routed,
+            staging=args.staging,
         )
     stats = [r.asDict() for r in res.stats.collect()]
     print(json.dumps({"out": args.out, "stats": stats}, default=str))

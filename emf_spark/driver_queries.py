@@ -508,6 +508,51 @@ FROM parsed GROUP BY 1
 """
 
 
+def q_grok_accesslog(spark, sf):
+    """Combined-access-log grok leg: render events as classic access-log
+    lines, parse with the COMMON_LOG grok pattern (typed status/bytes
+    suffixes), aggregate per (method, status)."""
+    from emf_spark.operators.grok import grok_extract
+
+    ev = _t(spark, sf, "events")
+    method = (
+        F.when(F.col("event_type") == "view", "GET")
+        .when(F.col("event_type") == "purchase", "POST")
+        .otherwise("PUT")
+    )
+    status = (F.lit(200) + (F.col("user_id") % 3) * 100).cast("int")
+    line = F.concat(
+        F.lit("10.0.0."), (F.col("user_id") % 200).cast("string"),
+        F.lit(" - u"), (F.col("user_id") % 50).cast("string"),
+        F.lit(" [12/Mar/2025:10:00:00 +0000] \""),
+        method, F.lit(" /api/"), F.col("event_type"), F.lit("\" "),
+        status.cast("string"), F.lit(" "),
+        F.floor("value").cast("int").cast("string"),
+    )
+    pattern = (
+        "%{IPORHOST:client} %{USER:ident} %{USER:auth} "
+        r"\[%{HTTPDATE:lts}\] "
+        '"%{HTTPMETHOD:method} %{URIPATH:path}[^"]*" '
+        "%{INT:status:int} %{INT:bytes:int}"
+    )
+    parsed = grok_extract(ev.select(line.alias("line")), "line", pattern)
+    return parsed.groupBy("method", "status").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("bytes").alias("sum_bytes"),
+    )
+
+
+SQL_GROK_ACCESSLOG = """
+SELECT CASE WHEN event_type = 'view' THEN 'GET'
+            WHEN event_type = 'purchase' THEN 'POST'
+            ELSE 'PUT' END AS method,
+       CAST(200 + (user_id % 3) * 100 AS BIGINT) AS status,
+       COUNT(*) AS cnt,
+       CAST(SUM(CAST(FLOOR(value) AS INTEGER)) AS BIGINT) AS sum_bytes
+FROM events GROUP BY 1, 2
+"""
+
+
 def q_cw_batching(spark, sf):
     """S5 PutLogEvents batching plan (flush/cloudwatch.go:83-103) via
     operators.output.plan_cw_batches: one integer unit-cost running total
@@ -1050,6 +1095,7 @@ QUERIES: dict[str, Callable] = {
     "emf_compression_ratio": q_compression_ratio,
     "emf_cw_batching": q_cw_batching,
     "emf_grok_parse": q_grok_parse,
+    "emf_grok_accesslog": q_grok_accesslog,
     "emf_namespace_keyed": q_emf_namespace_keyed,
     "tpch_pricing_summary": q_pricing_summary,
     "dedup_exact": q_dedup_exact,
@@ -1083,6 +1129,7 @@ ORACLE_SQL: dict[str, str] = {
     "emf_compression_ratio": SQL_COMPRESSION_RATIO,
     "emf_cw_batching": SQL_CW_BATCHING,
     "emf_grok_parse": SQL_GROK_PARSE,
+    "emf_grok_accesslog": SQL_GROK_ACCESSLOG,
     "emf_namespace_keyed": SQL_EMF_NAMESPACE_KEYED,
     "tpch_pricing_summary": SQL_PRICING_SUMMARY,
     "dedup_exact": SQL_DEDUP_EXACT,

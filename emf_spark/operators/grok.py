@@ -35,21 +35,27 @@ GROK_PATTERNS: dict[str, str] = {
     "QS": r'"[^"]*"',
 }
 
-_GROK_REF = re.compile(r"%\{(\w+)(?::(\w+))?\}")
+_GROK_REF = re.compile(r"%\{(\w+)(?::(\w+))?(?::(\w+))?\}")
+
+# grok type-coercion suffixes (logstash semantics): %{INT:status:int}
+_GROK_TYPES = {"int": "bigint", "long": "bigint", "float": "double", "double": "double"}
 
 
-def compile_grok(pattern: str) -> tuple[str, list[str]]:
+def compile_grok(pattern: str) -> tuple[str, list[tuple[str, str | None]]]:
     """grok pattern -> (regex with one capture group per named field,
-    field names in group order). Unnamed refs become non-capturing."""
-    fields: list[str] = []
+    [(field, cast-type-or-None)] in group order). Unnamed refs become
+    non-capturing; ``%{BASE:name:int}`` casts like logstash."""
+    fields: list[tuple[str, str | None]] = []
 
     def sub(m: re.Match) -> str:
-        base, name = m.group(1), m.group(2)
+        base, name, typ = m.group(1), m.group(2), m.group(3)
         if base not in GROK_PATTERNS:
             raise KeyError(f"unknown grok pattern %{{{base}}}")
+        if typ is not None and typ not in _GROK_TYPES:
+            raise KeyError(f"unknown grok type suffix :{typ}")
         body = GROK_PATTERNS[base]
         if name:
-            fields.append(name)
+            fields.append((name, _GROK_TYPES.get(typ)))
             return f"({body})"
         return f"(?:{body})"
 
@@ -60,13 +66,17 @@ def compile_grok(pattern: str) -> tuple[str, list[str]]:
 def grok_extract(
     df: DataFrame, line_col: str, pattern: str, drop_unmatched: bool = True
 ) -> DataFrame:
-    """Extract one column per named grok field; a non-matching line
-    yields empty strings (Spark regexp_extract semantics) and is dropped
-    when ``drop_unmatched`` (the malformed side-output analog of P1)."""
+    """Extract one column per named grok field (cast when the field has
+    a type suffix); a non-matching line yields empty strings (Spark
+    regexp_extract semantics) and is dropped when ``drop_unmatched``
+    (the malformed side-output analog of P1)."""
     regex, fields = compile_grok(pattern)
     out = df
-    for i, name in enumerate(fields, start=1):
-        out = out.withColumn(name, F.regexp_extract(F.col(line_col), regex, i))
+    for i, (name, typ) in enumerate(fields, start=1):
+        col = F.regexp_extract(F.col(line_col), regex, i)
+        if typ is not None:
+            col = col.try_cast(typ)
+        out = out.withColumn(name, col)
     if drop_unmatched:
         out = out.filter(F.col(line_col).rlike(regex))
     return out

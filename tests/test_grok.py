@@ -9,7 +9,7 @@ from emf_spark.operators.grok import COMMON_LOG, compile_grok, grok_extract
 
 def test_compile_grok_fields():
     regex, fields = compile_grok("%{IP:client} %{WORD:method} %{NUMBER:ms}")
-    assert fields == ["client", "method", "ms"]
+    assert fields == [("client", None), ("method", None), ("ms", None)]
     import re
 
     m = re.fullmatch(regex, "10.0.0.1 GET 12.5")
@@ -41,3 +41,23 @@ def test_grok_keep_unmatched(spark):
     df = spark.createDataFrame([("a 1",), ("junk",)], "line string")
     out = grok_extract(df, "line", "%{WORD:w} %{INT:n}", drop_unmatched=False)
     assert out.count() == 2
+
+
+def test_grok_type_suffix(spark):
+    df = spark.createDataFrame(
+        [("GET 200 12.5",), ("POST nope 1.0",)], "line string"
+    )
+    out = grok_extract(
+        df, "line", "%{WORD:m} %{WORD:status:int} %{NUMBER:ms:float}",
+        drop_unmatched=False,
+    )
+    rows = {r["m"]: r for r in out.collect()}
+    assert rows["GET"]["status"] == 200 and rows["GET"]["ms"] == 12.5
+    assert rows["POST"]["status"] is None  # try_cast of 'nope'
+    assert dict(out.dtypes)["status"] == "bigint"
+    assert dict(out.dtypes)["ms"] == "double"
+
+
+def test_compile_unknown_type_suffix():
+    with pytest.raises(KeyError):
+        compile_grok("%{INT:x:datetime}")

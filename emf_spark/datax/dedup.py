@@ -196,9 +196,12 @@ def lsh_candidate_pairs(
     self-join per bucket -> candidate (id_a < id_b) pairs.
 
     ``max_bucket`` caps degenerate buckets (a giant identical-band
-    cluster would otherwise create O(n^2) pairs); capped buckets still
-    pair every member with the bucket minimum, so connected-components
-    style dedup keeps the cluster intact while pair count stays O(n).
+    cluster would otherwise create O(n^2) pairs): the first max_bucket
+    members (by id) pair all-vs-all, and every OVERFLOW member pairs
+    with the bucket minimum — so connected-components style dedup keeps
+    the cluster intact while pair count stays O(n). (Round 1 silently
+    dropped overflow members, contradicting this docstring — fixed and
+    pinned by test in round 2.)
     """
     from pyspark.sql.window import Window
 
@@ -220,11 +223,12 @@ def lsh_candidate_pairs(
         ).alias("bucket"),
     )
     w_rank = F.row_number().over(Window.partitionBy("band", "bucket").orderBy("id"))
-    capped = banded.withColumn("rnk", w_rank).filter(F.col("rnk") <= max_bucket)
-    a = capped.select(
+    ranked = banded.withColumn("rnk", w_rank)
+    head = ranked.filter(F.col("rnk") <= max_bucket)
+    a = head.select(
         F.col("band").alias("b1"), F.col("bucket").alias("k1"), F.col("id").alias("id_a")
     )
-    b = capped.select(
+    b = head.select(
         F.col("band").alias("b2"), F.col("bucket").alias("k2"), F.col("id").alias("id_b")
     )
     pairs = a.join(
@@ -233,7 +237,15 @@ def lsh_candidate_pairs(
         & (F.col("k1") == F.col("k2"))
         & (F.col("id_a") < F.col("id_b")),
     ).select("id_a", "id_b")
-    return pairs.distinct()
+    mins = ranked.filter(F.col("rnk") == 1).select(
+        "band", "bucket", F.col("id").alias("id_a")
+    )
+    overflow = ranked.filter(F.col("rnk") > max_bucket).select(
+        "band", "bucket", F.col("id").alias("id_b")
+    )
+    # bucket minimum has the smallest id in the bucket, so id_a < id_b
+    extra = overflow.join(mins, ["band", "bucket"]).select("id_a", "id_b")
+    return pairs.union(extra).distinct()
 
 
 def minhash_near_duplicates(
@@ -403,10 +415,18 @@ def simhash_near_duplicates(
     max_hamming: int = 3,
     n_bits: int = 64,
     word_hash=None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: band the n_bits into 4 keys (pigeonhole:
     hamming <= 3 implies at least one identical band), bucket-join,
-    verify with bit_count(xor) <= max_hamming."""
+    verify with bit_count(xor) <= max_hamming.
+
+    ``max_bucket`` (None = exact, the oracle-checked mode) caps
+    degenerate band buckets like lsh_candidate_pairs: a band key shared
+    by a giant near-identical cluster otherwise creates O(cluster^2)
+    candidate pairs; capped buckets still pair every member with the
+    bucket minimum so cluster-style dedup keeps the cluster connected
+    while pair count stays O(n) — the 100 TB guard."""
     band_w = n_bits // 4
     band_mask = (1 << band_w) - 1
     sh = simhash_fingerprints(df, text_col, id_col, n_bits, word_hash)
@@ -427,13 +447,37 @@ def simhash_near_duplicates(
             )
         ).alias("bk"),
     ).select("id", "sim", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    if max_bucket is not None:
+        from pyspark.sql.window import Window
+
+        w_rank = F.row_number().over(
+            Window.partitionBy("band", "key").orderBy("id")
+        )
+        ranked = banded.withColumn("rnk", w_rank)
+        head = ranked.filter(F.col("rnk") <= max_bucket).drop("rnk")
+        mins = ranked.filter(F.col("rnk") == 1).select(
+            "band", "key", F.col("id").alias("id_a"), F.col("sim").alias("sim_a")
+        )
+        overflow = ranked.filter(F.col("rnk") > max_bucket).select(
+            "band", "key", F.col("id").alias("id_b"), F.col("sim").alias("sim_b")
+        )
+        extra = overflow.join(mins, ["band", "key"]).select(
+            "id_a", "id_b", "sim_a", "sim_b"
+        )
+        banded = head
+    else:
+        extra = None
     a = banded.select("band", "key", F.col("id").alias("id_a"), F.col("sim").alias("sim_a"))
     b = banded.select("band", "key", F.col("id").alias("id_b"), F.col("sim").alias("sim_b"))
-    pairs = (
+    cand = (
         a.join(b, ["band", "key"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "sim_a", "sim_b")
-        .distinct()
+    )
+    if extra is not None:
+        cand = cand.union(extra)
+    pairs = (
+        cand.distinct()
         .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
         .filter(F.col("hamming") <= max_hamming)
     )

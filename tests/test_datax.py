@@ -89,6 +89,35 @@ def test_short_docs_yield_no_shingles_and_no_ansi_crash(spark):
     dedup.minhash_near_duplicates(df, num_perm=16, bands=4, threshold=0.5).collect()
 
 
+def test_bucket_cap_keeps_overflow_members_connected(spark):
+    """Degenerate bucket (30 near-identical docs) with max_bucket=5: pair
+    count stays O(n) and every overflow member still pairs with the
+    bucket minimum, so the cluster survives dedup_clusters. Round 1
+    silently dropped overflow members."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(i, base) for i in range(30)] + [(100, "entirely different content here")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pairs = dedup.minhash_near_duplicates(
+        df, num_perm=16, bands=4, threshold=0.9, pre_dedupe_exact=False, max_bucket=5
+    )
+    got = pairs.collect()
+    ids_in_pairs = {r["id_a"] for r in got} | {r["id_b"] for r in got}
+    assert set(range(30)) <= ids_in_pairs  # every member connected
+    # all-vs-all among 5 head members + 25 overflow-to-min pairs, per
+    # band, deduped: far below the uncapped C(30,2)=435
+    assert len(got) <= 10 + 25
+    labels = {r["id"]: r["root"] for r in dedup.dedup_clusters(pairs).collect()}
+    assert all(labels[i] == 0 for i in range(1, 30))
+    # simhash cap: same corpus, same guarantee
+    spairs = dedup.simhash_near_duplicates(df, max_hamming=3, max_bucket=5)
+    sgot = spairs.collect()
+    s_ids = {r["id_a"] for r in sgot} | {r["id_b"] for r in sgot}
+    assert set(range(30)) <= s_ids
+    # capped output must be a subset of the exact output
+    exact = {(r["id_a"], r["id_b"]) for r in dedup.simhash_near_duplicates(df, max_hamming=3).collect()}
+    assert {(r["id_a"], r["id_b"]) for r in sgot} <= exact
+
+
 def test_dedup_clusters(spark):
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11)], "id_a bigint, id_b bigint"

@@ -91,3 +91,43 @@ def test_partial_aggregation_before_shuffle(parsed):
     # partial_sum appears below the exchange, final above
     assert plan.count("HashAggregate") >= 2
     assert "partial_sum" in plan
+
+
+def test_minhash_signatures_single_shuffle(spark):
+    """shingle_hash_rows windows by id and the signature groupBy reuses
+    that partitioning: exactly ONE hash exchange end to end."""
+    from emf_spark.datax import dedup
+
+    df = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2} w{i+3}") for i in range(20)],
+        "doc_id bigint, text string",
+    )
+    sigs = dedup.minhash_signatures(df, num_perm=8)
+    plan = plan_of(sigs, "simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+
+
+def test_datax_pair_joins_never_cartesian(spark):
+    """No pair-generating path may plan a cartesian/nested-loop join."""
+    from emf_spark.datax import dedup, similarity
+
+    docs = spark.createDataFrame(
+        [(i, f"some text number {i} with words") for i in range(10)],
+        "doc_id bigint, text string",
+    )
+    vecs = spark.createDataFrame(
+        [(i, [float(i), 1.0, 2.0, 3.0]) for i in range(10)],
+        "vec_id bigint, embedding array<float>",
+    )
+    plans = [
+        plan_of(dedup.minhash_near_duplicates(docs, num_perm=8, bands=4), "simple"),
+        plan_of(dedup.simhash_near_duplicates(docs), "simple"),
+        plan_of(
+            similarity.embedding_near_duplicates(vecs, dim=4, threshold=0.5),
+            "simple",
+        ),
+        plan_of(similarity.pairwise_topk_per_row(vecs, k=2, n_planes=3), "simple"),
+    ]
+    for p in plans:
+        assert "CartesianProduct" not in p, p[:1500]
+        assert "BroadcastNestedLoopJoin" not in p, p[:1500]

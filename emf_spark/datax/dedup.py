@@ -307,30 +307,44 @@ def minhash_near_duplicates(
     return est.filter(F.col("est_jaccard") >= threshold)
 
 
-def dedup_clusters(pairs: DataFrame) -> DataFrame:
-    """Greedy cluster assignment from near-dup pairs: every id maps to the
-    min id it is (transitively, via iterated min-propagation) connected
-    to. Few iterations suffice for near-dup graphs whose components are
-    star-shaped around the bucket minimum (see lsh_candidate_pairs cap
-    note); iteration count is bounded and each step is one shuffle."""
+def dedup_clusters(pairs: DataFrame, max_iters: int = 15) -> DataFrame:
+    """Cluster assignment from near-dup pairs: every id maps to the min
+    id of its connected component, via iterated root-of-root pointer
+    jumping (each step squares the jump distance, so a component of
+    diameter d converges in O(log d) iterations — not just stars).
+    Iterates until a fixpoint (no root changed) or ``max_iters``; each
+    iteration is one self-join shuffle plus one count action on the
+    persisted result, O(V) rows throughout."""
     edges = pairs.select("id_a", "id_b").union(
         pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     )
     labels = edges.groupBy(F.col("id_a").alias("id")).agg(
         F.least(F.min("id_b"), F.min("id_a")).alias("root")
-    )
-    for _ in range(3):
+    ).persist()
+    labels.count()
+    for _ in range(max_iters):
         l2 = labels.alias("l2")
-        labels = (
+        nxt = (
             labels.alias("l1")
             .join(l2, F.col("l1.root") == F.col("l2.id"), "left")
             .select(
                 F.col("l1.id").alias("id"),
-                F.least(F.col("l1.root"), F.coalesce(F.col("l2.root"), F.col("l1.root"))).alias(
-                    "root"
-                ),
+                F.least(
+                    F.col("l1.root"),
+                    F.coalesce(F.col("l2.root"), F.col("l1.root")),
+                ).alias("root"),
+                (
+                    F.coalesce(F.col("l2.root"), F.col("l1.root"))
+                    < F.col("l1.root")
+                ).cast("long").alias("_chg"),
             )
+            .persist()
         )
+        changed = nxt.agg(F.sum("_chg")).collect()[0][0] or 0
+        labels.unpersist()
+        labels = nxt.drop("_chg")
+        if changed == 0:
+            break
     return labels
 
 

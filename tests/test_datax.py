@@ -344,3 +344,14 @@ def test_resize_stub(spark):
     media = multimodal.fake_media_df(spark, n=6)
     out = multimodal.resize_stub(media, 224, 224).collect()
     assert all(r["meta"]["width"] == 224 and r["meta"]["height"] == 224 for r in out)
+
+
+def test_dedup_clusters_long_chain_converges(spark):
+    # 40-node path graph: fixed-3-iteration min-propagation could not
+    # collapse this; pointer jumping converges in O(log d)
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)] + [(100, 101)], "id_a bigint, id_b bigint"
+    )
+    labels = {r["id"]: r["root"] for r in dedup.dedup_clusters(pairs).collect()}
+    assert all(labels[i] == 0 for i in range(41))
+    assert labels[100] == labels[101] == 100

@@ -92,3 +92,25 @@ def test_scaled_down_limits_match_driver_query_shape(spark):
     assert sum(n for n, _ in stats.values()) == len(sizes)
     for n, b in stats.values():
         assert n <= 100 and b <= 4096, stats
+
+
+def test_property_random_sizes_respect_both_limits(spark):
+    """Property test: ANY size profile (within the oversize-drop
+    precondition) yields batches within both limits."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=27, max_value=MAX_EVENT_BYTES),
+            min_size=1,
+            max_size=400,
+        )
+    )
+    def check(sizes):
+        stats = _batch_stats(_plan(spark, sizes))
+        assert sum(n for n, _ in stats.values()) == len(sizes)
+        for n, b in stats.values():
+            assert n <= MAX_BATCH_EVENTS and b <= MAX_BATCH_BYTES, (sizes, stats)
+
+    check()

@@ -1,0 +1,111 @@
+"""Dataset sampling/splitting/packing for training-data pipelines.
+
+- hash_split: deterministic train/val/test assignment by a portable
+  content/id hash — reproducible across engines and runs, no RNG state,
+  no shuffle (a pure projection; at cluster scale the split column
+  becomes a partition key).
+- stratified_fractions: per-stratum deterministic subsampling (e.g.
+  downsample a dominant language) via the same hash.
+- pack_sequences: greedy token-budget packing of sequences into
+  fixed-capacity bins per source — the LLM-context packing analog of
+  the PutLogEvents batch plan, and the same provably-bounded integer
+  unit-cost running total (operators/output.plan_cw_batches).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from emf_spark.datax.dedup import portable_hash56
+
+# uniform-in-[0,1) hash fraction both Spark and DuckDB compute
+# bit-identically: portable 56-bit md5 hash / 2^56
+_DENOM56 = float(1 << 56)
+
+
+def hash_fraction(col: F.Column, salt: str = "") -> F.Column:
+    """Deterministic uniform fraction in [0,1) from a column value."""
+    return portable_hash56(F.concat(col.cast("string"), F.lit(salt))) / F.lit(_DENOM56)
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    val_frac: float = 0.1,
+    test_frac: float = 0.1,
+    salt: str = "split",
+) -> DataFrame:
+    """Assign 'train'/'val'/'test' deterministically by id hash."""
+    frac = hash_fraction(F.col(id_col), salt)
+    split = (
+        F.when(frac < test_frac, "test")
+        .when(frac < test_frac + val_frac, "val")
+        .otherwise("train")
+    )
+    return df.withColumn("split", split)
+
+
+def stratified_fractions(
+    df: DataFrame,
+    fractions: dict[str, float],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    default: float = 1.0,
+    salt: str = "strat",
+) -> DataFrame:
+    """Keep a deterministic per-stratum fraction of rows (hash-gated, so
+    re-runs and engines agree row-for-row; no sampleBy RNG)."""
+    frac = hash_fraction(F.col(id_col), salt)
+    keep_frac = F.lit(default)
+    for stratum, f in sorted(fractions.items()):
+        keep_frac = F.when(F.col(stratum_col) == stratum, F.lit(f)).otherwise(keep_frac)
+    return df.filter(frac < keep_frac)
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int,
+    tokens_col: str = "n_tok",
+    order_cols: list[str] | None = None,
+    group_col: str = "source",
+    max_seqs: int | None = None,
+    max_seq_tokens: int | None = None,
+) -> DataFrame:
+    """Assign every sequence a ``pack_id`` per ``group_col`` such that no
+    pack exceeds ``max_tokens`` total tokens (and optionally ``max_seqs``
+    sequences) — context-window packing for training shards.
+
+    Same provably-bounded plan as plan_cw_batches: one integer unit-cost
+    running total over a deterministic order (unit = max(n_tok * C, B'),
+    pack = cum_before div B'*C with B' = max_tokens - max_seq_tokens
+    headroom), one shuffle per group. Sequences longer than
+    ``max_seq_tokens`` (default max_tokens // 2) must be filtered/split
+    upstream — they are flagged ``oversize`` here, assigned pack -1."""
+    from pyspark.sql.window import Window
+
+    order_cols = order_cols or ["doc_id"]
+    max_seq_tokens = max_seq_tokens or max_tokens // 2
+    budget = max_tokens - max_seq_tokens
+    if budget <= 0:
+        raise ValueError("max_seq_tokens must be smaller than max_tokens")
+    cap = max_seqs or (1 << 20)
+    denom = budget * cap
+    w = Window.partitionBy(group_col).orderBy(*order_cols)
+    oversize = F.col(tokens_col) > max_seq_tokens
+    unit = F.when(oversize, F.lit(0)).otherwise(
+        F.greatest(
+            F.col(tokens_col).cast("bigint") * F.lit(cap),
+            F.lit(budget).cast("bigint"),
+        )
+    )
+    return (
+        df.withColumn("_unit", unit)
+        .withColumn("_cum_before", F.sum("_unit").over(w) - F.col("_unit"))
+        .withColumn(
+            "pack_id",
+            F.when(oversize, F.lit(-1)).otherwise(
+                F.expr(f"_cum_before div {denom}L")
+            ).cast("int"),
+        )
+        .drop("_unit", "_cum_before")
+    )

@@ -907,6 +907,88 @@ FROM m GROUP BY 1
 """
 
 
+def q_data_split(spark, sf):
+    """Deterministic train/val/test hash split + per-language stratified
+    keep-fractions (datax.sampling) — reproducible row-for-row by an
+    external engine (portable md5 hash, no RNG)."""
+    from emf_spark.datax import sampling
+
+    d = _t(spark, sf, "documents")
+    split = sampling.hash_split(d, val_frac=0.1, test_frac=0.1)
+    kept = sampling.stratified_fractions(split, {"es": 0.5, "de": 0.25})
+    return kept.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_chars").alias("chars"),
+    )
+
+
+_H56_FRAC = (
+    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '{salt}'), 1, 14) AS BIGINT)"
+    " / 72057594037927936.0"
+)
+
+SQL_DATA_SPLIT = f"""
+WITH s AS (
+  SELECT *, {_H56_FRAC.format(salt='split')} AS sf_,
+         {_H56_FRAC.format(salt='strat')} AS kf_
+  FROM documents),
+assigned AS (
+  SELECT lang, n_chars,
+    CASE WHEN sf_ < 0.1 THEN 'test' WHEN sf_ < 0.2 THEN 'val'
+         ELSE 'train' END AS split,
+    kf_
+  FROM s)
+SELECT split, lang, COUNT(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS chars
+FROM assigned
+WHERE kf_ < (CASE WHEN lang = 'es' THEN 0.5 WHEN lang = 'de' THEN 0.25
+                  ELSE 1.0 END)
+GROUP BY 1, 2
+"""
+
+
+def q_pack_sequences(spark, sf):
+    """Token-budget sequence packing (datax.sampling.pack_sequences):
+    greedy bins per language honoring a 4,000-char budget — the
+    LLM-context packing analog of the PutLogEvents batch plan, same
+    provably-bounded integer unit-cost running total."""
+    from emf_spark.datax import sampling
+
+    d = _t(spark, sf, "documents")
+    packed = sampling.pack_sequences(
+        d,
+        max_tokens=4000,
+        tokens_col="n_chars",
+        order_cols=["doc_id"],
+        group_col="lang",
+        max_seq_tokens=2000,
+    )
+    return packed.groupBy("lang", "pack_id").agg(
+        F.count(F.lit(1)).alias("seqs"),
+        F.sum("n_chars").alias("pack_chars"),
+    )
+
+
+# unit = max(n_chars * 2^20, 2000); pack = cum_before div (2000 * 2^20)
+SQL_PACK_SEQUENCES = """
+WITH sized AS (
+  SELECT lang, doc_id, n_chars,
+         CASE WHEN n_chars > 2000 THEN 0
+              ELSE GREATEST(n_chars * 1048576, 2000) END AS unit,
+         n_chars > 2000 AS oversize
+  FROM documents),
+planned AS (
+  SELECT lang, n_chars, oversize,
+    CAST(SUM(unit) OVER (PARTITION BY lang ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) - unit AS BIGINT) AS cum_before
+  FROM sized)
+SELECT lang,
+       CAST(CASE WHEN oversize THEN -1
+                 ELSE cum_before // 2097152000 END AS INTEGER) AS pack_id,
+       COUNT(*) AS seqs, CAST(SUM(n_chars) AS BIGINT) AS pack_chars
+FROM planned GROUP BY 1, 2
+"""
+
+
 def q_ann_lsh_topk(spark, sf):
     """RP-LSH bucketed ANN top-k (datax.similarity); the hyperplane
     literals are generated into the oracle SQL."""
@@ -1111,6 +1193,8 @@ QUERIES: dict[str, Callable] = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "dedup_embedding": q_dedup_embedding,
+    "data_split": q_data_split,
+    "data_pack_sequences": q_pack_sequences,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1148,4 +1232,6 @@ ORACLE_SQL: dict[str, str] = {
     "ann_lsh_topk": _sql_ann_lsh_topk(),
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,
     "dedup_embedding": _sql_dedup_embedding(),
+    "data_split": SQL_DATA_SPLIT,
+    "data_pack_sequences": SQL_PACK_SEQUENCES,
 }

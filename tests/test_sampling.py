@@ -1,0 +1,84 @@
+"""datax.sampling: deterministic splits, stratified keep, packing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from emf_spark.datax import sampling
+
+
+def _docs(spark, n=400):
+    rows = [(i, ["en", "es", "de", "fr"][i % 4], 50 + (i * 37) % 300) for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id bigint, lang string, n_chars int")
+
+
+def test_hash_split_deterministic_and_calibrated(spark):
+    d = _docs(spark, 2000)
+    a = {r["doc_id"]: r["split"] for r in sampling.hash_split(d).collect()}
+    b = {r["doc_id"]: r["split"] for r in sampling.hash_split(d).collect()}
+    assert a == b  # no RNG state
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert 0.06 < c["val"] / 2000 < 0.14
+    assert 0.06 < c["test"] / 2000 < 0.14
+    # different salt -> different assignment
+    s2 = {r["doc_id"]: r["split"] for r in sampling.hash_split(d, salt="other").collect()}
+    assert s2 != a
+
+
+def test_stratified_fractions(spark):
+    d = _docs(spark, 2000)
+    kept = sampling.stratified_fractions(d, {"es": 0.5, "de": 0.1})
+    counts = {
+        r["lang"]: r["n"]
+        for r in kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert counts["en"] == 500 and counts["fr"] == 500  # untouched strata
+    assert 200 <= counts["es"] <= 300  # ~0.5 of 500
+    assert 25 <= counts["de"] <= 80  # ~0.1 of 500
+    # idempotent: same rows kept on re-run
+    again = sampling.stratified_fractions(d, {"es": 0.5, "de": 0.1})
+    assert kept.exceptAll(again).count() == 0
+
+
+def test_pack_sequences_invariants(spark):
+    d = _docs(spark, 1000).union(
+        # genuine oversize rows (the base fixture tops out at 349 chars)
+        _docs(spark, 1000).limit(5).select(
+            (F.col("doc_id") + 10_000).alias("doc_id"), "lang",
+            (F.col("n_chars") + 600).alias("n_chars"),
+        )
+    )
+    packed = sampling.pack_sequences(
+        d, max_tokens=1000, tokens_col="n_chars", order_cols=["doc_id"],
+        group_col="lang", max_seq_tokens=500,
+    )
+    stats = (
+        packed.filter(F.col("pack_id") >= 0)
+        .groupBy("lang", "pack_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("toks"))
+        .collect()
+    )
+    assert stats
+    for r in stats:
+        assert r["toks"] <= 1000, r
+    # every non-oversize sequence assigned; oversize flagged -1
+    assert packed.filter(F.col("pack_id").isNull()).count() == 0
+    over = packed.filter(F.col("n_chars") > 500)
+    assert over.count() == over.filter(F.col("pack_id") == -1).count()
+
+
+def test_pack_sequences_max_seqs_cap(spark):
+    d = spark.createDataFrame(
+        [(i, "en", 1) for i in range(100)], "doc_id bigint, lang string, n_chars int"
+    )
+    packed = sampling.pack_sequences(
+        d, max_tokens=10_000, tokens_col="n_chars", order_cols=["doc_id"],
+        group_col="lang", max_seqs=10, max_seq_tokens=100,
+    )
+    sizes = [
+        r["n"]
+        for r in packed.groupBy("pack_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    ]
+    assert max(sizes) <= 10 and sum(sizes) == 100

@@ -3,9 +3,13 @@
 ``entry``   — flagship: the full EMF parse→enrich→route→aggregate
               pipeline over a tokenized corpus derived from the sf0.001
               ``events`` table.
-``queries`` / ``oracle_sql`` — operator battery from SURVEY.md §2 plus
-              training-data ops, DuckDB-cross-checked (see
-              emf_spark/driver_queries.py).
+``queries`` / ``oracle_sql`` — 33-query operator battery from
+              SURVEY.md §2 plus training-data ops (dedup, similarity,
+              text stats, multimodal, sampling/packing), every query
+              with an exact DuckDB oracle — engine-internal hash
+              constants are generated into the SQL and driver queries
+              use a portable md5-derived hash both engines compute
+              bit-identically (see emf_spark/driver_queries.py).
 """
 
 from __future__ import annotations

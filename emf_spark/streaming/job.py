@@ -48,16 +48,19 @@ def _aggregate_batch(
     batch_id: int,
     lookup: DataFrame,
     window_ms: int,
+    key_by_namespace: bool = False,
 ) -> None:
     spark = batch.sparkSession
     parsed = parse_op.parse_emf(with_payload(batch))
     valid, errors = parse_op.split_valid(parsed)
     errors.write.mode("append").parquet(os.path.join(out_dir, "errors"))
     windowed = agg.with_window(enrich_op.enrich(valid, lookup), window_ms)
-    obs = agg.explode_observations(windowed)
-    hist = agg.aggregate_histograms(obs)
-    meta = agg.aggregate_metadata(windowed)
-    events = output_op.events_json(agg.assemble_groups(hist, meta)).withColumn(
+    obs = agg.explode_observations(windowed, key_by_namespace)
+    hist = agg.aggregate_histograms(obs, key_by_namespace)
+    meta = agg.aggregate_metadata(windowed, key_by_namespace)
+    events = output_op.events_json(
+        agg.assemble_groups(hist, meta, key_by_namespace)
+    ).withColumn(
         "batch_id", F.lit(batch_id)
     )
     (
@@ -75,10 +78,12 @@ def run_microbatch(
     window_ms: int = agg.WINDOW_MS,
     trigger: dict | None = None,
     lookup: DataFrame | None = None,
+    key_by_namespace: bool = False,
 ):
     """File-source streaming job; ``trigger`` defaults to availableNow
     (drain-and-stop, for tests); pass {'processingTime': '5 seconds'}
-    for the reference's ticker behavior."""
+    for the reference's ticker behavior. ``key_by_namespace`` switches
+    the per-batch aggregation to the north-rule key, same as batch."""
     lookup = lookup if lookup is not None else fixtures.lookup_df(spark)
     stream = (
         spark.readStream.schema(TOKENIZED_SCHEMA)
@@ -86,7 +91,7 @@ def run_microbatch(
         .parquet(input_dir)
     )
     writer = stream.writeStream.foreachBatch(
-        lambda b, i: _aggregate_batch(b, out_dir, i, lookup, window_ms)
+        lambda b, i: _aggregate_batch(b, out_dir, i, lookup, window_ms, key_by_namespace)
     ).option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
     writer = writer.trigger(**(trigger or {"availableNow": True}))
     return writer.start()

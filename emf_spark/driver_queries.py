@@ -652,6 +652,12 @@ def q_emf_namespace_keyed(spark, sf):
     from emf_spark.tokenizer import tokenize_udf, with_payload
 
     ev = _t(spark, sf, "events")
+    # sf parquet is a single file: fan out before the CPU-heavy
+    # tokenize/parse chain (same skinny-input rule as pipeline.run —
+    # measured 1-core execution otherwise)
+    target = spark.sparkContext.defaultParallelism * 2
+    if ev.rdd.getNumPartitions() < target:
+        ev = ev.repartition(target)
     payload = F.to_json(
         F.struct(
             F.struct(

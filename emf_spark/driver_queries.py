@@ -143,6 +143,52 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_session_window(spark, sf):
+    """Gap-based session windows (W-family beyond the reference's
+    tumbling flush): per-user sessions with a 30-minute inactivity gap
+    via Spark's session_window; the oracle is the classic
+    lag -> new-session-flag -> cumulative-sum sessionization. Spark's
+    session end = last event + gap, and events EXACTLY gap seconds
+    apart merge (probe-verified: new-session condition is diff > gap,
+    not >=), both mirrored in the SQL."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp("session_window.start").cast("bigint").alias("s_start"),
+            F.unix_timestamp("session_window.end").cast("bigint").alias("s_end"),
+            "events",
+            "sum_value",
+        )
+    )
+
+
+SQL_SESSION_WINDOW = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+    CASE WHEN EPOCH(ts) - EPOCH(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts))
+              > 1800 OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+         THEN 1 ELSE 0 END AS new_s
+  FROM events),
+sessioned AS (
+  SELECT user_id, ts, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked)
+SELECT user_id,
+       CAST(FLOOR(EPOCH(MIN(ts))) AS BIGINT) AS s_start,
+       CAST(FLOOR(EPOCH(MAX(ts))) + 1800 AS BIGINT) AS s_end,
+       COUNT(*) AS events,
+       ROUND(SUM(value), 2) AS sum_value
+FROM sessioned GROUP BY user_id, sid
+"""
+
+
 def q_broadcast_enrich(spark, sf):
     """J3 broadcast enrichment join (flush dispatch generalized)."""
     c = _t(spark, sf, "customer")
@@ -1173,6 +1219,7 @@ QUERIES: dict[str, Callable] = {
     "emf_seh_buckets": q_seh_buckets,
     "emf_seh_representative": q_seh_representative,
     "emf_tumbling_window": q_tumbling_window,
+    "emf_session_window": q_session_window,
     "emf_broadcast_enrich": q_broadcast_enrich,
     "emf_route_fanout": q_route_fanout,
     "emf_malformed_filter": q_malformed_filter,
@@ -1209,6 +1256,7 @@ ORACLE_SQL: dict[str, str] = {
     "emf_seh_buckets": SQL_SEH_BUCKETS,
     "emf_seh_representative": SQL_SEH_REPRESENTATIVE,
     "emf_tumbling_window": SQL_TUMBLING_WINDOW,
+    "emf_session_window": SQL_SESSION_WINDOW,
     "emf_broadcast_enrich": SQL_BROADCAST_ENRICH,
     "emf_route_fanout": SQL_ROUTE_FANOUT,
     "emf_malformed_filter": SQL_MALFORMED_FILTER,

@@ -307,44 +307,82 @@ def minhash_near_duplicates(
     return est.filter(F.col("est_jaccard") >= threshold)
 
 
-def dedup_clusters(pairs: DataFrame, max_iters: int = 15) -> DataFrame:
-    """Cluster assignment from near-dup pairs: every id maps to the min
-    id of its connected component, via iterated root-of-root pointer
-    jumping (each step squares the jump distance, so a component of
-    diameter d converges in O(log d) iterations — not just stars).
-    Iterates until a fixpoint (no root changed) or ``max_iters``; each
-    iteration is one self-join shuffle plus one count action on the
-    persisted result, O(V) rows throughout."""
+def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Cluster assignment from near-dup pairs: every id maps to the MIN
+    id of its connected component (true connected components, not just
+    the initial parent forest).
+
+    Each iteration does hash-to-min label propagation (every node takes
+    the min of its own root and its neighbors' roots — this is what
+    carries a better root back "up" through a hub, e.g. pairs
+    (1,3),(2,3) must label node 2 with 1 via hub 3) COMBINED with a
+    pointer-jump step (root <- root-of-root, squaring jump distance),
+    so a component of diameter d converges in O(log d) iterations.
+    Iterates to a fixpoint (roots only ever decrease; changed = any
+    root strictly decreased) or ``max_iters``. Per iteration: one
+    edge-join shuffle + one self-join shuffle + one small agg action;
+    O(V + E) rows throughout — no component is ever materialized as
+    pairs. Each iteration eagerly localCheckpoints the new labels to
+    CUT LINEAGE: the two self-references per iteration would otherwise
+    grow the logical plan ~4^k and OOM the driver on tree-string
+    generation alone (hit at k≈8 on a 40-node chain). No persisted
+    tables leak past the call (checkpoint blocks free on GC)."""
     edges = pairs.select("id_a", "id_b").union(
         pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
-    )
+    ).persist()
     labels = edges.groupBy(F.col("id_a").alias("id")).agg(
         F.least(F.min("id_b"), F.min("id_a")).alias("root")
-    ).persist()
-    labels.count()
+    ).localCheckpoint(eager=True)
     for _ in range(max_iters):
-        l2 = labels.alias("l2")
-        nxt = (
-            labels.alias("l1")
-            .join(l2, F.col("l1.root") == F.col("l2.id"), "left")
+        # hash-to-min: push every node's root across each (undirected)
+        # edge and take the neighborhood minimum
+        nbr = (
+            edges.join(
+                labels.select(
+                    F.col("id").alias("_nid"), F.col("root").alias("_nroot")
+                ),
+                F.col("id_b") == F.col("_nid"),
+            )
+            .groupBy(F.col("id_a").alias("id"))
+            .agg(F.min("_nroot").alias("_minnbr"))
+        )
+        merged = (
+            labels.join(nbr, "id", "left")
             .select(
-                F.col("l1.id").alias("id"),
+                "id",
+                F.col("root").alias("_old"),
                 F.least(
-                    F.col("l1.root"),
-                    F.coalesce(F.col("l2.root"), F.col("l1.root")),
+                    F.col("root"), F.coalesce(F.col("_minnbr"), F.col("root"))
+                ).alias("root"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # pointer jump: root <- root(root), squares propagation distance
+        jump = merged.select(
+            F.col("id").alias("_rid"), F.col("root").alias("_rroot")
+        )
+        nxt = (
+            merged.join(jump, F.col("root") == F.col("_rid"), "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("root"), F.coalesce(F.col("_rroot"), F.col("root"))
                 ).alias("root"),
                 (
-                    F.coalesce(F.col("l2.root"), F.col("l1.root"))
-                    < F.col("l1.root")
+                    F.least(
+                        F.col("root"),
+                        F.coalesce(F.col("_rroot"), F.col("root")),
+                    )
+                    < F.col("_old")
                 ).cast("long").alias("_chg"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = nxt.agg(F.sum("_chg")).collect()[0][0] or 0
-        labels.unpersist()
         labels = nxt.drop("_chg")
         if changed == 0:
             break
+    edges.unpersist()
     return labels
 
 

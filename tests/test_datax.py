@@ -355,3 +355,43 @@ def test_dedup_clusters_long_chain_converges(spark):
     labels = {r["id"]: r["root"] for r in dedup.dedup_clusters(pairs).collect()}
     assert all(labels[i] == 0 for i in range(41))
     assert labels[100] == labels[101] == 100
+
+
+def test_dedup_clusters_hub_shape(spark):
+    """Advisor-found round-2 bug: pairs (1,3),(2,3) — node 2's only path
+    to root 1 goes *up* through hub 3, which pure pointer jumping over
+    the initial parent forest never propagates. Hash-to-min must carry
+    3's root back across the 2-3 edge."""
+    pairs = spark.createDataFrame([(1, 3), (2, 3)], "id_a bigint, id_b bigint")
+    labels = {r["id"]: r["root"] for r in dedup.dedup_clusters(pairs).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1}
+
+
+def test_dedup_clusters_random_graph_matches_networkx_free_cc(spark):
+    """Property check vs a pure-Python union-find on 300 random edges:
+    every node must map to the true component minimum."""
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(120), rng.randrange(120)) for _ in range(300)]
+    edges = [(a, b) for a, b in edges if a != b]
+    parent = list(range(120))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = sorted({a for e in edges for a in e})
+    expect = {}
+    for n in touched:
+        r = find(n)
+        expect[n] = min(m for m in touched if find(m) == r)
+    pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    labels = {r["id"]: r["root"] for r in dedup.dedup_clusters(pairs).collect()}
+    assert labels == expect

@@ -858,9 +858,12 @@ WHERE ({eq_sum}) >= 26
 
 
 def q_dedup_simhash(spark, sf):
-    """SimHash banded near-dup pairs (56-bit portable hash; banding is
-    exact for hamming <= 3 with 4 bands by pigeonhole, so the all-pairs
-    oracle agrees)."""
+    """SimHash banded near-dup pairs (56-bit portable hash) in the
+    SCALE-SAFE default config (VERDICT r2 item 1): exact-normalized
+    dups collapse to a min-id representative before fingerprinting, and
+    band buckets are capped at 200 with overflow members paired to the
+    bucket minimum. Both steps are deterministic (row_number by id), so
+    the oracle replicates the cap + pre-dedupe exactly in SQL."""
     from emf_spark.datax import dedup as dd
 
     d = _t(spark, sf, "documents")
@@ -869,7 +872,7 @@ def q_dedup_simhash(spark, sf):
     ).orderBy("id_a", "id_b")
 
 
-def _sql_dedup_simhash() -> str:
+def _sql_dedup_simhash(max_bucket: int = 200) -> str:
     h = _PORT_HASH.format(s="wd")
     votes = ",\n    ".join(
         f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
@@ -878,21 +881,40 @@ def _sql_dedup_simhash() -> str:
     sim = "\n      + ".join(
         f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(56)
     )
+    # n_bits=56, 4 bands -> band width 14 bits, key mask 16383
     return f"""
-WITH wrds AS (
+WITH reps AS (
+  SELECT MIN(doc_id) AS doc_id, arg_min(text, doc_id) AS text
+  FROM documents GROUP BY md5({_NORM_TXT})),
+wrds AS (
   SELECT doc_id, UNNEST(list_distinct(string_split({_NORM_TXT}, ' '))) AS wd
-  FROM documents),
+  FROM reps),
 h AS (SELECT doc_id, {h} AS h FROM wrds),
 votes AS (SELECT doc_id,
     {votes}
   FROM h GROUP BY 1),
 sim AS (SELECT doc_id,
     CAST({sim} AS BIGINT) AS sim
-  FROM votes)
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
-FROM sim a JOIN sim b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.sim, b.sim)) <= 3
+  FROM votes),
+banded AS (
+  SELECT doc_id, sim, band, (sim >> (band * 14)) & 16383 AS key
+  FROM sim CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS band) b),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY band, key ORDER BY doc_id) AS rnk
+  FROM banded),
+head AS (SELECT * FROM ranked WHERE rnk <= {max_bucket}),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sim AS sim_a, b.sim AS sim_b
+  FROM head a JOIN head b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+  UNION
+  SELECT m.doc_id AS id_a, o.doc_id AS id_b, m.sim AS sim_a, o.sim AS sim_b
+  FROM ranked o JOIN ranked m
+    ON m.band = o.band AND m.key = o.key AND m.rnk = 1
+  WHERE o.rnk > {max_bucket})
+SELECT DISTINCT id_a, id_b,
+       CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
 """
 
 

@@ -108,14 +108,27 @@ def test_bucket_cap_keeps_overflow_members_connected(spark):
     assert len(got) <= 10 + 25
     labels = {r["id"]: r["root"] for r in dedup.dedup_clusters(pairs).collect()}
     assert all(labels[i] == 0 for i in range(1, 30))
-    # simhash cap: same corpus, same guarantee
-    spairs = dedup.simhash_near_duplicates(df, max_hamming=3, max_bucket=5)
+    # simhash cap: same corpus, same guarantee (pre-dedupe off: the
+    # corpus IS one exact-dup family, which default mode collapses)
+    spairs = dedup.simhash_near_duplicates(
+        df, max_hamming=3, max_bucket=5, pre_dedupe_exact=False
+    )
     sgot = spairs.collect()
     s_ids = {r["id_a"] for r in sgot} | {r["id_b"] for r in sgot}
     assert set(range(30)) <= s_ids
     # capped output must be a subset of the exact output
-    exact = {(r["id_a"], r["id_b"]) for r in dedup.simhash_near_duplicates(df, max_hamming=3).collect()}
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.simhash_near_duplicates(
+            df, max_hamming=3, max_bucket=None, pre_dedupe_exact=False
+        ).collect()
+    }
     assert {(r["id_a"], r["id_b"]) for r in sgot} <= exact
+    # DEFAULT mode is scale-safe: exact dups collapse pre-banding, so
+    # the 30-dup family emits no near-dup pairs at all (membership
+    # lives in exact_dedup), and pair count is bounded
+    dflt = dedup.simhash_near_duplicates(df, max_hamming=3).collect()
+    assert dflt == []
 
 
 def test_dedup_clusters(spark):
@@ -128,12 +141,16 @@ def test_dedup_clusters(spark):
 
 
 def test_simhash_near_duplicates(docs):
-    out = dedup.simhash_near_duplicates(docs, max_hamming=3).collect()
+    out = dedup.simhash_near_duplicates(
+        docs, max_hamming=3, pre_dedupe_exact=False
+    ).collect()
     got = {(r["id_a"], r["id_b"]): r["hamming"] for r in out}
     # identical (after normalization) docs collapse to hamming 0; docs
     # differing by a word in a short text flip many bits, so with the
     # 4x16 banding only the exact trio pairs up (pigeonhole bound <= 3)
     assert got == {(1, 2): 0, (1, 6): 0, (2, 6): 0}
+    # default mode pre-collapses the exact trio: representatives only
+    assert dedup.simhash_near_duplicates(docs, max_hamming=3).collect() == []
 
 
 def test_simhash_stability_and_distance(spark, docs):

@@ -687,15 +687,10 @@ FROM s GROUP BY 1, 2
 """
 
 
-def q_emf_namespace_keyed(spark, sf):
-    """North-rule keying mode ((namespace, dim_hash, window) group key,
-    SURVEY §2.5 A1 note): events rendered as two-namespace EMF payloads,
-    tokenized, then run through the real parse -> window -> namespace-
-    keyed aggregation; the oracle recomputes every per-(namespace,
-    dim_hash) stat from the raw events table."""
-    from emf_spark.operators import aggregate as agg
-    from emf_spark.operators import parse as parse_op
-    from emf_spark.tokenizer import tokenize_udf, with_payload
+def _ns_corpus_tokenized(spark, sf):
+    """The two-namespace tokenized corpus for q_emf_namespace_keyed,
+    built from the events table (to_json render + tokenize UDF)."""
+    from emf_spark.tokenizer import tokenize_udf
 
     ev = _t(spark, sf, "events")
     # sf parquet is a single file: fan out before the CPU-heavy
@@ -736,9 +731,42 @@ def q_emf_namespace_keyed(spark, sf):
         payload.alias("payload"),
         F.lit("app-a").alias("source"),
     ).withColumn("tokens", tokenize_udf("payload"))
-    tok = tok.select(
+    return tok.select(
         "doc_id", "tokens", F.size("tokens").cast("int").alias("n_tok"), "source"
     )
+
+
+def q_emf_namespace_keyed(spark, sf):
+    """North-rule keying mode ((namespace, dim_hash, window) group key,
+    SURVEY §2.5 A1 note): events rendered as two-namespace EMF payloads,
+    tokenized, then run through the real parse -> window -> namespace-
+    keyed aggregation; the oracle recomputes every per-(namespace,
+    dim_hash) stat from the raw events table.
+
+    The corpus-CONSTRUCTION half (to_json render + tokenize UDF over the
+    full events table) is deterministic input prep, not the operator
+    under test — it is staged once per sf dir to .bench_cache (same
+    pattern as bench.py's pipeline corpus; VERDICT r2 item 2: it was
+    ~70% of the 34-query battery's wall, re-done x3 for medians). The
+    measured/correctness-checked path is detokenize -> parse -> window
+    -> namespace-keyed aggregation, unchanged."""
+    from pathlib import Path
+
+    from emf_spark.operators import aggregate as agg
+    from emf_spark.operators import parse as parse_op
+    from emf_spark.tokenizer import with_payload
+
+    cache = Path(__file__).resolve().parent.parent / ".bench_cache"
+    staged = cache / f"nskeyed_{Path(sf).name}.parquet"
+    if not (staged / "_SUCCESS").exists():
+        cache.mkdir(exist_ok=True)
+        _ns_corpus_tokenized(spark, sf).write.mode("overwrite").parquet(str(staged))
+    tok = spark.read.parquet(str(staged))
+    # token arrays are fat: a byte-split scan underestimates the CPU of
+    # the parse chain — keep >= 2x cores of parallelism
+    target = spark.sparkContext.defaultParallelism * 2
+    if tok.rdd.getNumPartitions() < target:
+        tok = tok.repartition(target)
     parsed = parse_op.parse_emf(with_payload(tok)).filter(F.col("valid"))
     windowed = agg.with_window(parsed, window_ms=3_600_000)
     obs = agg.explode_observations(windowed, key_by_namespace=True)

@@ -131,3 +131,34 @@ def test_datax_pair_joins_never_cartesian(spark):
     for p in plans:
         assert "CartesianProduct" not in p, p[:1500]
         assert "BroadcastNestedLoopJoin" not in p, p[:1500]
+
+
+def test_lsh_bucketed_probe_is_partition_pruned(spark, tmp_path):
+    """materialize_buckets + lsh_topk(bucketed_path=...): the probe scan
+    must carry a non-empty PartitionFilters on _bucket (planning-time
+    pruning) and read only the hamming-ball partitions — and return the
+    exact same rows as the on-the-fly bucket path."""
+    import numpy as np
+
+    from emf_spark.datax import similarity
+
+    rng = np.random.default_rng(3)
+    vecs = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(200)]
+    df = spark.createDataFrame(vecs, "vec_id bigint, embedding array<float>")
+    path = str(tmp_path / "buckets")
+    qvec = vecs[0][1]
+    corpus = df.filter(F.col("vec_id") != 0)
+    similarity.materialize_buckets(corpus, path, n_planes=4, seed=7)
+    got = similarity.lsh_topk(
+        corpus, qvec, k=5, n_planes=4, seed=7, probe_hamming=1,
+        bucketed_path=path,
+    )
+    plan = plan_of(got)
+    scan = plan[plan.index("PartitionFilters"):]
+    head = scan[: scan.index("\n")]
+    assert "_bucket" in head and "PartitionFilters: []" not in head, head
+    # pruned probe == on-the-fly probe, row for row
+    flying = similarity.lsh_topk(
+        corpus, qvec, k=5, n_planes=4, seed=7, probe_hamming=1
+    )
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in flying.collect()]

@@ -2,12 +2,19 @@
 columns with typed metadata, processed by Arrow-batched ``mapInPandas``
 UDFs.
 
-The decode step itself is STUBBED (image/audio libraries are not in
-this container): ``decode_mode='fake'`` produces deterministic
-hash-derived features so the Spark-side plumbing — schema, batch
-iteration, partition sizing, UDF signatures — is real and tested;
-``decode_mode='real'`` raises NotImplementedError at the exact point a
-PIL/ffmpeg call would go.
+Two decode tiers (VERDICT r2 item 4):
+
+- ``decode_mode='real'`` REALLY decodes the uncompressed containers a
+  pure-numpy parser can handle with no external libs: P6 PPM images
+  (header + raw RGB) and RIFF/WAV PCM-16 audio (fmt + data chunks).
+  ``decode_media`` emits exact per-row stats (width/height/duration/
+  integer value sums) an external SQL oracle reproduces bit-for-bit;
+  payloads whose magic is neither P6 nor RIFF raise (no silent fake).
+  Compressed formats (JPEG/PNG/MP3/H.264) still need PIL/ffmpeg — not
+  in this container; that boundary is the remaining honest stub.
+- ``decode_mode='fake'`` produces deterministic hash-derived features
+  so the Spark-side plumbing — schema, batch iteration, partition
+  sizing, UDF signatures — is testable on arbitrary opaque bytes.
 """
 
 from __future__ import annotations
@@ -54,6 +61,204 @@ FEATURE_SCHEMA = T.StructType(
 
 FEATURE_DIM = 16
 
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("format", T.StringType()),  # ppm|wav|unknown
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+        # n_units = pixel-byte count (ppm) / sample count (wav);
+        # value_sum = exact integer sum of pixel bytes / |samples| —
+        # integer stats keep the oracle compare float-hazard-free
+        T.StructField("n_units", T.LongType()),
+        T.StructField("value_sum", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+    ]
+)
+
+
+def synth_ppm(width: int, height: int, base: int) -> bytes:
+    """Deterministic P6 PPM: pixel byte i = (base + i) % 256."""
+    n = width * height * 3
+    px = (np.arange(n, dtype=np.int64) + base) % 256
+    return (f"P6\n{width} {height}\n255\n").encode("ascii") + px.astype(
+        np.uint8
+    ).tobytes()
+
+
+def synth_wav(n_samples: int, rate: int, base: int) -> bytes:
+    """Deterministic RIFF/WAV PCM-16 mono: sample i =
+    ((base*7 + i*13) % 2001) - 1000."""
+    import struct
+
+    s = ((np.int64(base) * 7 + np.arange(n_samples, dtype=np.int64) * 13) % 2001) - 1000
+    data = s.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def _decode_ppm(payload: bytes):
+    """(width, height, n_units, value_sum) from a binary P6 PPM."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    # header: P6 <ws> width <ws> height <ws> maxval <single ws> raster
+    parts, pos, tok = [], 2, b""
+    while len(parts) < 3:
+        c = payload[pos:pos + 1]
+        if not c:
+            raise ValueError("truncated PPM header")
+        if c.isspace():
+            if tok:
+                parts.append(int(tok))
+                tok = b""
+        elif c == b"#":  # comment to end of line
+            while payload[pos:pos + 1] not in (b"\n", b""):
+                pos += 1
+        else:
+            tok += c
+        pos += 1
+    w, h, maxval = parts
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM supported")
+    n = w * h * 3
+    px = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+    return w, h, n, int(px.astype(np.int64).sum())
+
+
+def _decode_wav(payload: bytes):
+    """(rate, n_samples, duration_ms, sum_abs) from RIFF/WAV PCM-16."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    pos, rate, bits, channels, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            _, channels, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    if bits != 16 or channels != 1:
+        raise ValueError("only PCM-16 mono supported")
+    s = np.frombuffer(data, dtype="<i2")
+    return rate, len(s), int(len(s) * 1000 // rate), int(
+        np.abs(s.astype(np.int64)).sum()
+    )
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """Real pure-numpy decode of PPM/WAV payloads via mapInPandas ->
+    DECODED_SCHEMA. Unknown container magic degrades to
+    format='unknown' with null stats (malformed-side-output semantics,
+    like the EMF parse stage) rather than failing the batch."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                p = bytes(payload) if payload is not None else b""
+                try:
+                    if p.startswith(b"P6"):
+                        w, h, n, vs = _decode_ppm(p)
+                        rows.append((media_id, kind, "ppm", w, h, None, n, vs, len(p)))
+                    elif p[:4] == b"RIFF":
+                        _, ns, dur, sa = _decode_wav(p)
+                        rows.append(
+                            (media_id, kind, "wav", None, None, dur, ns, sa, len(p))
+                        )
+                    else:
+                        raise ValueError("unknown magic")
+                except ValueError:
+                    rows.append(
+                        (media_id, kind, "unknown", None, None, None, None, None, len(p))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "format", "width", "height",
+                    "duration_ms", "n_units", "value_sum", "n_bytes",
+                ],
+            )
+
+    return df.mapInPandas(run, DECODED_SCHEMA)
+
+
+def media_real_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL media derived from the documents table —
+    actual P6 PPM / WAV-PCM binaries a decoder must parse back:
+
+    - even doc_id -> image: w = n_chars % 31 + 2, h = n_chars % 17 + 2,
+      pixel i = (doc_id + i) % 256
+    - odd  doc_id -> audio: rate 8000, n = n_chars % 500 + 50,
+      sample i = ((doc_id*7 + i*13) % 2001) - 1000
+
+    Every decoded stat is a closed-form function of (doc_id, n_chars),
+    so an external SQL oracle can verify the full synth -> binary ->
+    parse-back -> stats loop exactly."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                d, n = int(doc_id), int(n_chars)
+                if d % 2 == 0:
+                    kind, payload = "image", synth_ppm(n % 31 + 2, n % 17 + 2, d)
+                    meta = (n % 31 + 2, n % 17 + 2, None, "image/x-portable-pixmap")
+                else:
+                    ns = n % 500 + 50
+                    kind, payload = "audio", synth_wav(ns, 8000, d)
+                    meta = (None, None, int(ns * 1000 // 8000), "audio/wav")
+                rows.append((f"doc-{d}", kind, payload, meta))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "meta"]
+            )
+
+    return docs.select("doc_id", "n_chars").mapInPandas(run, MEDIA_SCHEMA)
+
+
+def _real_feature(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Real decoded-content feature: a ``dim``-bin normalized histogram
+    of the decoded pixel bytes (PPM) or 16-bit samples (WAV). Payloads
+    that are neither raise — real mode never silently fakes; compressed
+    formats (JPEG/MP3/...) need PIL/ffmpeg, absent in this container."""
+    p = bytes(payload) if payload is not None else b""
+    if p.startswith(b"P6"):
+        w, h, n, _ = _decode_ppm(p)
+        vals = np.frombuffer(p[-n:], dtype=np.uint8).astype(np.float64)
+        hist, _ = np.histogram(vals, bins=dim, range=(0, 256))
+    elif p[:4] == b"RIFF":
+        rate, ns, _, _ = _decode_wav(p)
+        idx = p.rindex(b"data")
+        vals = np.frombuffer(p[idx + 8:], dtype="<i2").astype(np.float64)
+        hist, _ = np.histogram(vals, bins=dim, range=(-32768, 32768))
+    else:
+        raise ValueError(
+            "real media decode supports only P6 PPM / RIFF WAV here; "
+            "compressed formats need PIL/ffmpeg (not in this container)"
+        )
+    v = hist.astype(np.float32)
+    nrm = float(np.linalg.norm(v)) or 1.0
+    return v / nrm
+
 
 def _fake_feature(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     """Deterministic stand-in for a decoded-media embedding: bytes ->
@@ -80,18 +285,16 @@ def extract_features(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decode_mode == "real":
-                raise NotImplementedError(
-                    "real media decode requires PIL/ffmpeg — not in this "
-                    "container; wire the decoder here"
-                )
             import hashlib
 
             feats, frames, sums = [], [], []
             for payload, kind, meta in zip(
                 pdf["payload"], pdf["kind"], pdf["meta"]
             ):
-                feats.append(_fake_feature(payload))
+                if decode_mode == "real":
+                    feats.append(_real_feature(payload))
+                else:
+                    feats.append(_fake_feature(payload))
                 sums.append(
                     int(hashlib.md5(payload).hexdigest()[:14], 16)
                     if payload is not None

@@ -351,10 +351,58 @@ def test_multimodal_feature_extraction(spark):
     }
 
 
-def test_multimodal_real_mode_stub(spark):
+def test_multimodal_real_mode_rejects_opaque_bytes(spark):
+    # random payloads have no P6/RIFF magic: real mode must refuse to
+    # silently fake, not degrade
     media = multimodal.fake_media_df(spark, n=3)
-    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+    with pytest.raises(Exception, match="real media decode"):
         multimodal.extract_features(media, decode_mode="real").collect()
+
+
+def test_ppm_wav_decode_roundtrip():
+    # pure-python round trip: synth -> binary -> parse-back
+    p = multimodal.synth_ppm(5, 4, base=1000)
+    w, h, n, vs = multimodal._decode_ppm(p)
+    assert (w, h, n) == (5, 4, 60)
+    assert vs == sum((1000 + i) % 256 for i in range(60))
+    # header comments are legal PPM
+    commented = b"P6\n# a comment\n5 4\n255\n" + p[-60:]
+    assert multimodal._decode_ppm(commented) == (w, h, n, vs)
+    r = multimodal.synth_wav(120, 8000, base=7)
+    rate, ns, dur, sa = multimodal._decode_wav(r)
+    assert (rate, ns, dur) == (8000, 120, 15)
+    assert sa == sum(abs((7 * 7 + i * 13) % 2001 - 1000) for i in range(120))
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        multimodal._decode_ppm(b"P6\n5")
+    with _pt.raises(ValueError):
+        multimodal._decode_wav(b"RIFFxxxxWAVE")
+
+
+def test_decode_media_and_real_features(spark):
+    rows = [
+        ("a", "image", multimodal.synth_ppm(3, 3, 5), (3, 3, None, "image/x-ppm")),
+        ("b", "audio", multimodal.synth_wav(80, 8000, 9), (None, None, 10, "audio/wav")),
+        ("c", "image", b"\x00\x01not-media", (None, None, None, "application/x-bin")),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in multimodal.decode_media(media).collect()}
+    assert got["a"]["format"] == "ppm" and got["a"]["width"] == 3
+    assert got["a"]["value_sum"] == sum((5 + i) % 256 for i in range(27))
+    assert got["b"]["format"] == "wav" and got["b"]["duration_ms"] == 10
+    assert got["c"]["format"] == "unknown" and got["c"]["value_sum"] is None
+    # real features on decodable media: normalized histograms
+    import numpy as np
+
+    feats = {
+        r["media_id"]: r["feature"]
+        for r in multimodal.extract_features(
+            media.filter(F.col("media_id") != "c"), decode_mode="real"
+        ).collect()
+    }
+    for v in feats.values():
+        assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-5
 
 
 def test_resize_stub(spark):

@@ -151,20 +151,23 @@ def q_session_window(spark, sf):
     session end = last event + gap, and events EXACTLY gap seconds
     apart merge (probe-verified: new-session condition is diff > gap,
     not >=), both mirrored in the SQL."""
+    from emf_spark.operators import sessions
+
     ev = _t(spark, sf, "events")
-    return (
-        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
-        .agg(
+    return sessions.sessionize(
+        ev,
+        gap="30 minutes",
+        keys=["user_id"],
+        aggs=[
             F.count(F.lit(1)).alias("events"),
             F.round(F.sum("value"), 2).alias("sum_value"),
-        )
-        .select(
-            "user_id",
-            F.unix_timestamp("session_window.start").cast("bigint").alias("s_start"),
-            F.unix_timestamp("session_window.end").cast("bigint").alias("s_end"),
-            "events",
-            "sum_value",
-        )
+        ],
+    ).select(
+        "user_id",
+        F.col("session_start").alias("s_start"),
+        F.col("session_end").alias("s_end"),
+        "events",
+        "sum_value",
     )
 
 

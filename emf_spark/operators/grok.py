@@ -15,24 +15,77 @@ import re
 
 from pyspark.sql import DataFrame, functions as F
 
-# Public base patterns (subset of the standard grok library).
+# Public base patterns (reimplemented subset of the standard grok
+# library; entries may reference other entries with %{NAME} — nested
+# composition is expanded recursively by compile_grok, including the
+# library patterns that carry their OWN named captures, e.g.
+# %{COMBINEDAPACHELOG} alone yields clientip/verb/response/... fields,
+# exactly like logstash).
 GROK_PATTERNS: dict[str, str] = {
+    # atoms
     "WORD": r"\w+",
     "NOTSPACE": r"\S+",
+    "SPACE": r"\s*",
     "DATA": r".*?",
     "GREEDYDATA": r".*",
     "INT": r"[+-]?\d+",
+    "POSINT": r"\b[1-9][0-9]*\b",
+    "NONNEGINT": r"\b[0-9]+\b",
+    "BASE10NUM": r"[+-]?(?:[0-9]+(?:\.[0-9]+)?|\.[0-9]+)",
     "NUMBER": r"[+-]?\d+(?:\.\d+)?",
     "BASE16NUM": r"[0-9A-Fa-f]+",
-    "IP": r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}",
+    "UUID": r"[0-9A-Fa-f]{8}-(?:[0-9A-Fa-f]{4}-){3}[0-9A-Fa-f]{12}",
+    "QUOTEDSTRING": r"(?:\"(?:\\.|[^\\\"])*\"|'(?:\\.|[^\\'])*')",
+    "QS": "%{QUOTEDSTRING}",
+    # network
+    "IPV4": r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}",
+    "IPV6": r"(?:[0-9A-Fa-f]{0,4}:){2,7}[0-9A-Fa-f]{0,4}(?:%\w+)?",
+    "IP": r"(?:%{IPV4}|%{IPV6})",
+    "HOSTNAME": r"\b(?:[0-9A-Za-z][0-9A-Za-z-]{0,62})(?:\.(?:[0-9A-Za-z][0-9A-Za-z-]{0,62}))*\.?\b",
     "IPORHOST": r"[\w.\-]+",
-    "USER": r"[\w.\-]+",
-    "HTTPMETHOD": r"GET|POST|PUT|DELETE|HEAD|OPTIONS|PATCH",
-    "URIPATH": r"/[^\s?]*",
-    "LOGLEVEL": r"TRACE|DEBUG|INFO|WARN|ERROR|FATAL",
+    "HOSTPORT": "%{IPORHOST}:%{POSINT}",
+    "USERNAME": r"[a-zA-Z0-9._-]+",
+    "USER": "%{USERNAME}",
+    "EMAILADDRESS": r"[a-zA-Z0-9_.+-]+@[0-9A-Za-z][0-9A-Za-z-]*(?:\.[0-9A-Za-z][0-9A-Za-z-]*)+",
+    # date/time
+    "MONTH": r"\b(?:Jan(?:uary)?|Feb(?:ruary)?|Mar(?:ch)?|Apr(?:il)?|May|Jun(?:e)?|Jul(?:y)?|Aug(?:ust)?|Sep(?:tember)?|Oct(?:ober)?|Nov(?:ember)?|Dec(?:ember)?)\b",
+    "DAY": r"(?:Mon(?:day)?|Tue(?:sday)?|Wed(?:nesday)?|Thu(?:rsday)?|Fri(?:day)?|Sat(?:urday)?|Sun(?:day)?)",
+    "MONTHNUM": r"(?:0?[1-9]|1[0-2])",
+    "MONTHDAY": r"(?:(?:0[1-9])|(?:[12][0-9])|(?:3[01])|[1-9])",
+    "YEAR": r"(?:\d\d){1,2}",
+    "HOUR": r"(?:2[0123]|[01]?[0-9])",
+    "MINUTE": r"(?:[0-5][0-9])",
+    "SECOND": r"(?:(?:[0-5][0-9]|60)(?:[:.,][0-9]+)?)",
+    "TIME": "%{HOUR}:%{MINUTE}(?::%{SECOND})?",
+    "DATE_US": "%{MONTHNUM}[/-]%{MONTHDAY}[/-]%{YEAR}",
+    "DATE_EU": "%{MONTHDAY}[./-]%{MONTHNUM}[./-]%{YEAR}",
+    "DATE": "(?:%{DATE_US}|%{DATE_EU})",
+    "DATESTAMP": "%{DATE}[- ]%{TIME}",
+    "ISO8601_TIMEZONE": "(?:Z|[+-]%{HOUR}(?::?%{MINUTE}))",
     "TIMESTAMP_ISO8601": r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d+)?(?:Z|[+-]\d{2}:?\d{2})?",
     "HTTPDATE": r"\d{2}/\w{3}/\d{4}:\d{2}:\d{2}:\d{2} [+-]\d{4}",
-    "QS": r'"[^"]*"',
+    "SYSLOGTIMESTAMP": "%{MONTH} +%{MONTHDAY} %{TIME}",
+    # syslog family (nested NAMED refs: %{SYSLOGBASE} alone yields
+    # timestamp/logsource/program/pid)
+    "PROG": r"[\x21-\x5a\x5c\x5e-\x7e]+",
+    "SYSLOGPROG": r"%{PROG:program}(?:\[%{POSINT:pid}\])?",
+    "SYSLOGHOST": "%{IPORHOST}",
+    "SYSLOGBASE": "%{SYSLOGTIMESTAMP:timestamp} %{SYSLOGHOST:logsource} %{SYSLOGPROG}:",
+    # http
+    "HTTPMETHOD": r"GET|POST|PUT|DELETE|HEAD|OPTIONS|PATCH",
+    "URIPATH": r"/[^\s?]*",
+    "URIPARAM": r"\?[A-Za-z0-9$.+!*'|(){},~@#%&/=:;_?\-\[\]<>]*",
+    "URIPATHPARAM": "%{URIPATH}(?:%{URIPARAM})?",
+    "LOGLEVEL": r"(?:[Aa]lert|ALERT|[Tt]race|TRACE|[Dd]ebug|DEBUG|[Nn]otice|NOTICE|[Ii]nfo(?:rmation)?|INFO|[Ww]arn(?:ing)?|WARN(?:ING)?|[Ee]rr(?:or)?|ERR(?:OR)?|[Cc]rit(?:ical)?|CRIT(?:ICAL)?|[Ff]atal|FATAL|[Ss]evere|SEVERE|EMERG(?:ENCY)?|[Ee]merg(?:ency)?)",
+    # apache access logs (the two classic library composites)
+    "COMMONAPACHELOG": (
+        r"%{IPORHOST:clientip} %{USER:ident} %{USER:auth} "
+        r"\[%{HTTPDATE:timestamp}\] "
+        r'"(?:%{WORD:verb} %{NOTSPACE:request}(?: HTTP/%{NUMBER:httpversion})?'
+        r'|%{DATA:rawrequest})" '
+        r"%{NUMBER:response} (?:%{NUMBER:bytes}|-)"
+    ),
+    "COMBINEDAPACHELOG": "%{COMMONAPACHELOG} %{QS:referrer} %{QS:agent}",
 }
 
 _GROK_REF = re.compile(r"%\{(\w+)(?::(\w+))?(?::(\w+))?\}")
@@ -40,26 +93,48 @@ _GROK_REF = re.compile(r"%\{(\w+)(?::(\w+))?(?::(\w+))?\}")
 # grok type-coercion suffixes (logstash semantics): %{INT:status:int}
 _GROK_TYPES = {"int": "bigint", "long": "bigint", "float": "double", "double": "double"}
 
+_MAX_DEPTH = 16
 
-def compile_grok(pattern: str) -> tuple[str, list[tuple[str, str | None]]]:
-    """grok pattern -> (regex with one capture group per named field,
-    [(field, cast-type-or-None)] in group order). Unnamed refs become
-    non-capturing; ``%{BASE:name:int}`` casts like logstash."""
-    fields: list[tuple[str, str | None]] = []
 
-    def sub(m: re.Match) -> str:
+def _expand(
+    pattern: str, fields: list[tuple[str, str | None]], depth: int
+) -> str:
+    """Recursively expand %{BASE[:name[:type]]} refs. Named refs open a
+    capture group BEFORE their body expands, so the fields list stays
+    in regex group order even with nested named captures."""
+    if depth > _MAX_DEPTH:
+        raise KeyError("grok pattern nesting too deep (cycle?)")
+    out, pos = [], 0
+    for m in _GROK_REF.finditer(pattern):
+        out.append(pattern[pos:m.start()])
         base, name, typ = m.group(1), m.group(2), m.group(3)
         if base not in GROK_PATTERNS:
             raise KeyError(f"unknown grok pattern %{{{base}}}")
         if typ is not None and typ not in _GROK_TYPES:
             raise KeyError(f"unknown grok type suffix :{typ}")
-        body = GROK_PATTERNS[base]
         if name:
             fields.append((name, _GROK_TYPES.get(typ)))
-            return f"({body})"
-        return f"(?:{body})"
+            out.append("(")
+            out.append(_expand(GROK_PATTERNS[base], fields, depth + 1))
+            out.append(")")
+        else:
+            out.append("(?:")
+            out.append(_expand(GROK_PATTERNS[base], fields, depth + 1))
+            out.append(")")
+        pos = m.end()
+    out.append(pattern[pos:])
+    return "".join(out)
 
-    regex = _GROK_REF.sub(sub, pattern)
+
+def compile_grok(pattern: str) -> tuple[str, list[tuple[str, str | None]]]:
+    """grok pattern -> (regex with one capture group per named field,
+    [(field, cast-type-or-None)] in group order). Refs expand
+    RECURSIVELY: a library pattern may reference others, and nested
+    named captures (e.g. inside %{COMBINEDAPACHELOG}) surface as
+    fields, logstash-style. Unnamed refs become non-capturing;
+    ``%{BASE:name:int}`` casts like logstash."""
+    fields: list[tuple[str, str | None]] = []
+    regex = _expand(pattern, fields, 0)
     return regex, fields
 
 

@@ -61,3 +61,64 @@ def test_grok_type_suffix(spark):
 def test_compile_unknown_type_suffix():
     with pytest.raises(KeyError):
         compile_grok("%{INT:x:datetime}")
+
+
+def test_nested_composition_combined_accesslog(spark):
+    """One library ref expands recursively and surfaces the nested
+    named captures (logstash semantics)."""
+    line = (
+        '192.168.1.20 - alice [10/Oct/2024:13:55:36 +0000] '
+        '"POST /api/orders?id=7 HTTP/1.1" 201 512 '
+        '"http://example.com/start" "curl/8.1"'
+    )
+    df = spark.createDataFrame([(line,)], "line string")
+    out = grok_extract(df, "line", "%{COMBINEDAPACHELOG}").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["clientip"] == "192.168.1.20" and r["auth"] == "alice"
+    assert r["verb"] == "POST" and r["request"] == "/api/orders?id=7"
+    assert r["httpversion"] == "1.1"
+    assert r["response"] == "201" and r["bytes"] == "512"
+    assert r["referrer"] == '"http://example.com/start"'
+    assert r["agent"] == '"curl/8.1"'
+
+
+def test_nested_composition_syslog(spark):
+    df = spark.createDataFrame(
+        [
+            ("Mar 12 14:01:02 web-01 sshd[4321]: Accepted publickey",),
+            ("Jul  3 01:59:60 db9 cron: job done",),  # double space + no pid
+            ("not a syslog line",),
+        ],
+        "line string",
+    )
+    out = grok_extract(df, "line", "%{SYSLOGBASE} %{GREEDYDATA:msg}").collect()
+    by = {r["logsource"]: r for r in out}
+    assert set(by) == {"web-01", "db9"}  # non-matching line dropped
+    assert by["web-01"]["program"] == "sshd" and by["web-01"]["pid"] == "4321"
+    assert by["db9"]["program"] == "cron" and by["db9"]["pid"] == ""
+    assert by["db9"]["timestamp"] == "Jul  3 01:59:60"
+
+
+def test_quotedstring_and_timestamp_variants():
+    import re
+
+    rx, _ = compile_grok("%{QS:q}")
+    assert re.fullmatch(rx, '"escaped \\" quote"')
+    assert re.fullmatch(rx, "'single'")
+    rx2, _ = compile_grok("%{DATESTAMP:d}")
+    assert re.fullmatch(rx2, "12/31/2024 23:59:59")  # US
+    assert re.fullmatch(rx2, "31.12.2024 23:59:59")  # EU
+    rx3, _ = compile_grok("%{TIMESTAMP_ISO8601:t}")
+    assert re.fullmatch(rx3, "2024-12-31T23:59:59.123+02:00")
+
+
+def test_cycle_guard():
+    from emf_spark.operators.grok import GROK_PATTERNS
+
+    GROK_PATTERNS["_SELFREF"] = "x%{_SELFREF}"
+    try:
+        with pytest.raises(KeyError, match="too deep"):
+            compile_grok("%{_SELFREF}")
+    finally:
+        del GROK_PATTERNS["_SELFREF"]

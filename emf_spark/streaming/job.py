@@ -79,6 +79,7 @@ def run_microbatch(
     trigger: dict | None = None,
     lookup: DataFrame | None = None,
     key_by_namespace: bool = False,
+    max_files_per_trigger: int = 8,
 ):
     """File-source streaming job; ``trigger`` defaults to availableNow
     (drain-and-stop, for tests); pass {'processingTime': '5 seconds'}
@@ -87,7 +88,7 @@ def run_microbatch(
     lookup = lookup if lookup is not None else fixtures.lookup_df(spark)
     stream = (
         spark.readStream.schema(TOKENIZED_SCHEMA)
-        .option("maxFilesPerTrigger", 8)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
     )
     writer = stream.writeStream.foreachBatch(

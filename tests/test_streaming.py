@@ -172,3 +172,58 @@ def test_stateful_running_totals(spark, stream_input, tmp_path):
         assert fr["records"] == tr["records"] and fr["obs"] == tr["obs"], k
         assert abs(fr["sum"] - tr["sum"]) < 1e-6
         assert fr["min"] == tr["min"] and fr["max"] == tr["max"], k
+
+
+def test_merge_partials_equals_batch(spark, stream_input, tmp_path):
+    """Streaming exact-merge mode: per-batch partial events re-merge to
+    the one-shot batch engine's events — exact on every field except
+    the double sum (float addition is not associative across a
+    different partial split; 1e-9 relative there)."""
+    from emf_spark.streaming.merge import merge_partial_events
+
+    out = str(tmp_path / "stream_out_m")
+    q = sjob.run_microbatch(spark, stream_input, out, max_files_per_trigger=2)
+    q.awaitTermination(300)
+    partials = spark.read.parquet(f"{out}/events")
+    # must actually be partial (several batches split some group)
+    assert (
+        partials.groupBy("sink", "window_start", "dim_hash")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+        > 0
+    ), "fixture produced no split groups; weaken maxFilesPerTrigger"
+    merged = merge_partial_events(partials)
+
+    batch_out = str(tmp_path / "batch_out_m")
+    res = pipeline.run(spark, stream_input, batch_out, write_routed=False)
+    batch = spark.read.parquet(f"{batch_out}/events")
+
+    key = ["sink", "window_start", "dim_hash"]
+
+    def flat(df):
+        return df.select(
+            *key, "timestamp", "records", "bytes_in", "dimensions",
+            F.to_json("cw_metrics").alias("cwj"),
+            F.explode_outer("metrics").alias("m"),
+        ).select(
+            *key, "timestamp", "records", "bytes_in", "cwj",
+            F.to_json("dimensions").alias("dj"),
+            F.col("m.metric_name").alias("mn"),
+            F.to_json(F.struct("m.values", "m.counts")).alias("vc"),
+            F.col("m.min").alias("mmin"), F.col("m.max").alias("mmax"),
+            F.col("m.sum").alias("msum"), F.col("m.count").alias("mcount"),
+        )
+
+    a = {tuple(r[k] for k in key + ["mn"]): r for r in flat(merged).collect()}
+    b = {tuple(r[k] for k in key + ["mn"]): r for r in flat(batch).collect()}
+    assert set(a) == set(b)
+    for k, ra in a.items():
+        rb = b[k]
+        for f in ("timestamp", "records", "bytes_in", "cwj", "dj", "vc",
+                  "mmin", "mmax", "mcount"):
+            assert ra[f] == rb[f], (k, f, ra[f], rb[f])
+        if ra["msum"] is not None:
+            assert abs(ra["msum"] - rb["msum"]) <= 1e-9 * max(
+                1.0, abs(rb["msum"])
+            ), (k, ra["msum"], rb["msum"])

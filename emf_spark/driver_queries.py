@@ -436,7 +436,9 @@ def q_text_jaccard_vs_query(spark, sf):
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
     )
     qwords = words.filter(F.col("doc_id") == 0).select(F.col("w").alias("qw"))
-    nq = qwords.count()
+    # |Q| stays IN the plan (1-row broadcast cross join) — no action at
+    # query-construction time (VERDICT r2 item 9)
+    nq = qwords.agg(F.count(F.lit(1)).alias("nq"))
     inter = (
         words.join(F.broadcast(qwords), words["w"] == qwords["qw"])
         .groupBy("doc_id")
@@ -445,11 +447,12 @@ def q_text_jaccard_vs_query(spark, sf):
     sizes = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nd"))
     return (
         sizes.join(inter, "doc_id", "left")
+        .crossJoin(F.broadcast(nq))
         .select(
             "doc_id",
             F.round(
                 F.coalesce(F.col("inter"), F.lit(0))
-                / (F.col("nd") + F.lit(nq) - F.coalesce(F.col("inter"), F.lit(0))),
+                / (F.col("nd") + F.col("nq") - F.coalesce(F.col("inter"), F.lit(0))),
                 6,
             ).alias("jaccard"),
         )

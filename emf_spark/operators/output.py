@@ -58,7 +58,9 @@ def events_json(groups: DataFrame, scalar_collapse: bool = True) -> DataFrame:
         # record keys are arbitrary user input; the reference escapes via
         # json.Marshal): render {"<escaped>":0} with to_json and slice out
         # the quoted key.
-        kj = F.to_json(F.create_map(name, F.lit(0)))
+        # coalesce: a null metric name must degrade to "" (parse is the
+        # only upstream guard; create_map throws NULL_MAP_KEY on null)
+        kj = F.to_json(F.create_map(F.coalesce(name, F.lit("")), F.lit(0)))
         return kj.substr(F.lit(2), F.length(kj) - F.lit(4))
 
     metric_parts = F.concat_ws(

@@ -81,12 +81,13 @@ def _median(xs: list[float]) -> float:
     return sorted(xs)[len(xs) // 2]
 
 
-def bench_queries(spark, runs: int = 3) -> dict[str, float]:
-    """Median of ``runs`` per query (VM wall-clock is ±2x noisy; medians
-    make BENCH_r{N}.json comparable across rounds)."""
+def bench_queries(spark, runs: int = 3) -> tuple[dict[str, float], dict[str, list[float]]]:
+    """Median of ``runs`` per query plus the raw samples array
+    (VERDICT r2 item 8: min/median separate real deltas from VM noise;
+    this box swings ±30% run to run)."""
     from emf_spark.driver_queries import QUERIES
 
-    out = {}
+    out, samples = {}, {}
     for name, fn in QUERIES.items():
         times = []
         for _ in range(runs):
@@ -94,7 +95,8 @@ def bench_queries(spark, runs: int = 3) -> dict[str, float]:
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             times.append(time.time() - t0)
         out[name] = round(_median(times), 3)
-    return out
+        samples[name] = [round(t, 3) for t in times]
+    return out, samples
 
 
 def main():
@@ -119,9 +121,11 @@ def main():
         sp_runs.append(run_pipeline_job(spark, path, out_dir, staging="persist"))
     pipe = sorted(pipe_runs, key=lambda r: r["seconds"])[1]
     single = sorted(sp_runs, key=lambda r: r["seconds"])[1]
-    queries = bench_queries(spark)
+    queries, samples = bench_queries(spark)
     queries["emf_pipeline"] = pipe["seconds"]
     queries["emf_pipeline_singlepass"] = single["seconds"]
+    samples["emf_pipeline"] = sorted(r["seconds"] for r in pipe_runs)
+    samples["emf_pipeline_singlepass"] = sorted(r["seconds"] for r in sp_runs)
     print(
         json.dumps(
             {
@@ -129,6 +133,11 @@ def main():
                 "value": pipe["rows_per_s"],
                 "unit": "sec",
                 "queries": queries,
+                # round-over-round comparability (r2 item 8): raw
+                # samples per query + per-core normalization
+                "samples": samples,
+                "value_best_of_runs": max(r["rows_per_s"] for r in pipe_runs),
+                "rows_per_s_per_core": round(pipe["rows_per_s"] / CPUS, 1),
                 "sf": Path(SF_DIR).name,
                 "pipeline_rows": pipe["rows"],
                 "singlepass_rows_per_s": single["rows_per_s"],

@@ -583,3 +583,46 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         )
     )
+
+
+def decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    k: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    word_hash=None,
+    max_test_df: int | None = 10_000,
+) -> DataFrame:
+    """Train/test decontamination: which TRAIN docs share at least one
+    k-word shingle with any TEST doc (the 13-gram overlap rule used to
+    scrub LLM training corpora against eval sets).
+
+    Returns (id_col, matching_shingles, test_docs) for contaminated
+    train docs only. Plan shape: shingles arrive as ROWS on both sides
+    (words hashed once, window-lead combine), distinct per side, then
+    ONE hash join on the shingle hash — never doc x doc. ``max_test_df``
+    drops shingles appearing in more than that many DISTINCT test docs
+    before the join (a boilerplate k-gram shared by thousands of test
+    docs is a join-fanout bomb, not contamination signal; deterministic,
+    so an external oracle can reproduce the filter exactly). Pass
+    ``word_hash=portable_hash56``-style hashing for an ANSI-SQL-checkable
+    run."""
+    tr = shingle_hash_rows(train, text_col, id_col, k, word_hash).distinct()
+    te = (
+        shingle_hash_rows(test, text_col, id_col, k, word_hash)
+        .distinct()
+        .withColumnRenamed("id", "test_id")
+    )
+    if max_test_df is not None:
+        from pyspark.sql.window import Window
+
+        df_w = Window.partitionBy("h")
+        te = te.withColumn("_df", F.count(F.lit(1)).over(df_w)).filter(
+            F.col("_df") <= max_test_df
+        ).drop("_df")
+    j = tr.join(te, "h")
+    return j.groupBy(F.col("id").alias(id_col)).agg(
+        F.count_distinct("h").alias("matching_shingles"),
+        F.count_distinct("test_id").alias("test_docs"),
+    )

@@ -126,3 +126,53 @@ def fingerprint(
             ),
         )
     )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", word_hash=None
+) -> DataFrame:
+    """Gopher/MassiveText-style repetition signals per document:
+
+    - ``dup_word_frac``: 1 - distinct words / words (a high value means
+      the doc repeats itself)
+    - ``dup_line_frac``: 1 - distinct lines / lines (boilerplate pages
+      repeat whole lines; single-line docs score 0)
+    - ``top_bigram_frac``: occurrences of the most frequent word bigram
+      / total bigrams (docs shorter than 2 words -> 0)
+
+    All Catalyst: words/lines stay array-level; bigrams ride the shared
+    rolling-poly shingle rows (hashed once per word, one shuffle on id).
+    """
+    from emf_spark.datax.dedup import normalized, shingle_hash_rows
+
+    words = F.split(normalized(F.col(text_col)), " ")
+    lines = F.filter(
+        F.split(F.col(text_col), "\n"), lambda l: F.trim(l) != ""
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.round(
+            F.when(
+                F.size(words) > 0,
+                1 - F.size(F.array_distinct(words)) / F.size(words),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_word_frac"),
+        F.round(
+            F.when(
+                F.size(lines) > 0,
+                1 - F.size(F.array_distinct(lines)) / F.size(lines),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_line_frac"),
+    )
+    bi = shingle_hash_rows(df, text_col, id_col, k=2, word_hash=word_hash)
+    per = bi.groupBy("id", "h").agg(F.count(F.lit(1)).alias("c"))
+    top = per.groupBy("id").agg(
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_bigram_frac")
+    )
+    return (
+        base.join(top, "id", "left")
+        .withColumn("top_bigram_frac", F.coalesce("top_bigram_frac", F.lit(0.0)))
+        .withColumnRenamed("id", id_col)
+    )

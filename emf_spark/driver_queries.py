@@ -1017,6 +1017,90 @@ FROM m GROUP BY 1
 """
 
 
+def q_dedup_decontaminate(spark, sf):
+    """Train/test decontamination (the 13-gram eval-scrub rule; k=5
+    here so the small sf corpus produces non-vacuous overlap): train =
+    documents with doc_id % 97 != 0, test = the rest; which train docs
+    share a 5-word shingle with any test doc. One shingle-hash join,
+    never doc x doc."""
+    from emf_spark.datax import dedup as dd
+
+    d = _t(spark, sf, "documents")
+    train = d.filter(F.col("doc_id") % 97 != 0)
+    test = d.filter(F.col("doc_id") % 97 == 0)
+    return dd.decontaminate(
+        train, test, k=5, word_hash=dd.portable_word_hash
+    ).orderBy("doc_id")
+
+
+def _sql_dedup_decontaminate() -> str:
+    return f"""
+WITH words AS (SELECT doc_id, {_SQL_WORD_HASHES} AS wh
+               FROM (SELECT doc_id, string_split({_NORM_TXT}, ' ') AS w
+                     FROM documents) t),
+sh AS (SELECT doc_id, {_sql_shingle_hashes(5)} AS hs FROM words),
+tr AS (SELECT doc_id, UNNEST(hs) AS h FROM sh WHERE doc_id % 97 <> 0),
+te AS (SELECT doc_id AS test_id, UNNEST(hs) AS h FROM sh WHERE doc_id % 97 = 0)
+SELECT tr.doc_id AS doc_id,
+       COUNT(DISTINCT tr.h) AS matching_shingles,
+       COUNT(DISTINCT te.test_id) AS test_docs
+FROM tr JOIN te ON tr.h = te.h
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_text_repetition(spark, sf):
+    """Gopher-style repetition signals (dup-word/dup-line fraction, top
+    bigram fraction) — the quality-filter leg boilerplate detection
+    needs; bucketed into coarse grades so the output is a stable
+    distribution summary."""
+    from emf_spark.datax import dedup as dd
+    from emf_spark.datax import textstats
+
+    d = _t(spark, sf, "documents")
+    r = textstats.repetition_stats(d, word_hash=dd.portable_word_hash)
+    # integer-scaled sums: summing doubles across partitions is
+    # order-nondeterministic in the last ulp; per-row round*1e6 -> bigint
+    # is exact on both engines
+    return r.groupBy(F.floor(F.col("top_bigram_frac") * 10).alias("bi_decile")).agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(F.round(F.col("dup_word_frac") * 1e6).cast("bigint")).alias("sum_dwf_e6"),
+        F.sum(F.round(F.col("dup_line_frac") * 1e6).cast("bigint")).alias("sum_dlf_e6"),
+    )
+
+
+def _sql_text_repetition() -> str:
+    return f"""
+WITH words AS (SELECT doc_id, string_split({_NORM_TXT}, ' ') AS w,
+                      string_split(text, chr(10)) AS rawlines
+               FROM documents),
+base AS (
+  SELECT doc_id,
+    CASE WHEN len(w) > 0
+         THEN ROUND(1 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6)
+         ELSE 0.0 END AS dup_word_frac,
+    CASE WHEN len(list_filter(rawlines, l -> trim(l) <> '')) > 0
+         THEN ROUND(1 - CAST(len(list_distinct(list_filter(rawlines, l -> trim(l) <> ''))) AS DOUBLE)
+                    / len(list_filter(rawlines, l -> trim(l) <> '')), 6)
+         ELSE 0.0 END AS dup_line_frac
+  FROM words),
+wh AS (SELECT doc_id, {_SQL_WORD_HASHES} AS wh FROM words),
+bi AS (SELECT doc_id,
+         UNNEST(list_transform(range(1, greatest(len(wh) - 1, 0) + 1),
+                i -> (wh[i] * 1000003 + wh[i + 1]) % {_P31})) AS h
+       FROM wh),
+per AS (SELECT doc_id, h, COUNT(*) AS c FROM bi GROUP BY 1, 2),
+top AS (SELECT doc_id, ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_bigram_frac
+        FROM per GROUP BY 1)
+SELECT CAST(FLOOR(COALESCE(top_bigram_frac, 0.0) * 10) AS BIGINT) AS bi_decile,
+       COUNT(*) AS docs,
+       CAST(SUM(CAST(ROUND(dup_word_frac * 1000000) AS BIGINT)) AS BIGINT) AS sum_dwf_e6,
+       CAST(SUM(CAST(ROUND(dup_line_frac * 1000000) AS BIGINT)) AS BIGINT) AS sum_dlf_e6
+FROM base LEFT JOIN top USING (doc_id)
+GROUP BY 1
+"""
+
+
 def q_multimodal_decode(spark, sf):
     """REAL media decode (VERDICT r2 item 4): P6 PPM / WAV-PCM binaries
     are synthesized from documents (mapInPandas), then decode_media
@@ -1373,6 +1457,8 @@ QUERIES: dict[str, Callable] = {
     "dedup_simhash": q_dedup_simhash,
     "multimodal_features": q_multimodal_features,
     "multimodal_decode": q_multimodal_decode,
+    "dedup_decontaminate": q_dedup_decontaminate,
+    "text_repetition": q_text_repetition,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -1414,6 +1500,8 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_simhash": _sql_dedup_simhash(),
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
+    "dedup_decontaminate": _sql_dedup_decontaminate(),
+    "text_repetition": _sql_text_repetition(),
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "ann_lsh_topk": _sql_ann_lsh_topk(),
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,

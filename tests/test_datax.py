@@ -460,3 +460,54 @@ def test_dedup_clusters_random_graph_matches_networkx_free_cc(spark):
     pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
     labels = {r["id"]: r["root"] for r in dedup.dedup_clusters(pairs).collect()}
     assert labels == expect
+
+
+def test_decontaminate(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),   # contains test 5-gram
+            (2, "totally unrelated words in this document here"),
+            (3, "alpha beta gamma delta epsilon"),         # exactly the 5-gram
+        ],
+        "doc_id bigint, text string",
+    )
+    test = spark.createDataFrame(
+        [(100, "prefix alpha beta gamma delta epsilon suffix")],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in dedup.decontaminate(train, test, k=5).collect()}
+    assert set(got) == {1, 3}
+    assert got[3]["matching_shingles"] == 1 and got[3]["test_docs"] == 1
+    # doc 1's only shared 5-gram is (alpha..epsilon); its second one
+    # ends in "zeta" which the test doc doesn't have
+    assert got[1]["matching_shingles"] == 1
+
+
+def test_decontaminate_max_test_df_drops_boilerplate(spark):
+    train = spark.createDataFrame(
+        [(1, "common boiler plate line five words")], "doc_id bigint, text string"
+    )
+    # the same shingle appears in 3 test docs -> dropped at cap 2
+    test = spark.createDataFrame(
+        [(i, "common boiler plate line five words") for i in range(100, 103)],
+        "doc_id bigint, text string",
+    )
+    assert dedup.decontaminate(train, test, k=5, max_test_df=2).count() == 0
+    assert dedup.decontaminate(train, test, k=5, max_test_df=None).count() == 1
+
+
+def test_repetition_stats(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),                    # dup words, top bigram (a,a)=3/3
+            (2, "x y z w"),                    # all distinct
+            (3, "l1\nl2\nl1\n"),               # dup line
+            (4, ""),                           # degenerate
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in textstats.repetition_stats(df).collect()}
+    assert got[1]["dup_word_frac"] == 0.75 and got[1]["top_bigram_frac"] == 1.0
+    assert got[2]["dup_word_frac"] == 0.0 and got[2]["top_bigram_frac"] == round(1 / 3, 6)
+    assert got[3]["dup_line_frac"] == round(1 / 3, 6)
+    assert got[4]["dup_word_frac"] == 0.0 and got[4]["top_bigram_frac"] == 0.0

@@ -162,3 +162,32 @@ def test_lsh_bucketed_probe_is_partition_pruned(spark, tmp_path):
         corpus, qvec, k=5, n_planes=4, seed=7, probe_hamming=1
     )
     assert [tuple(r) for r in got.collect()] == [tuple(r) for r in flying.collect()]
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Two tables bucketed on the join key: the join plan must contain
+    NO Exchange (the storage layout carries the partitioning), and a
+    groupBy on the bucket key must also be exchange-free."""
+    from emf_spark.operators import storage
+
+    a = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS va")
+    b = spark.range(0, 1000).selectExpr("id AS k", "id * 3 AS vb")
+    storage.write_bucketed(a, "bj_a", ["k"], buckets=8)
+    storage.write_bucketed(b, "bj_b", ["k"], buckets=8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # disable broadcast so the planner actually exercises the bucketed
+    # layout (at real scale neither side fits a broadcast)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ta, tb = storage.read_table(spark, "bj_a"), storage.read_table(spark, "bj_b")
+        joined = ta.join(tb, "k")
+        plan = plan_of(joined, "simple")
+        assert "Exchange" not in plan, plan[:2000]
+        assert "Bucketed: true" in plan, plan[:2000]
+        assert joined.count() == 1000
+        aggp = plan_of(ta.groupBy("k").count(), "simple")
+        assert "Exchange" not in aggp, aggp[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bj_a")
+        spark.sql("DROP TABLE IF EXISTS bj_b")

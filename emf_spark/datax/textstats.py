@@ -176,3 +176,68 @@ def repetition_stats(
         .withColumn("top_bigram_frac", F.coalesce("top_bigram_frac", F.lit(0.0)))
         .withColumnRenamed("id", id_col)
     )
+
+
+def bm25_vs_terms(
+    df: DataFrame,
+    terms: DataFrame,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 score of every document against a bag of query terms
+    (``terms``: one column ``term``). Classic retrieval scoring —
+    idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)),
+    tf-part = tf*(k1+1) / (tf + k1*(1 - b + b*len/avglen)).
+
+    Fully in-plan: N and avg doc length ride along as a 1-row broadcast
+    (no driver-side action); terms join is a broadcast semi-filter.
+    Per-doc summation over term contributions is ORDER-DETERMINISTIC
+    (contributions sorted by term, left-fold double add) so an external
+    engine summing in the same order reproduces the score bit-for-bit.
+    Returns (id_col, bm25) for docs matching >= 1 term."""
+    from emf_spark.datax.dedup import normalized
+
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.split(normalized(F.col(text_col)), " ").alias("w"),
+    ).select("id", F.size("w").alias("dl"), F.explode("w").alias("term"))
+    corpus = words.groupBy().agg(
+        F.count_distinct("id").alias("n_docs"),
+        (F.count(F.lit(1)) / F.count_distinct("id")).alias("avgdl"),
+    )
+    tf = words.join(F.broadcast(terms.select("term").distinct()), "term").groupBy(
+        "id", "term"
+    ).agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count_distinct("id").alias("df"))
+    contrib = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "c",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            )
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    # deterministic fold: sort contributions by term, sum left-to-right
+    return (
+        contrib.groupBy("id")
+        .agg(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("term", "c"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["c"],
+            ).alias("bm25")
+        )
+        .select(F.col("id").alias(id_col), F.round("bm25", 6).alias("bm25"))
+    )

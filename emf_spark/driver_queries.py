@@ -1101,6 +1101,48 @@ GROUP BY 1
 """
 
 
+def q_text_bm25(spark, sf):
+    """Okapi BM25 of every doc against doc 0's vocabulary — the
+    retrieval-scoring leg of the text-analysis family. Fully in-plan
+    (N/avgdl/df all ride the plan); the per-doc double fold runs in
+    sorted-term order on both engines, so the score is deterministic."""
+    from emf_spark.datax import textstats
+
+    d = _t(spark, sf, "documents")
+    terms = (
+        d.filter(F.col("doc_id") == 0)
+        .select(F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term"))
+        .distinct()
+    )
+    return textstats.bm25_vs_terms(d, terms).orderBy("doc_id")
+
+
+SQL_TEXT_BM25 = f"""
+WITH w AS (SELECT doc_id, string_split({_NORM_TXT}, ' ') AS wl FROM documents),
+words AS (SELECT doc_id, len(wl) AS dl, UNNEST(wl) AS term FROM w),
+corpus AS (SELECT COUNT(DISTINCT doc_id) AS n_docs,
+                  CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT doc_id) AS avgdl
+           FROM words),
+terms AS (SELECT DISTINCT term FROM words WHERE doc_id = 0),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf, MIN(dl) AS dl
+       FROM words WHERE term IN (SELECT term FROM terms) GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+contrib AS (
+  SELECT tf.doc_id, tf.term,
+    LN(1.0 + (corpus.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+      * (tf.tf * 2.2)
+      / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / corpus.avgdl)) AS c
+  FROM tf JOIN dfreq USING (term) CROSS JOIN corpus),
+scored AS (
+  SELECT doc_id,
+    SUM(c) OVER (PARTITION BY doc_id ORDER BY term
+                 ROWS UNBOUNDED PRECEDING) AS cum,
+    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY term DESC) AS rn
+  FROM contrib)
+SELECT doc_id, ROUND(cum, 6) AS bm25 FROM scored WHERE rn = 1 ORDER BY doc_id
+"""
+
+
 def q_multimodal_decode(spark, sf):
     """REAL media decode (VERDICT r2 item 4): P6 PPM / WAV-PCM binaries
     are synthesized from documents (mapInPandas), then decode_media
@@ -1459,6 +1501,7 @@ QUERIES: dict[str, Callable] = {
     "multimodal_decode": q_multimodal_decode,
     "dedup_decontaminate": q_dedup_decontaminate,
     "text_repetition": q_text_repetition,
+    "text_bm25": q_text_bm25,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -1502,6 +1545,7 @@ ORACLE_SQL: dict[str, str] = {
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "dedup_decontaminate": _sql_dedup_decontaminate(),
     "text_repetition": _sql_text_repetition(),
+    "text_bm25": SQL_TEXT_BM25,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "ann_lsh_topk": _sql_ann_lsh_topk(),
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,

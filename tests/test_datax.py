@@ -511,3 +511,31 @@ def test_repetition_stats(spark):
     assert got[2]["dup_word_frac"] == 0.0 and got[2]["top_bigram_frac"] == round(1 / 3, 6)
     assert got[3]["dup_line_frac"] == round(1 / 3, 6)
     assert got[4]["dup_word_frac"] == 0.0 and got[4]["top_bigram_frac"] == 0.0
+
+
+def test_bm25_vs_terms(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "durian elderberry fig grape"),
+        ],
+        "doc_id bigint, text string",
+    )
+    terms = spark.createDataFrame([("apple",), ("banana",)], "term string")
+    got = {r["doc_id"]: r["bm25"] for r in textstats.bm25_vs_terms(docs, terms).collect()}
+    assert set(got) == {1, 2}  # doc 3 matches no term
+
+    # hand-computed: N=3, avgdl=3, k1=1.2, b=0.75
+    def idf(df_):
+        return math.log(1 + (3 - df_ + 0.5) / (df_ + 0.5))
+
+    def tfp(tf, dl):
+        return tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 3.0))
+
+    exp1 = idf(1) * tfp(2, 3) + idf(2) * tfp(1, 3)
+    exp2 = idf(2) * tfp(1, 2)
+    assert abs(got[1] - round(exp1, 6)) < 1e-6
+    assert abs(got[2] - round(exp2, 6)) < 1e-6

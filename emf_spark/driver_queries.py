@@ -569,6 +569,11 @@ def q_grok_accesslog(spark, sf):
     from emf_spark.operators.grok import grok_extract
 
     ev = _t(spark, sf, "events")
+    # single-file scan + CPU-heavy regex: fan out first (byte-split
+    # underestimates regex rows, same rule as the tokenize chain)
+    target = spark.sparkContext.defaultParallelism * 2
+    if ev.rdd.getNumPartitions() < target:
+        ev = ev.repartition(target)
     method = (
         F.when(F.col("event_type") == "view", "GET")
         .when(F.col("event_type") == "purchase", "POST")

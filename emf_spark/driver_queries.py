@@ -1023,10 +1023,10 @@ FROM m GROUP BY 1
 
 
 def q_dedup_decontaminate(spark, sf):
-    """Train/test decontamination (the 13-gram eval-scrub rule; k=5
+    """Train/test decontamination (the 13-gram eval-scrub rule; k=4
     here so the small sf corpus produces non-vacuous overlap): train =
     documents with doc_id % 97 != 0, test = the rest; which train docs
-    share a 5-word shingle with any test doc. One shingle-hash join,
+    share a 4-word shingle with any test doc. One shingle-hash join,
     never doc x doc."""
     from emf_spark.datax import dedup as dd
 
@@ -1034,7 +1034,7 @@ def q_dedup_decontaminate(spark, sf):
     train = d.filter(F.col("doc_id") % 97 != 0)
     test = d.filter(F.col("doc_id") % 97 == 0)
     return dd.decontaminate(
-        train, test, k=5, word_hash=dd.portable_word_hash
+        train, test, k=4, word_hash=dd.portable_word_hash
     ).orderBy("doc_id")
 
 
@@ -1043,7 +1043,7 @@ def _sql_dedup_decontaminate() -> str:
 WITH words AS (SELECT doc_id, {_SQL_WORD_HASHES} AS wh
                FROM (SELECT doc_id, string_split({_NORM_TXT}, ' ') AS w
                      FROM documents) t),
-sh AS (SELECT doc_id, {_sql_shingle_hashes(5)} AS hs FROM words),
+sh AS (SELECT doc_id, {_sql_shingle_hashes(4)} AS hs FROM words),
 tr AS (SELECT doc_id, UNNEST(hs) AS h FROM sh WHERE doc_id % 97 <> 0),
 te AS (SELECT doc_id AS test_id, UNNEST(hs) AS h FROM sh WHERE doc_id % 97 = 0)
 SELECT tr.doc_id AS doc_id,

@@ -167,8 +167,12 @@ def grok_extract(
     # materialize the rewrite and the split ONCE as real columns —
     # attribute refs, not repeated expression copies (Project-level CSE
     # is not guaranteed across 12 withColumns)
+    # strip the sentinels from input first: a raw line starting with
+    # \x1e would otherwise read as "matched", and an embedded \x1f
+    # would skew the split (control separators are not log content)
+    clean = F.translate(F.col(line_col), _MS + _FS, "")
     out = df.withColumn(
-        "_grok", F.regexp_replace(F.col(line_col), wrapper, repl)
+        "_grok", F.regexp_replace(clean, wrapper, repl)
     ).withColumn(
         "_grok_arr",
         F.split(F.substring(F.col("_grok"), 2, 2_000_000_000), _FS),

@@ -122,3 +122,14 @@ def test_cycle_guard():
             compile_grok("%{_SELFREF}")
     finally:
         del GROK_PATTERNS["_SELFREF"]
+
+
+def test_sentinel_bytes_in_input_cannot_spoof_match(spark):
+    # raw lines carrying the internal \x1e / \x1f sentinels must not
+    # read as matched or skew the field split
+    df = spark.createDataFrame(
+        [("\x1enot a real match",), ("w1\x1f 42",), ("ok 7",)], "line string"
+    )
+    out = grok_extract(df, "line", "%{WORD:w} %{INT:n:int}").collect()
+    got = {r["w"]: r["n"] for r in out}
+    assert got == {"w1": 42, "ok": 7}

@@ -22,7 +22,101 @@ import json
 import sys
 
 
+def _get_session(cpus=None):
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+    from emf_spark.session import get_spark
+
+    return get_spark("emf_spark_cli", cpus=cpus)
+
+
+def datax_main(argv) -> int:
+    """Training-data ops surface:
+
+    python -m emf_spark.cli datax dedup --docs D --out O [--method minhash]
+    python -m emf_spark.cli datax decontaminate --train T --test E --out O [--k 13]
+    python -m emf_spark.cli datax textstats --docs D --out O
+    python -m emf_spark.cli datax ann-buckets --embeddings E --out O [--n-planes 8]
+    """
+    ap = argparse.ArgumentParser(prog="emf_spark.cli datax")
+    sub = ap.add_subparsers(dest="op", required=True)
+    d = sub.add_parser("dedup", help="near/exact duplicate detection")
+    d.add_argument("--docs", required=True)
+    d.add_argument("--out", required=True)
+    d.add_argument("--method", choices=["exact", "minhash", "simhash"], default="minhash")
+    d.add_argument("--threshold", type=float, default=0.7)
+    d.add_argument("--clusters", action="store_true",
+                   help="also write min-id cluster labels for near-dup pairs")
+    dc = sub.add_parser("decontaminate", help="train/test k-gram overlap scrub")
+    dc.add_argument("--train", required=True)
+    dc.add_argument("--test", required=True)
+    dc.add_argument("--out", required=True)
+    dc.add_argument("--k", type=int, default=13)
+    ts = sub.add_parser("textstats", help="token counts + langid + quality + repetition")
+    ts.add_argument("--docs", required=True)
+    ts.add_argument("--out", required=True)
+    ab = sub.add_parser("ann-buckets", help="materialize RP-LSH buckets for pruned ANN probes")
+    ab.add_argument("--embeddings", required=True)
+    ab.add_argument("--out", required=True)
+    ab.add_argument("--n-planes", type=int, default=8)
+    for p in (d, dc, ts, ab):
+        p.add_argument("--cpus", type=int, default=None)
+    args = ap.parse_args(argv)
+    spark = _get_session(args.cpus)
+
+    if args.op == "dedup":
+        from emf_spark.datax import dedup as dd
+
+        docs = spark.read.parquet(args.docs)
+        if args.method == "exact":
+            res = dd.exact_dedup(docs)
+        elif args.method == "minhash":
+            res = dd.minhash_near_duplicates(docs, threshold=args.threshold)
+        else:
+            res = dd.simhash_near_duplicates(docs)
+        res.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+        if args.clusters and args.method != "exact":
+            labels = dd.dedup_clusters(spark.read.parquet(args.out))
+            labels.write.mode("overwrite").parquet(args.out + "_clusters")
+        print(json.dumps({"op": "dedup", "method": args.method, "rows": n}))
+    elif args.op == "decontaminate":
+        from emf_spark.datax import dedup as dd
+
+        res = dd.decontaminate(
+            spark.read.parquet(args.train), spark.read.parquet(args.test), k=args.k
+        )
+        res.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"op": "decontaminate", "k": args.k,
+                          "contaminated": spark.read.parquet(args.out).count()}))
+    elif args.op == "textstats":
+        from pyspark.sql import functions as F
+
+        from emf_spark.datax import textstats as tx
+
+        docs = spark.read.parquet(args.docs)
+        base = tx.token_counts(tx.lang_id(tx.quality_score(docs)))
+        rep = tx.repetition_stats(docs)
+        out = base.join(rep, "doc_id")
+        out.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"op": "textstats", "rows": spark.read.parquet(args.out).count()}))
+    else:
+        from emf_spark.datax import similarity as sim
+
+        sim.materialize_buckets(
+            spark.read.parquet(args.embeddings), args.out, n_planes=args.n_planes
+        )
+        print(json.dumps({"op": "ann-buckets", "n_planes": args.n_planes, "path": args.out}))
+    return 0
+
+
 def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if argv and argv[0] == "datax":
+        return datax_main(argv[1:])
     ap = argparse.ArgumentParser(description="EMF parse->enrich->route->aggregate")
     ap.add_argument("--input", required=True, help="tokenized table path/dir")
     ap.add_argument("--out", required=True, help="output root")

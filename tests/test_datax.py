@@ -539,3 +539,31 @@ def test_bm25_vs_terms(spark):
     exp2 = idf(2) * tfp(1, 2)
     assert abs(got[1] - round(exp1, 6)) < 1e-6
     assert abs(got[2] - round(exp2, 6)) < 1e-6
+
+
+def test_cli_datax_surface(spark, tmp_path):
+    from emf_spark import cli
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta", "en", 36),
+            (1, "alpha beta gamma delta epsilon zeta", "en", 36),
+            (2, "los rapidos zorros marrones saltan hoy", "es", 39),
+        ],
+        "doc_id bigint, text string, lang string, n_chars int",
+    )
+    dpath = str(tmp_path / "docs.parquet")
+    docs.write.parquet(dpath)
+    rc = cli.main(["datax", "dedup", "--docs", dpath, "--method", "exact",
+                   "--out", str(tmp_path / "d1")])
+    assert rc == 0
+    assert spark.read.parquet(str(tmp_path / "d1")).count() == 2
+    rc = cli.main(["datax", "decontaminate", "--train", dpath, "--test", dpath,
+                   "--k", "5", "--out", str(tmp_path / "d2")])
+    assert rc == 0
+    rc = cli.main(["datax", "textstats", "--docs", dpath,
+                   "--out", str(tmp_path / "d3")])
+    assert rc == 0
+    cols = set(spark.read.parquet(str(tmp_path / "d3")).columns)
+    assert {"n_words", "pred_lang", "quality", "dup_word_frac"} <= cols or \
+           {"n_words", "dup_word_frac"} <= cols

@@ -93,8 +93,6 @@ def datax_main(argv) -> int:
         print(json.dumps({"op": "decontaminate", "k": args.k,
                           "contaminated": spark.read.parquet(args.out).count()}))
     elif args.op == "textstats":
-        from pyspark.sql import functions as F
-
         from emf_spark.datax import textstats as tx
 
         docs = spark.read.parquet(args.docs)

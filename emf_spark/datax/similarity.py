@@ -334,3 +334,68 @@ def pairwise_topk_per_row(
         .filter(F.col("rank") <= k)
         .select("id", "id_b", "cosine", "rank")
     )
+
+
+def lsh_topk_batch(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "query_id",
+    q_vec_col: str = "embedding",
+    seed: int = 42,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Batched ANN: top-k per QUERY ROW (a DataFrame of queries, not a
+    literal vector) — the query-service shape at scale. Each query
+    explodes into its hamming-ball bucket set and hash-joins the
+    bucketed corpus; exact cosine + per-query window rank on the
+    candidates only. Never a cross join; wall-clock is one join pass
+    for the whole batch instead of one scan per query.
+
+    Returns (query_id, id, cosine, rank)."""
+    import itertools
+
+    dim = len(df.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    b = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        rp_lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    masks = [0]
+    for h in range(1, probe_hamming + 1):
+        for bits in itertools.combinations(range(n_planes), h):
+            m = 0
+            for j in bits:
+                m |= 1 << j
+            masks.append(m)
+    q = queries.select(
+        F.col(q_id_col).alias("query_id"),
+        F.col(q_vec_col).alias("qv"),
+        rp_lsh_bucket(F.col(q_vec_col), planes).alias("qbucket"),
+    )
+    probes = q.select(
+        "query_id",
+        "qv",
+        F.explode(
+            F.array(*[F.col("qbucket").bitwiseXOR(F.lit(m)) for m in masks])
+        ).alias("bucket"),
+    )
+    cand = probes.join(b, "bucket")
+    dot = F.aggregate(
+        F.zip_with("qv", "v", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = F.round(dot / (_norm(F.col("qv")) * _norm(F.col("v"))), 6)
+    scored = cand.select("query_id", "id", cos.alias("cosine")).dropDuplicates(
+        ["query_id", "id"]
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -567,3 +567,32 @@ def test_cli_datax_surface(spark, tmp_path):
     cols = set(spark.read.parquet(str(tmp_path / "d3")).columns)
     assert {"n_words", "pred_lang", "quality", "dup_word_frac"} <= cols or \
            {"n_words", "dup_word_frac"} <= cols
+
+
+def test_lsh_topk_batch_matches_per_query(spark):
+    rng = np.random.default_rng(5)
+    vecs = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(150)]
+    df = spark.createDataFrame(vecs, "vec_id bigint, embedding array<float>")
+    queries = spark.createDataFrame(
+        [(100 + i, vecs[i][1]) for i in range(3)],
+        "query_id bigint, embedding array<float>",
+    )
+    batch = similarity.lsh_topk_batch(
+        df, queries, k=5, n_planes=4, probe_hamming=1, seed=9
+    ).collect()
+    got = {}
+    for r in batch:
+        got.setdefault(r["query_id"], []).append((r["rank"], r["id"], r["cosine"]))
+    for i in range(3):
+        single = similarity.lsh_topk(
+            df, vecs[i][1], k=5, n_planes=4, probe_hamming=1, seed=9
+        ).collect()
+        expect = [(j + 1, r["id"], r["cosine"]) for j, r in enumerate(single)]
+        assert sorted(got[100 + i]) == expect, (i, got[100 + i], expect)
+    # plan must not be a cartesian
+    from tests.test_plans import plan_of
+
+    p = plan_of(
+        similarity.lsh_topk_batch(df, queries, k=5, n_planes=4, seed=9), "simple"
+    )
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p

@@ -163,3 +163,27 @@ def merge_partial_events(
 
     assembled = agg.assemble_groups(hist, meta, key_by_namespace)
     return output_op.events_json(assembled)
+
+
+def compact_events(
+    spark, out_dir: str, key_by_namespace: bool = False
+) -> str:
+    """End-of-stream compaction: read the per-batch partial events a
+    run_microbatch job appended under ``out_dir``/events, re-merge them
+    exactly, and write one final event per group to
+    ``out_dir``/events_final (partitioned by sink, like the batch
+    pipeline's table). Returns the output path. Run it after the
+    stream drains, or periodically over closed windows — merging is
+    idempotent (re-merging merged events is a no-op by associativity)."""
+    import os
+
+    events = spark.read.parquet(os.path.join(out_dir, "events"))
+    final = merge_partial_events(events, key_by_namespace)
+    path = os.path.join(out_dir, "events_final")
+    (
+        final.filter(~F.col("dropped_oversize"))
+        .write.mode("overwrite")
+        .partitionBy("sink")
+        .parquet(path)
+    )
+    return path

@@ -227,3 +227,23 @@ def test_merge_partials_equals_batch(spark, stream_input, tmp_path):
             assert abs(ra["msum"] - rb["msum"]) <= 1e-9 * max(
                 1.0, abs(rb["msum"])
             ), (k, ra["msum"], rb["msum"])
+
+
+def test_compact_events_idempotent(spark, stream_input, tmp_path):
+    """compact_events writes the final merged table; re-merging the
+    merged output is a no-op (associativity)."""
+    from emf_spark.streaming.merge import compact_events, merge_partial_events
+
+    out = str(tmp_path / "stream_out_c")
+    q = sjob.run_microbatch(spark, stream_input, out, max_files_per_trigger=2)
+    q.awaitTermination(300)
+    path = compact_events(spark, out)
+    final = spark.read.parquet(path)
+    key = ["sink", "window_start", "dim_hash"]
+    # exactly one event per group
+    assert final.groupBy(*key).count().filter(F.col("count") > 1).count() == 0
+    # idempotence: merging the merged events changes nothing
+    again = merge_partial_events(final)
+    a = {tuple(r[k] for k in key): r["event_json"] for r in final.collect()}
+    b = {tuple(r[k] for k in key): r["event_json"] for r in again.collect()}
+    assert a == b

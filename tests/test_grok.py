@@ -133,3 +133,58 @@ def test_sentinel_bytes_in_input_cannot_spoof_match(spark):
     out = grok_extract(df, "line", "%{WORD:w} %{INT:n:int}").collect()
     got = {r["w"]: r["n"] for r in out}
     assert got == {"w1": 42, "ok": 7}
+
+
+def test_pattern_tranche_2():
+    import re
+
+    cases = [
+        ("%{UNIXPATH:p}", "/var/log/app-1.log"),
+        ("%{WINPATH:p}", r"C:\Users\dev\file.txt"),
+        ("%{MAC:m}", "0a:1b:2c:3d:4e:5f"),
+        ("%{HTTPDUSER:u}", "dev@example.com"),
+        ("%{CISCOTIMESTAMP:t}", "Mar  1 12:00:01"),
+        ("%{TZ:z}", "+0200"),
+        ("%{DATESTAMP_EVENTLOG:t}", "20240101123000"),
+    ]
+    for pat, sample in cases:
+        rx, _ = compile_grok(pat)
+        assert re.fullmatch(rx, sample), (pat, sample)
+
+
+def test_single_pass_equals_naive_extraction(spark):
+    """Property: the sentinel single-pass extraction must match a naive
+    one-regexp_extract-per-field run for random word/int lines."""
+    import random
+    import re
+
+    from pyspark.sql import functions as F
+
+    from emf_spark.operators.grok import compile_grok
+
+    rng = random.Random(13)
+    words = ["alpha", "beta", "x9", "log", "Item_1", "z"]
+    pattern = "%{WORD:w1} %{INT:n1:int} %{NOTSPACE:s1} %{GREEDYDATA:rest}"
+    regex, fields = compile_grok(pattern)
+    lines = []
+    for _ in range(60):
+        if rng.random() < 0.25:
+            lines.append(" ".join(rng.choice(words) for _ in range(2)))  # unmatched
+        else:
+            lines.append(
+                f"{rng.choice(words)} {rng.randrange(-50, 5000)} "
+                f"{rng.choice(words)}#{rng.randrange(9)} "
+                + " ".join(rng.choice(words) for _ in range(rng.randrange(0, 4)))
+            )
+    df = spark.createDataFrame([(l,) for l in lines], "line string")
+    got = {
+        r["line"]: (r["w1"], r["n1"], r["s1"], r["rest"])
+        for r in grok_extract(df, "line", pattern, drop_unmatched=False).collect()
+    }
+    for l in lines:
+        m = re.search(regex, l)
+        if m:
+            expect = (m.group(1), int(m.group(2)), m.group(3), m.group(4))
+        else:
+            expect = ("", None, "", "")
+        assert got[l] == expect, (l, got[l], expect)

@@ -1022,6 +1022,96 @@ FROM m GROUP BY 1
 """
 
 
+def q_shipping_priority(spark, sf):
+    """TPC-H Q3 shape (shipping priority): 3-way join with opposed date
+    predicates + revenue top-10 — the multi-way-join leg of the general
+    analytics surface. Catalyst pushes both date filters into the scans
+    and broadcasts the filtered customer side."""
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            "l_orderkey",
+            F.unix_timestamp("o_orderdate").cast("bigint").alias("o_date"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+SQL_SHIPPING_PRIORITY = """
+SELECT l_orderkey,
+       CAST(FLOOR(EPOCH(o_orderdate)) AS BIGINT) AS o_date,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY 1, 2
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+def q_local_supplier_volume(spark, sf):
+    """TPC-H Q5 shape (local supplier volume): 6-table star join where
+    customer and supplier must sit in the SAME nation — the join-
+    reordering / broadcast-dimension leg (region/nation broadcast,
+    same-nation equi-predicate folded into the supplier join)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(s),
+            (li["l_suppkey"] == s["s_suppkey"])
+            & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("line_items"),
+        )
+    )
+
+
+SQL_LOCAL_SUPPLIER_VOLUME = """
+SELECT n_name AS nation,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS line_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+"""
+
+
 def q_dedup_decontaminate(spark, sf):
     """Train/test decontamination (the 13-gram eval-scrub rule; k=4
     here so the small sf corpus produces non-vacuous overlap): train =
@@ -1494,6 +1584,8 @@ QUERIES: dict[str, Callable] = {
     "emf_grok_accesslog": q_grok_accesslog,
     "emf_namespace_keyed": q_emf_namespace_keyed,
     "tpch_pricing_summary": q_pricing_summary,
+    "tpch_shipping_priority": q_shipping_priority,
+    "tpch_local_supplier_volume": q_local_supplier_volume,
     "dedup_exact": q_dedup_exact,
     "text_jaccard_vs_query": q_text_jaccard_vs_query,
     "text_token_stats": q_text_token_stats,
@@ -1535,6 +1627,8 @@ ORACLE_SQL: dict[str, str] = {
     "emf_grok_accesslog": SQL_GROK_ACCESSLOG,
     "emf_namespace_keyed": SQL_EMF_NAMESPACE_KEYED,
     "tpch_pricing_summary": SQL_PRICING_SUMMARY,
+    "tpch_shipping_priority": SQL_SHIPPING_PRIORITY,
+    "tpch_local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
     "dedup_exact": SQL_DEDUP_EXACT,
     "text_jaccard_vs_query": SQL_TEXT_JACCARD_VS_QUERY,
     "text_token_stats": SQL_TEXT_TOKEN_STATS,

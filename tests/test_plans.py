@@ -191,3 +191,17 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bj_a")
         spark.sql("DROP TABLE IF EXISTS bj_b")
+
+
+def test_tpch_join_queries_push_filters_and_broadcast_dims(spark):
+    """Q3/Q5 shapes: date/segment predicates must reach the parquet
+    scans (PushedFilters) and the dimension sides must broadcast (no
+    cartesian, no nested-loop)."""
+    from emf_spark import driver_queries as dq
+
+    SF = "/root/testdata/sf0.001"
+    for name in ("tpch_shipping_priority", "tpch_local_supplier_volume"):
+        p = plan_of(dq.QUERIES[name](spark, SF))
+        assert "BroadcastHashJoin" in p
+        assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+        assert "LessThan(o_orderdate" in p or "LessThanOrEqual(o_orderdate" in p, name

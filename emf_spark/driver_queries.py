@@ -1112,6 +1112,107 @@ GROUP BY 1
 """
 
 
+def q_customers_without_orders(spark, sf):
+    """Left ANTI join (the set-difference leg): customers that placed
+    no order in the window, counted per market segment. Plans as a
+    broadcast/shuffled hash anti-join — never a filter-on-collect."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderdate") >= "1999-01-01")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("quiet_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+    )
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_mktsegment AS segment, COUNT(*) AS quiet_customers,
+       ROUND(SUM(c_acctbal), 2) AS sum_acctbal
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY 1
+"""
+
+
+def q_rollup_revenue(spark, sf):
+    """ROLLUP aggregation (multi-level totals in one pass): revenue by
+    (returnflag, linestatus), per-flag subtotals, and the grand total,
+    with grouping-set ids so every level is distinguishable."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                    ).alias("revenue"),
+            F.grouping_id().alias("gid"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
+            "cnt",
+            "revenue",
+            "gid",
+        )
+    )
+
+
+SQL_ROLLUP_REVENUE = """
+SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+       COALESCE(l_linestatus, 'ALL') AS status,
+       COUNT(*) AS cnt,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_top_orders_per_customer(spark, sf):
+    """Analytic-window leg: rank each customer's orders by totalprice
+    (row_number tie-broken on orderkey), keep the top 3, plus the
+    running share of the customer's total — windowed rank + windowed
+    sum over the same partitioning, one shuffle."""
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    wsum = Window.partitionBy("o_custkey")
+    ranked = o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.row_number().over(w).alias("rnk"),
+        F.sum("o_totalprice").over(wsum).alias("cust_total"),
+    ).filter(F.col("rnk") <= 3)
+    return ranked.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("rnk"),
+        F.round("o_totalprice", 2).alias("totalprice"),
+        F.round(F.col("o_totalprice") / F.col("cust_total"), 6).alias("share"),
+    )
+
+
+SQL_TOP_ORDERS_PER_CUSTOMER = """
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
+         SUM(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_total
+  FROM orders)
+SELECT o_custkey AS custkey, o_orderkey AS orderkey, rnk,
+       ROUND(o_totalprice, 2) AS totalprice,
+       ROUND(o_totalprice / cust_total, 6) AS share
+FROM ranked WHERE rnk <= 3
+"""
+
+
 def q_dedup_decontaminate(spark, sf):
     """Train/test decontamination (the 13-gram eval-scrub rule; k=4
     here so the small sf corpus produces non-vacuous overlap): train =
@@ -1586,6 +1687,9 @@ QUERIES: dict[str, Callable] = {
     "tpch_pricing_summary": q_pricing_summary,
     "tpch_shipping_priority": q_shipping_priority,
     "tpch_local_supplier_volume": q_local_supplier_volume,
+    "tpch_customers_without_orders": q_customers_without_orders,
+    "tpch_rollup_revenue": q_rollup_revenue,
+    "tpch_top_orders_per_customer": q_top_orders_per_customer,
     "dedup_exact": q_dedup_exact,
     "text_jaccard_vs_query": q_text_jaccard_vs_query,
     "text_token_stats": q_text_token_stats,
@@ -1629,6 +1733,9 @@ ORACLE_SQL: dict[str, str] = {
     "tpch_pricing_summary": SQL_PRICING_SUMMARY,
     "tpch_shipping_priority": SQL_SHIPPING_PRIORITY,
     "tpch_local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
+    "tpch_customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
+    "tpch_rollup_revenue": SQL_ROLLUP_REVENUE,
+    "tpch_top_orders_per_customer": SQL_TOP_ORDERS_PER_CUSTOMER,
     "dedup_exact": SQL_DEDUP_EXACT,
     "text_jaccard_vs_query": SQL_TEXT_JACCARD_VS_QUERY,
     "text_token_stats": SQL_TEXT_TOKEN_STATS,

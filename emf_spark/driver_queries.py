@@ -1213,6 +1213,56 @@ FROM ranked WHERE rnk <= 3
 """
 
 
+def q_asof_enrich(spark, sf):
+    """As-of (point-in-time) join leg: events pick the LATEST rate whose
+    effective timestamp <= event time, per event_type — the canonical
+    time-series enrichment Spark lacks natively. Rates derive
+    deterministically from events (first value per (type, 6h bucket)
+    by event_id, effective at the bucket start); the operator is the
+    union+window-fill composition (operators/asof.py, no join fanout);
+    the oracle is DuckDB's native ASOF JOIN. The weighted sum is
+    integer-scaled per row so cross-partition double accumulation
+    cannot flip the hash."""
+    from emf_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf, "events").select(
+        "event_type",
+        F.unix_timestamp("ts").cast("double").alias("tss"),
+        "value",
+        "event_id",
+    )
+    rates = ev.groupBy(
+        "event_type",
+        (F.floor(F.col("tss") / 21600) * 21600).cast("double").alias("rts"),
+    ).agg(F.min_by("value", "event_id").alias("rate"))
+    joined = asof_join(
+        ev, rates, key="event_type", left_ts="tss", right_ts="rts"
+    )
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.round(F.col("value") * F.col("rate") * 100).cast("bigint")
+        ).alias("weighted_c"),
+    )
+
+
+SQL_ASOF_ENRICH = """
+WITH ev AS (SELECT event_type, FLOOR(EPOCH(ts)) AS tss, value, event_id
+            FROM events),
+rates AS (
+  SELECT event_type, FLOOR(tss / 21600) * 21600 AS rts,
+         arg_min(value, event_id) AS rate
+  FROM ev GROUP BY 1, 2),
+j AS (SELECT ev.event_type, ev.value, r.rate
+      FROM ev ASOF JOIN rates r
+        ON ev.event_type = r.event_type AND ev.tss >= r.rts)
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(value * rate * 100) AS BIGINT)) AS BIGINT)
+         AS weighted_c
+FROM j GROUP BY 1
+"""
+
+
 def q_dedup_decontaminate(spark, sf):
     """Train/test decontamination (the 13-gram eval-scrub rule; k=4
     here so the small sf corpus produces non-vacuous overlap): train =
@@ -1690,6 +1740,7 @@ QUERIES: dict[str, Callable] = {
     "tpch_customers_without_orders": q_customers_without_orders,
     "tpch_rollup_revenue": q_rollup_revenue,
     "tpch_top_orders_per_customer": q_top_orders_per_customer,
+    "emf_asof_enrich": q_asof_enrich,
     "dedup_exact": q_dedup_exact,
     "text_jaccard_vs_query": q_text_jaccard_vs_query,
     "text_token_stats": q_text_token_stats,
@@ -1736,6 +1787,7 @@ ORACLE_SQL: dict[str, str] = {
     "tpch_customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
     "tpch_rollup_revenue": SQL_ROLLUP_REVENUE,
     "tpch_top_orders_per_customer": SQL_TOP_ORDERS_PER_CUSTOMER,
+    "emf_asof_enrich": SQL_ASOF_ENRICH,
     "dedup_exact": SQL_DEDUP_EXACT,
     "text_jaccard_vs_query": SQL_TEXT_JACCARD_VS_QUERY,
     "text_token_stats": SQL_TEXT_TOKEN_STATS,

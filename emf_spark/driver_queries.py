@@ -1263,6 +1263,59 @@ FROM j GROUP BY 1
 """
 
 
+def q_range_join(spark, sf):
+    """Range (interval) join leg: events matched to deterministic
+    maintenance windows ([bucket+1h, bucket+3h) per (event_type, 6h
+    bucket)) via the bucketized equi-join operator (operators/
+    ranges.py) — never an inequality nested-loop; the oracle is the
+    plain SQL inequality join."""
+    from emf_spark.operators.ranges import range_join
+
+    ev = _t(spark, sf, "events").select(
+        "event_type",
+        F.unix_timestamp("ts").cast("double").alias("tss"),
+        "value",
+    )
+    wins = (
+        ev.groupBy(
+            "event_type",
+            (F.floor(F.col("tss") / 21600) * 21600).alias("wb"),
+        )
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            "event_type",
+            (F.col("wb") + 3600).cast("double").alias("w_start"),
+            (F.col("wb") + 10800).cast("double").alias("w_end"),
+            F.col("wb").cast("bigint").alias("win_id"),
+        )
+    )
+    j = range_join(
+        ev, wins, ts_col="tss", start_col="w_start", end_col="w_end",
+        keys=["event_type"], bucket=3600.0,
+    )
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("win_id").alias("windows"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_c"),
+    )
+
+
+SQL_RANGE_JOIN = """
+WITH ev AS (SELECT event_type, FLOOR(EPOCH(ts)) AS tss, value FROM events),
+wins AS (SELECT event_type, FLOOR(tss / 21600) * 21600 AS wb
+         FROM ev GROUP BY 1, 2),
+w2 AS (SELECT event_type, wb + 3600 AS s, wb + 10800 AS e, CAST(wb AS BIGINT) AS win_id
+       FROM wins),
+j AS (SELECT ev.event_type, ev.value, w2.win_id
+      FROM ev JOIN w2
+        ON ev.event_type = w2.event_type
+       AND ev.tss >= w2.s AND ev.tss < w2.e)
+SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT win_id) AS windows,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_c
+FROM j GROUP BY 1
+"""
+
+
 def q_dedup_decontaminate(spark, sf):
     """Train/test decontamination (the 13-gram eval-scrub rule; k=4
     here so the small sf corpus produces non-vacuous overlap): train =
@@ -1741,6 +1794,7 @@ QUERIES: dict[str, Callable] = {
     "tpch_rollup_revenue": q_rollup_revenue,
     "tpch_top_orders_per_customer": q_top_orders_per_customer,
     "emf_asof_enrich": q_asof_enrich,
+    "emf_range_join": q_range_join,
     "dedup_exact": q_dedup_exact,
     "text_jaccard_vs_query": q_text_jaccard_vs_query,
     "text_token_stats": q_text_token_stats,
@@ -1788,6 +1842,7 @@ ORACLE_SQL: dict[str, str] = {
     "tpch_rollup_revenue": SQL_ROLLUP_REVENUE,
     "tpch_top_orders_per_customer": SQL_TOP_ORDERS_PER_CUSTOMER,
     "emf_asof_enrich": SQL_ASOF_ENRICH,
+    "emf_range_join": SQL_RANGE_JOIN,
     "dedup_exact": SQL_DEDUP_EXACT,
     "text_jaccard_vs_query": SQL_TEXT_JACCARD_VS_QUERY,
     "text_token_stats": SQL_TEXT_TOKEN_STATS,

@@ -1,0 +1,62 @@
+"""Deterministic cardinality sketches.
+
+KMV (k-minimum-values): hash every value uniformly into [0, 1); keep
+the k smallest distinct hashes per group; estimate
+``distinct ≈ (k - 1) / kth_min``. Standard error ~ 1/sqrt(k-2).
+
+Why KMV here instead of HyperLogLog (`approx_count_distinct`): the
+estimate is a pure deterministic function of the value set and the
+hash, so an external engine (the DuckDB oracle) reproduces it
+BIT-FOR-BIT — HLL implementations differ across engines and can't be
+oracle-checked. Same shuffle shape as HLL: per-group state is k
+values, map-side combinable (min-k of a union = min-k of min-k's).
+
+At 100 TB: groupBy carries a bounded sort_array(collect_set)[:k]? No —
+collect_set is unbounded. The bounded plan used here: distinct hashes
+first (map-side combine on (group, hash)), then the k-th smallest via
+window row_number — post-distinct cardinality flows through the sort,
+never raw rows. For extreme-cardinality groups swap the exact distinct
+for a pre-bucketed min per (group, hash % m) — not needed below 10^9
+distinct per group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+# 56-bit hash space (md5-prefix, DuckDB-portable — see dedup.portable_hash56)
+_SPACE = float(1 << 56)
+
+
+def kmv_distinct(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    k: int = 64,
+) -> DataFrame:
+    """Per-group KMV distinct-count estimate:
+    (group_cols..., kmv_estimate:double, exactish:boolean).
+
+    Groups with fewer than k distinct values report the EXACT distinct
+    count (the sketch is lossless below its capacity) with
+    ``exactish=true``."""
+    from emf_spark.datax.dedup import portable_hash56
+
+    groups = group_cols or []
+    h = (portable_hash56(F.col(value_col).cast("string")) / F.lit(_SPACE)).alias("_h")
+    hashes = df.select(*groups, h).distinct()
+    w = Window.partitionBy(*groups).orderBy("_h") if groups else Window.orderBy("_h")
+    ranked = hashes.withColumn("_r", F.row_number().over(w)).filter(F.col("_r") <= k)
+    per = ranked.groupBy(*groups).agg(
+        F.max("_r").alias("_n"), F.max("_h").alias("_kth")
+    )
+    est = (
+        F.when(F.col("_n") < k, F.col("_n").cast("double"))
+        .otherwise((F.lit(float(k - 1))) / F.col("_kth"))
+    )
+    return per.select(
+        *groups,
+        F.round(est, 4).alias("kmv_estimate"),
+        (F.col("_n") < k).alias("exactish"),
+    )

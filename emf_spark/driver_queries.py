@@ -1316,6 +1316,37 @@ FROM j GROUP BY 1
 """
 
 
+def q_kmv_distinct(spark, sf):
+    """KMV distinct-count sketch per event_type (datax/sketches.py):
+    unlike HLL, the estimate is a deterministic function of the value
+    set + portable hash, so the oracle reproduces it bit-for-bit —
+    an approximation algorithm under an EXACT correctness check."""
+    from emf_spark.datax import sketches
+
+    ev = _t(spark, sf, "events")
+    return sketches.kmv_distinct(ev, "user_id", ["event_type"], k=64)
+
+
+SQL_KMV_DISTINCT = """
+WITH h AS (
+  SELECT DISTINCT event_type,
+    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 14) AS BIGINT)
+      / 72057594037927936.0 AS hh
+  FROM events),
+ranked AS (
+  SELECT event_type, hh,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hh) AS r
+  FROM h),
+per AS (SELECT event_type, MAX(r) AS n, MAX(hh) AS kth
+        FROM ranked WHERE r <= 64 GROUP BY 1)
+SELECT event_type,
+       ROUND(CASE WHEN n < 64 THEN CAST(n AS DOUBLE) ELSE 63.0 / kth END, 4)
+         AS kmv_estimate,
+       n < 64 AS exactish
+FROM per
+"""
+
+
 def q_dedup_decontaminate(spark, sf):
     """Train/test decontamination (the 13-gram eval-scrub rule; k=4
     here so the small sf corpus produces non-vacuous overlap): train =
@@ -1795,6 +1826,7 @@ QUERIES: dict[str, Callable] = {
     "tpch_top_orders_per_customer": q_top_orders_per_customer,
     "emf_asof_enrich": q_asof_enrich,
     "emf_range_join": q_range_join,
+    "emf_kmv_distinct": q_kmv_distinct,
     "dedup_exact": q_dedup_exact,
     "text_jaccard_vs_query": q_text_jaccard_vs_query,
     "text_token_stats": q_text_token_stats,
@@ -1843,6 +1875,7 @@ ORACLE_SQL: dict[str, str] = {
     "tpch_top_orders_per_customer": SQL_TOP_ORDERS_PER_CUSTOMER,
     "emf_asof_enrich": SQL_ASOF_ENRICH,
     "emf_range_join": SQL_RANGE_JOIN,
+    "emf_kmv_distinct": SQL_KMV_DISTINCT,
     "dedup_exact": SQL_DEDUP_EXACT,
     "text_jaccard_vs_query": SQL_TEXT_JACCARD_VS_QUERY,
     "text_token_stats": SQL_TEXT_TOKEN_STATS,

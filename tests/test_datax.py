@@ -596,3 +596,18 @@ def test_lsh_topk_batch_matches_per_query(spark):
         similarity.lsh_topk_batch(df, queries, k=5, n_planes=4, seed=9), "simple"
     )
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_kmv_distinct(spark):
+    from emf_spark.datax import sketches
+
+    rows = [(i % 3, f"v{i % 500}") for i in range(3000)] + [(9, "only")]
+    df = spark.createDataFrame(rows, "g bigint, v string")
+    got = {r["g"]: r for r in sketches.kmv_distinct(df, "v", ["g"], k=64).collect()}
+    # groups 0/1/2 have ~167 distinct each (> k): estimate within 25%
+    for g in (0, 1, 2):
+        true = len({f"v{i % 500}" for i in range(g, 3000, 3)})
+        assert not got[g]["exactish"]
+        assert abs(got[g]["kmv_estimate"] - true) / true < 0.25, (g, got[g], true)
+    # tiny group is exact
+    assert got[9]["exactish"] and got[9]["kmv_estimate"] == 1.0

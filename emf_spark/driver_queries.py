@@ -1347,6 +1347,55 @@ FROM per
 """
 
 
+def q_percentiles(spark, sf):
+    """EXACT percentiles (continuous interpolation) per event_type —
+    Spark's `percentile` matches DuckDB's `quantile_cont` formula
+    bit-for-bit, unlike approx_percentile whose sketch is
+    engine-specific. At 100 TB swap to approx_percentile and drop the
+    exact-oracle claim, or pre-aggregate to a value->count histogram
+    (the A2 shape) and compute the percentile from counts."""
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+SQL_PERCENTILES = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.95), 6) AS p95,
+       COUNT(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+def q_pivot_type_by_bucket(spark, sf):
+    """PIVOT leg: per user-bucket row, one count column per event_type
+    (explicit value list, so the plan is one aggregation — no
+    two-pass distinct-discovery) plus the bucket's value sum."""
+    ev = _t(spark, sf, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy((F.col("user_id") % 10).alias("bucket"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+
+
+SQL_PIVOT_TYPE_BY_BUCKET = """
+SELECT user_id % 10 AS bucket,
+       COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+       COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+       COUNT(*) FILTER (WHERE event_type = 'view') AS view
+FROM events GROUP BY 1
+"""
+
+
 def q_dedup_decontaminate(spark, sf):
     """Train/test decontamination (the 13-gram eval-scrub rule; k=4
     here so the small sf corpus produces non-vacuous overlap): train =
@@ -1827,6 +1876,8 @@ QUERIES: dict[str, Callable] = {
     "emf_asof_enrich": q_asof_enrich,
     "emf_range_join": q_range_join,
     "emf_kmv_distinct": q_kmv_distinct,
+    "emf_percentiles": q_percentiles,
+    "emf_pivot_type_by_bucket": q_pivot_type_by_bucket,
     "dedup_exact": q_dedup_exact,
     "text_jaccard_vs_query": q_text_jaccard_vs_query,
     "text_token_stats": q_text_token_stats,
@@ -1876,6 +1927,8 @@ ORACLE_SQL: dict[str, str] = {
     "emf_asof_enrich": SQL_ASOF_ENRICH,
     "emf_range_join": SQL_RANGE_JOIN,
     "emf_kmv_distinct": SQL_KMV_DISTINCT,
+    "emf_percentiles": SQL_PERCENTILES,
+    "emf_pivot_type_by_bucket": SQL_PIVOT_TYPE_BY_BUCKET,
     "dedup_exact": SQL_DEDUP_EXACT,
     "text_jaccard_vs_query": SQL_TEXT_JACCARD_VS_QUERY,
     "text_token_stats": SQL_TEXT_TOKEN_STATS,

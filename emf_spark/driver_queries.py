@@ -749,6 +749,35 @@ def _ns_corpus_tokenized(spark, sf):
     )
 
 
+
+def _staged_cache(spark, sf: str, tag: str, source_table: str, build):
+    """Shared .bench_cache staging with a SOURCE FINGERPRINT guard: the
+    cache key includes the source parquet's (size, mtime), so a
+    regenerated testdata dir invalidates the staged copy instead of
+    silently serving stale rows into the correctness gate. ``build``
+    is a thunk returning the DataFrame to persist; returns the staged
+    path."""
+    import json as _json
+    from pathlib import Path
+
+    src = Path(sf) / f"{source_table}.parquet"
+    st = src.stat()
+    fp = {"size": st.st_size, "mtime": int(st.st_mtime)}
+    cache = Path(__file__).resolve().parent.parent / ".bench_cache"
+    staged = cache / f"{tag}_{Path(sf).name}.parquet"
+    meta = cache / f"{tag}_{Path(sf).name}.src.json"
+    fresh = (
+        (staged / "_SUCCESS").exists()
+        and meta.exists()
+        and _json.loads(meta.read_text()) == fp
+    )
+    if not fresh:
+        cache.mkdir(exist_ok=True)
+        build().write.mode("overwrite").parquet(str(staged))
+        meta.write_text(_json.dumps(fp))
+    return str(staged)
+
+
 def q_emf_namespace_keyed(spark, sf):
     """North-rule keying mode ((namespace, dim_hash, window) group key,
     SURVEY §2.5 A1 note): events rendered as two-namespace EMF payloads,
@@ -763,18 +792,15 @@ def q_emf_namespace_keyed(spark, sf):
     ~70% of the 34-query battery's wall, re-done x3 for medians). The
     measured/correctness-checked path is detokenize -> parse -> window
     -> namespace-keyed aggregation, unchanged."""
-    from pathlib import Path
-
     from emf_spark.operators import aggregate as agg
     from emf_spark.operators import parse as parse_op
     from emf_spark.tokenizer import with_payload
 
-    cache = Path(__file__).resolve().parent.parent / ".bench_cache"
-    staged = cache / f"nskeyed_{Path(sf).name}.parquet"
-    if not (staged / "_SUCCESS").exists():
-        cache.mkdir(exist_ok=True)
-        _ns_corpus_tokenized(spark, sf).write.mode("overwrite").parquet(str(staged))
-    tok = spark.read.parquet(str(staged))
+    staged = _staged_cache(
+        spark, sf, "nskeyed", "events",
+        lambda: _ns_corpus_tokenized(spark, sf),
+    )
+    tok = spark.read.parquet(staged)
     # token arrays are fat: a byte-split scan underestimates the CPU of
     # the parse chain — keep >= 2x cores of parallelism
     target = spark.sparkContext.defaultParallelism * 2
@@ -1665,19 +1691,32 @@ def q_ann_lsh_topk(spark, sf):
     hamming-ball partitions — the 100 TB query-service shape — with a
     candidate set identical to the on-the-fly path (same planes/seed),
     so the oracle is unchanged."""
+    import json as _json
     from pathlib import Path
 
     from emf_spark.datax import similarity
 
     e = _t(spark, sf, "embeddings")
     qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    # fingerprint-guarded bucket materialization (regenerated testdata
+    # must invalidate the staged partitions, not serve stale rows)
+    src = Path(sf) / "embeddings.parquet"
+    st = src.stat()
+    fp = {"size": st.st_size, "mtime": int(st.st_mtime)}
     cache = Path(__file__).resolve().parent.parent / ".bench_cache"
     staged = cache / f"lshbuckets_{Path(sf).name}.parquet"
-    if not (staged / "_SUCCESS").exists():
+    meta = cache / f"lshbuckets_{Path(sf).name}.src.json"
+    fresh = (
+        (staged / "_SUCCESS").exists()
+        and meta.exists()
+        and _json.loads(meta.read_text()) == fp
+    )
+    if not fresh:
         cache.mkdir(exist_ok=True)
         similarity.materialize_buckets(
             e.filter(F.col("vec_id") != 0), str(staged), n_planes=6
         )
+        meta.write_text(_json.dumps(fp))
     return similarity.lsh_topk(
         e.filter(F.col("vec_id") != 0),
         qvec,

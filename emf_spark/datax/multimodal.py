@@ -137,8 +137,11 @@ def _decode_ppm(payload: bytes):
     return w, h, n, int(px.astype(np.int64).sum())
 
 
-def _decode_wav(payload: bytes):
-    """(rate, n_samples, duration_ms, sum_abs) from RIFF/WAV PCM-16."""
+def _wav_chunks(payload: bytes):
+    """(rate, data_bytes) via the RIFF chunk walk — the ONLY correct way
+    to locate PCM data (searching for b'data' in the byte stream can hit
+    sample bytes that spell 'data'). Raises ValueError on any malformed
+    shape, including truncated fmt chunks and rate=0."""
     import struct
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -149,6 +152,8 @@ def _decode_wav(payload: bytes):
         (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
         body = payload[pos + 8:pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated fmt chunk")
             _, channels, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
             data = body
@@ -157,6 +162,16 @@ def _decode_wav(payload: bytes):
         raise ValueError("missing fmt/data chunk")
     if bits != 16 or channels != 1:
         raise ValueError("only PCM-16 mono supported")
+    if rate <= 0:
+        raise ValueError("invalid sample rate")
+    if len(data) % 2:
+        data = data[:-1]  # odd trailing byte cannot be a 16-bit sample
+    return rate, data
+
+
+def _decode_wav(payload: bytes):
+    """(rate, n_samples, duration_ms, sum_abs) from RIFF/WAV PCM-16."""
+    rate, data = _wav_chunks(payload)
     s = np.frombuffer(data, dtype="<i2")
     return rate, len(s), int(len(s) * 1000 // rate), int(
         np.abs(s.astype(np.int64)).sum()
@@ -168,6 +183,8 @@ def decode_media(df: DataFrame) -> DataFrame:
     DECODED_SCHEMA. Unknown container magic degrades to
     format='unknown' with null stats (malformed-side-output semantics,
     like the EMF parse stage) rather than failing the batch."""
+
+    import struct as _struct
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -187,7 +204,7 @@ def decode_media(df: DataFrame) -> DataFrame:
                         )
                     else:
                         raise ValueError("unknown magic")
-                except ValueError:
+                except (ValueError, _struct.error):
                     rows.append(
                         (media_id, kind, "unknown", None, None, None, None, None, len(p))
                     )
@@ -246,9 +263,8 @@ def _real_feature(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
         vals = np.frombuffer(p[-n:], dtype=np.uint8).astype(np.float64)
         hist, _ = np.histogram(vals, bins=dim, range=(0, 256))
     elif p[:4] == b"RIFF":
-        rate, ns, _, _ = _decode_wav(p)
-        idx = p.rindex(b"data")
-        vals = np.frombuffer(p[idx + 8:], dtype="<i2").astype(np.float64)
+        _, data = _wav_chunks(p)
+        vals = np.frombuffer(data, dtype="<i2").astype(np.float64)
         hist, _ = np.histogram(vals, bins=dim, range=(-32768, 32768))
     else:
         raise ValueError(

@@ -137,6 +137,7 @@ def lsh_topk(
     seed: int = 42,
     probe_hamming: int = 1,
     bucketed_path: str | None = None,
+    exclude_ids: list | None = None,
 ) -> DataFrame:
     """ANN top-k: restrict the exact cosine to vectors whose RP-LSH
     bucket is within ``probe_hamming`` bits of the query's bucket.
@@ -144,9 +145,14 @@ def lsh_topk(
     With ``bucketed_path`` (written by :func:`materialize_buckets` with
     the same n_planes/seed), the probe reads only the hamming-ball
     partitions via an explicit ``_bucket IN (...)`` predicate — pure
-    partition pruning, no bucket recompute, no full scan. Without it,
-    buckets are computed on the fly over ``df`` (correct but a full
-    pass — fine for one-off queries, wrong shape for a query service)."""
+    partition pruning, no bucket recompute, no full scan.
+    WARNING: in that mode ``df`` supplies ONLY the SparkSession — any
+    filters applied to it are NOT carried over to the materialized
+    corpus (review finding). Exclude rows via ``exclude_ids`` (applied
+    after the pruned read) or materialize a pre-filtered corpus.
+    Without ``bucketed_path``, buckets are computed on the fly over
+    ``df`` (correct but a full pass — fine for one-off queries, wrong
+    shape for a query service)."""
     dim = len(qvec)
     planes = _hyperplanes(dim, n_planes, seed)
     qbits = _query_bucket(qvec, planes)
@@ -156,6 +162,8 @@ def lsh_topk(
             df.sparkSession.read.parquet(bucketed_path)
             .filter(F.col("_bucket").isin(ball))
         )
+        if exclude_ids:
+            probe = probe.filter(~F.col(id_col).isin(list(exclude_ids)))
     else:
         bucketed = df.withColumn("_bucket", rp_lsh_bucket(F.col(vec_col), planes))
         probe = bucketed.filter(

@@ -40,12 +40,17 @@ def kmv_distinct(
 
     Groups with fewer than k distinct values report the EXACT distinct
     count (the sketch is lossless below its capacity) with
-    ``exactish=true``."""
+    ``exactish=true``. NULL values are excluded (COUNT DISTINCT
+    semantics — and a null hash would otherwise rank NULLS FIRST in
+    Spark but NULLS LAST in an external SQL engine, breaking the
+    bit-for-bit oracle claim; review finding)."""
     from emf_spark.datax.dedup import portable_hash56
 
     groups = group_cols or []
     h = (portable_hash56(F.col(value_col).cast("string")) / F.lit(_SPACE)).alias("_h")
-    hashes = df.select(*groups, h).distinct()
+    hashes = (
+        df.filter(F.col(value_col).isNotNull()).select(*groups, h).distinct()
+    )
     w = Window.partitionBy(*groups).orderBy("_h") if groups else Window.orderBy("_h")
     ranked = hashes.withColumn("_r", F.row_number().over(w)).filter(F.col("_r") <= k)
     per = ranked.groupBy(*groups).agg(

@@ -750,19 +750,21 @@ def _ns_corpus_tokenized(spark, sf):
 
 
 
-def _staged_cache(spark, sf: str, tag: str, source_table: str, build):
+def _staged_cache(spark, sf: str, tag: str, source_table: str, build, writer=None):
     """Shared .bench_cache staging with a SOURCE FINGERPRINT guard: the
-    cache key includes the source parquet's (size, mtime), so a
+    cache key includes the source parquet's (size, mtime_ns — whole
+    seconds would miss a same-second same-size regeneration), so a
     regenerated testdata dir invalidates the staged copy instead of
     silently serving stale rows into the correctness gate. ``build``
-    is a thunk returning the DataFrame to persist; returns the staged
-    path."""
+    is a thunk returning the DataFrame to persist; pass ``writer``
+    (path -> None) for custom write shapes (e.g. partitionBy bucket
+    materialization). Returns the staged path."""
     import json as _json
     from pathlib import Path
 
     src = Path(sf) / f"{source_table}.parquet"
     st = src.stat()
-    fp = {"size": st.st_size, "mtime": int(st.st_mtime)}
+    fp = {"size": st.st_size, "mtime_ns": st.st_mtime_ns}
     cache = Path(__file__).resolve().parent.parent / ".bench_cache"
     staged = cache / f"{tag}_{Path(sf).name}.parquet"
     meta = cache / f"{tag}_{Path(sf).name}.src.json"
@@ -773,7 +775,10 @@ def _staged_cache(spark, sf: str, tag: str, source_table: str, build):
     )
     if not fresh:
         cache.mkdir(exist_ok=True)
-        build().write.mode("overwrite").parquet(str(staged))
+        if writer is not None:
+            writer(str(staged))
+        else:
+            build().write.mode("overwrite").parquet(str(staged))
         meta.write_text(_json.dumps(fp))
     return str(staged)
 
@@ -1209,32 +1214,40 @@ def q_top_orders_per_customer(spark, sf):
         F.desc("o_totalprice"), "o_orderkey"
     )
     wsum = Window.partitionBy("o_custkey")
+    # integer cents: an unordered double window SUM accumulates in
+    # physical order (review finding — last-ulp flake at the round(,6)
+    # boundary); exact bigint cents then ONE double division is
+    # deterministic on both engines
+    price_c = F.round(F.col("o_totalprice") * 100).cast("bigint")
     ranked = o.select(
         "o_custkey",
         "o_orderkey",
         "o_totalprice",
+        price_c.alias("price_c"),
         F.row_number().over(w).alias("rnk"),
-        F.sum("o_totalprice").over(wsum).alias("cust_total"),
+        F.sum(price_c).over(wsum).alias("cust_total_c"),
     ).filter(F.col("rnk") <= 3)
     return ranked.select(
         F.col("o_custkey").alias("custkey"),
         F.col("o_orderkey").alias("orderkey"),
         F.col("rnk"),
         F.round("o_totalprice", 2).alias("totalprice"),
-        F.round(F.col("o_totalprice") / F.col("cust_total"), 6).alias("share"),
+        F.round(F.col("price_c") / F.col("cust_total_c"), 6).alias("share"),
     )
 
 
 SQL_TOP_ORDERS_PER_CUSTOMER = """
 WITH ranked AS (
   SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c,
          ROW_NUMBER() OVER (PARTITION BY o_custkey
                             ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
-         SUM(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_total
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+           OVER (PARTITION BY o_custkey) AS cust_total_c
   FROM orders)
 SELECT o_custkey AS custkey, o_orderkey AS orderkey, rnk,
        ROUND(o_totalprice, 2) AS totalprice,
-       ROUND(o_totalprice / cust_total, 6) AS share
+       ROUND(CAST(price_c AS DOUBLE) / cust_total_c, 6) AS share
 FROM ranked WHERE rnk <= 3
 """
 
@@ -1358,7 +1371,7 @@ WITH h AS (
   SELECT DISTINCT event_type,
     CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 14) AS BIGINT)
       / 72057594037927936.0 AS hh
-  FROM events),
+  FROM events WHERE user_id IS NOT NULL),
 ranked AS (
   SELECT event_type, hh,
          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hh) AS r
@@ -1433,8 +1446,13 @@ def q_dedup_decontaminate(spark, sf):
     d = _t(spark, sf, "documents")
     train = d.filter(F.col("doc_id") % 97 != 0)
     test = d.filter(F.col("doc_id") % 97 == 0)
+    # max_test_df=None: the oracle joins ALL shingles, so the engine
+    # must too — the (deterministic) boilerplate cap stays the engine
+    # default for real use, but a capped run against an uncapped oracle
+    # would mismatch the moment a shingle crossed the threshold
+    # (review finding)
     return dd.decontaminate(
-        train, test, k=4, word_hash=dd.portable_word_hash
+        train, test, k=4, word_hash=dd.portable_word_hash, max_test_df=None
     ).orderBy("doc_id")
 
 
@@ -1691,32 +1709,20 @@ def q_ann_lsh_topk(spark, sf):
     hamming-ball partitions — the 100 TB query-service shape — with a
     candidate set identical to the on-the-fly path (same planes/seed),
     so the oracle is unchanged."""
-    import json as _json
-    from pathlib import Path
-
     from emf_spark.datax import similarity
 
     e = _t(spark, sf, "embeddings")
     qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
-    # fingerprint-guarded bucket materialization (regenerated testdata
-    # must invalidate the staged partitions, not serve stale rows)
-    src = Path(sf) / "embeddings.parquet"
-    st = src.stat()
-    fp = {"size": st.st_size, "mtime": int(st.st_mtime)}
-    cache = Path(__file__).resolve().parent.parent / ".bench_cache"
-    staged = cache / f"lshbuckets_{Path(sf).name}.parquet"
-    meta = cache / f"lshbuckets_{Path(sf).name}.src.json"
-    fresh = (
-        (staged / "_SUCCESS").exists()
-        and meta.exists()
-        and _json.loads(meta.read_text()) == fp
+    staged = _staged_cache(
+        spark, sf, "lshbuckets", "embeddings",
+        build=None,
+        writer=lambda path: similarity.materialize_buckets(
+            e.filter(F.col("vec_id") != 0), path, n_planes=6
+        ),
     )
-    if not fresh:
-        cache.mkdir(exist_ok=True)
-        similarity.materialize_buckets(
-            e.filter(F.col("vec_id") != 0), str(staged), n_planes=6
-        )
-        meta.write_text(_json.dumps(fp))
+    # staged corpus is pre-filtered, but exclude_ids guards the result
+    # even if the cache were ever rebuilt unfiltered (lsh_topk ignores
+    # filters on df in bucketed mode — see its docstring)
     return similarity.lsh_topk(
         e.filter(F.col("vec_id") != 0),
         qvec,
@@ -1724,6 +1730,7 @@ def q_ann_lsh_topk(spark, sf):
         n_planes=6,
         probe_hamming=2,
         bucketed_path=str(staged),
+        exclude_ids=[0],
     )
 
 

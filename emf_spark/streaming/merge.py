@@ -84,20 +84,34 @@ def merge_partial_events(
     pairs = mt.select(
         *keys,
         F.col("m.metric_name").alias("metric_name"),
+        F.col("m.n_distinct").alias("pnd"),
         F.explode(F.arrays_zip("m.values", "m.counts")).alias("p"),
     ).select(
         *keys,
         "metric_name",
+        "pnd",
         F.col("p.values").alias("v"),
         F.col("p.counts").alias("c"),
     )
-    p1 = pairs.groupBy(*keys, "metric_name", "v").agg(F.sum("c").alias("c"))
+    p1 = pairs.groupBy(*keys, "metric_name", "v").agg(
+        F.sum("c").alias("c"), F.max("pnd").alias("pnd")
+    )
     wv = (
         Window.partitionBy(*keys, "metric_name")
         .orderBy("v")
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
-    j = p1.withColumn("n_distinct", F.count(F.lit(1)).over(wv))
+    # Branch cardinality = max(merged distinct, any partial's RAW
+    # distinct): a partial that already SEH'd (n_distinct >= 3) may
+    # carry few representative values, and merging it with a new raw
+    # value must NOT fall back to the exact branch — the batch engine
+    # saw >= 3 raw distinct and buckets everything (review finding:
+    # partial A={10.0,10.1,10.2} SEH'd + partial B={5.0} previously
+    # emitted raw 5.0 next to A's representative).
+    j = p1.withColumn(
+        "n_distinct",
+        F.greatest(F.count(F.lit(1)).over(wv), F.max("pnd").over(wv)),
+    )
     out_v = (
         F.when(F.col("n_distinct") <= 2, F.col("v"))
         .otherwise(seh_value_of(seh_bucket(F.col("v"))))

@@ -611,3 +611,45 @@ def test_kmv_distinct(spark):
         assert abs(got[g]["kmv_estimate"] - true) / true < 0.25, (g, got[g], true)
     # tiny group is exact
     assert got[9]["exactish"] and got[9]["kmv_estimate"] == 1.0
+
+
+def test_decode_media_degrades_on_malformed_riff(spark):
+    """Review findings: struct.error from a truncated fmt chunk and a
+    zero sample rate must degrade to format='unknown', not kill the
+    batch; PCM bytes spelling 'data' must not confuse the chunk walk."""
+    import struct
+
+    truncated = (b"RIFF" + struct.pack("<I", 20) + b"WAVE"
+                 + b"fmt " + struct.pack("<I", 16) + b"\x01\x00")  # fmt cut short
+    zero_rate = (b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+                 + b"fmt " + struct.pack("<I", 16)
+                 + struct.pack("<HHIIHH", 1, 1, 0, 0, 2, 16)
+                 + b"data" + struct.pack("<I", 4) + b"\x01\x00\x02\x00")
+    rows = [
+        ("t", "audio", truncated, (None, None, None, "audio/wav")),
+        ("z", "audio", zero_rate, (None, None, None, "audio/wav")),
+        ("ok", "audio", multimodal.synth_wav(40, 8000, 3), (None, None, 5, "audio/wav")),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {r["media_id"]: r["format"] for r in multimodal.decode_media(media).collect()}
+    assert got == {"t": "unknown", "z": "unknown", "ok": "wav"}
+
+
+def test_real_feature_wav_with_data_bytes_in_samples():
+    import struct
+
+    import numpy as np
+
+    # samples 24932 (0x6164 'ad') and 24948 (0x6174 'at') make the PCM
+    # stream contain the ASCII bytes 'data'
+    s = np.array([24932, 24948, 100, -200, 24932, 24948], dtype="<i2")
+    data = s.tobytes()
+    assert b"data" in data
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    wav = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+           + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"data" + struct.pack("<I", len(data)) + data)
+    rate, ns, dur, sa = multimodal._decode_wav(wav)
+    assert ns == 6 and sa == int(np.abs(s.astype(np.int64)).sum())
+    v = multimodal._real_feature(wav)
+    assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-5

@@ -247,3 +247,42 @@ def test_compact_events_idempotent(spark, stream_input, tmp_path):
     a = {tuple(r[k] for k in key): r["event_json"] for r in final.collect()}
     b = {tuple(r[k] for k in key): r["event_json"] for r in again.collect()}
     assert a == b
+
+
+def test_merge_partial_seh_branch_uses_raw_cardinality(spark):
+    """Review-found bug: a partial that already SEH'd (raw n_distinct=3,
+    one representative value) merged with another partial's single raw
+    value used to re-decide the branch from the MERGED distinct count
+    (2) and emit the raw value unbucketed. The branch must honor the
+    max partial raw cardinality."""
+    import math
+
+    from emf_spark.streaming.merge import merge_partial_events
+
+    L = math.log(1.1)
+    rep24 = math.exp((24 + 0.5) * L)   # bucket of 10.0/10.1/10.2
+    rep16 = math.exp((16 + 0.5) * L)   # bucket of 5.0
+    cwm_t = ("array<struct<Namespace:string,Dimensions:array<array<string>>,"
+             "Metrics:array<struct<Name:string,Unit:string>>>>")
+    m_t = ("array<struct<metric_name:string,values:array<double>,"
+           "counts:array<bigint>,min:double,max:double,sum:double,"
+           "count:bigint,n_distinct:bigint>>")
+    schema = (f"sink string, window_start bigint, dim_hash string, "
+              f"dimensions map<string,string>, timestamp bigint, "
+              f"records bigint, bytes_in bigint, cw_metrics {cwm_t}, "
+              f"metrics {m_t}")
+    rows = [
+        # partial A: SEH'd (raw nd=3) -> one representative
+        ("file", 0, "h", {"d": "1"}, 5, 3, 30, [],
+         [("m", [rep24], [3], 10.0, 10.2, 30.3, 3, 3)]),
+        # partial B: exact single raw value
+        ("file", 0, "h", {"d": "1"}, 9, 1, 10, [],
+         [("m", [5.0], [1], 5.0, 5.0, 5.0, 1, 1)]),
+    ]
+    merged = merge_partial_events(spark.createDataFrame(rows, schema)).collect()
+    assert len(merged) == 1
+    m = merged[0]["metrics"][0]
+    # BOTH values bucketized (batch saw 4 raw distinct): no raw 5.0
+    assert [round(v, 6) for v in m["values"]] == [round(rep16, 6), round(rep24, 6)]
+    assert list(m["counts"]) == [1, 3]
+    assert m["min"] == 5.0 and m["max"] == 10.2 and m["count"] == 4

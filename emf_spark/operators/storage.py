@@ -42,3 +42,51 @@ def write_bucketed(
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def zorder_key(cols, bits: int = 16):
+    """Morton (Z-order) interleave of ``bits`` low bits from each column
+    — the multi-dimension clustering key for data layout: sorting by it
+    keeps rows that are close in EVERY dimension close in file order,
+    so parquet row-group min/max stats prune multi-dimensional range
+    filters (a single-column sort only prunes that column).
+
+    Columns must already be non-negative ints scaled to [0, 2^bits)
+    (clip/quantize upstream: rank, bucketize, or >> shift). Total key
+    width = bits * len(cols), must stay <= 63."""
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    if bits * n > 63:
+        raise ValueError("bits * len(cols) must be <= 63 for a long key")
+    out = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        cc = (F.col(c) if isinstance(c, str) else c).cast("long")
+        for b in range(bits):
+            bit = F.shiftright(cc, b).bitwiseAND(F.lit(1))
+            out = out.bitwiseOR(F.shiftleft(bit, b * n + i))
+    return out
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 16,
+    partitions: int = 64,
+) -> None:
+    """Write ``df`` parquet range-partitioned AND sorted by the Z-order
+    key of ``cols``: every row group's min/max stats become tight in
+    ALL the clustered dimensions, so multi-dim range scans skip most
+    groups. (The key column itself is dropped — it is layout, not
+    data.)"""
+    from pyspark.sql import functions as F
+
+    keyed = df.withColumn("_z", zorder_key(cols, bits))
+    (
+        keyed.repartitionByRange(partitions, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -205,3 +205,43 @@ def test_tpch_join_queries_push_filters_and_broadcast_dims(spark):
         assert "BroadcastHashJoin" in p
         assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
         assert "LessThan(o_orderdate" in p or "LessThanOrEqual(o_orderdate" in p, name
+
+
+def test_zorder_key_is_morton_order(spark):
+    """2-bit 2D Z-curve must visit the canonical Morton sequence."""
+    from emf_spark.operators import storage
+
+    rows = [(x, y) for y in range(4) for x in range(4)]
+    df = spark.createDataFrame(rows, "x bigint, y bigint")
+    got = [
+        (r["x"], r["y"])
+        for r in df.withColumn("z", storage.zorder_key(["x", "y"], bits=2))
+        .orderBy("z").collect()
+    ]
+    morton = sorted(rows, key=lambda p: sum(
+        (((p[0] >> b) & 1) << (2 * b)) | (((p[1] >> b) & 1) << (2 * b + 1))
+        for b in range(2)
+    ))
+    assert got == morton
+    # first steps of the classic Z curve
+    assert got[:4] == [(0, 0), (1, 0), (0, 1), (1, 1)]
+
+
+def test_write_zordered_roundtrip_and_locality(spark, tmp_path):
+    import itertools
+
+    from emf_spark.operators import storage
+
+    rows = [(x, y, x * 100 + y) for x, y in itertools.product(range(32), range(32))]
+    df = spark.createDataFrame(rows, "x bigint, y bigint, v bigint")
+    path = str(tmp_path / "zz")
+    storage.write_zordered(df, path, ["x", "y"], bits=5, partitions=4)
+    back = spark.read.parquet(path)
+    assert back.count() == 1024
+    got = {
+        (r["x"], r["y"])
+        for r in back.filter(
+            (F.col("x").between(4, 7)) & (F.col("y").between(4, 7))
+        ).collect()
+    }
+    assert got == {(x, y) for x in range(4, 8) for y in range(4, 8)}

@@ -43,6 +43,15 @@ def asof_join(
     value_cols = value_cols or [
         c for c in right.columns if c not in (key, right_ts)
     ]
+    for c in ("_k", "_t", "_rv", "_src", "_rv_f"):
+        if c in left.columns:
+            raise ValueError(f"left column {c!r} collides with asof internals")
+    clash = [c for c in value_cols if (prefix + c) in left.columns]
+    if clash:
+        raise ValueError(
+            f"right value columns {clash} collide with left columns — "
+            "pass a prefix"
+        )
     rv_t = right.select(F.struct(*value_cols).alias("_rv")).schema["_rv"].dataType
     r = right.select(
         F.col(key).alias("_k"),

@@ -32,6 +32,17 @@ def range_join(
     with ``start <= ts < end`` (end-exclusive). Returns the point
     columns plus the interval's columns (minus its key copies)."""
     keys = keys or []
+    if "_b" in points.columns or "_b" in intervals.columns:
+        raise ValueError("column '_b' collides with range_join internals")
+    clash = [
+        c for c in intervals.columns
+        if c in points.columns and c not in keys
+    ]
+    if clash:
+        raise ValueError(
+            f"interval columns {clash} collide with point columns — "
+            "rename one side (the output carries both sides' columns)"
+        )
     b = float(bucket)
     # an interval [s, e) covers buckets floor(s/b) .. floor((e - eps)/b);
     # empty intervals (e <= s) cover nothing and drop out here

@@ -72,3 +72,15 @@ def test_asof_plan_has_no_join(spark):
                 "BroadcastNestedLoopJoin"):
         assert bad not in p, (bad, p[:1500])
     assert "Window" in p
+
+
+def test_asof_collision_guard(spark):
+    import pytest
+
+    left = spark.createDataFrame([(1, 1.0, 2.0)], "k bigint, ts double, rate double")
+    right = spark.createDataFrame([(1, 1.0, 3.0)], "k bigint, ts double, rate double")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, key="k")
+    # prefix resolves it
+    out = asof_join(left, right, key="k", prefix="r_").collect()
+    assert out[0]["rate"] == 2.0 and out[0]["r_rate"] == 3.0

@@ -50,3 +50,12 @@ def test_range_join_plan_is_equi_join(spark):
     )
     p = plan_of(range_join(points, intervals, keys=["k"]), "simple")
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p[:1500]
+
+
+def test_range_join_collision_guard(spark):
+    import pytest
+
+    points = spark.createDataFrame([(1.0, 5)], "ts double, v bigint")
+    intervals = spark.createDataFrame([(0.0, 2.0, 7)], "start double, end double, v bigint")
+    with pytest.raises(ValueError, match="collide"):
+        range_join(points, intervals)

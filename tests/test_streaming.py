@@ -286,3 +286,44 @@ def test_merge_partial_seh_branch_uses_raw_cardinality(spark):
     assert [round(v, 6) for v in m["values"]] == [round(rep16, 6), round(rep24, 6)]
     assert list(m["counts"]) == [1, 3]
     assert m["min"] == 5.0 and m["max"] == 10.2 and m["count"] == 4
+
+
+def test_merge_partials_namespace_keyed(spark, stream_input, tmp_path):
+    """Exact-merge parity also holds under the north-rule key
+    (namespace, dim_hash, window): streaming partials re-merge to the
+    batch engine's namespace-keyed events."""
+    from emf_spark.streaming.merge import merge_partial_events
+
+    out = str(tmp_path / "stream_out_ns")
+    q = sjob.run_microbatch(
+        spark, stream_input, out, key_by_namespace=True, max_files_per_trigger=2
+    )
+    q.awaitTermination(300)
+    merged = merge_partial_events(
+        spark.read.parquet(f"{out}/events"), key_by_namespace=True
+    )
+    batch_out = str(tmp_path / "batch_out_ns")
+    pipeline.run(
+        spark, stream_input, batch_out, write_routed=False, key_by_namespace=True
+    )
+    batch = spark.read.parquet(f"{batch_out}/events")
+    key = ["sink", "window_start", "namespace", "dim_hash"]
+
+    def flat(df):
+        return df.select(
+            *key, "records", F.to_json("cw_metrics").alias("cwj"),
+            F.explode_outer("metrics").alias("m"),
+        ).select(
+            *key, "records", "cwj",
+            F.col("m.metric_name").alias("mn"),
+            F.to_json(F.struct("m.values", "m.counts")).alias("vc"),
+            F.col("m.count").alias("mcount"),
+        )
+
+    a = {tuple(r[k] for k in key + ["mn"]): r for r in flat(merged).collect()}
+    b = {tuple(r[k] for k in key + ["mn"]): r for r in flat(batch).collect()}
+    assert set(a) == set(b) and len(a) > 0
+    for k, ra in a.items():
+        rb = b[k]
+        for f in ("records", "cwj", "vc", "mcount"):
+            assert ra[f] == rb[f], (k, f, ra[f], rb[f])

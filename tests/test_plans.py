@@ -245,3 +245,12 @@ def test_write_zordered_roundtrip_and_locality(spark, tmp_path):
         ).collect()
     }
     assert got == {(x, y) for x in range(4, 8) for y in range(4, 8)}
+
+
+def test_zorder_key_width_guard(spark):
+    import pytest
+
+    from emf_spark.operators import storage
+
+    with pytest.raises(ValueError, match="<= 63"):
+        storage.zorder_key(["a", "b", "c", "d"], bits=16)

@@ -61,3 +61,17 @@ def test_sessions_are_per_key(spark):
     b = _ev(spark, [2_000], user=2)
     out = sessions.sessionize(a.union(b), gap="10 seconds").collect()
     assert sorted((r["user_id"], r["events"]) for r in out) == [(1, 2), (2, 1)]
+
+
+def test_sessionize_custom_ts_and_keys(spark):
+    rows = [
+        ("a", "x", T0, 1.0),
+        ("a", "x", T0 + dt.timedelta(seconds=5), 2.0),
+        ("a", "y", T0, 3.0),
+    ]
+    df = spark.createDataFrame(rows, "tenant string, shard string, t timestamp, v double")
+    out = sessions.sessionize(
+        df, gap="10 seconds", ts_col="t", keys=["tenant", "shard"]
+    ).collect()
+    got = {(r["tenant"], r["shard"]): r["events"] for r in out}
+    assert got == {("a", "x"): 2, ("a", "y"): 1}

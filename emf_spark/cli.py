@@ -152,8 +152,9 @@ def main(argv=None) -> int:
             key_by_namespace=args.key_by_namespace,
             write_routed=not args.no_routed,
             staging=args.staging,
+            write_events=False,  # the manifest write below is the ONLY
+            # event write (both writing would double every row)
         )
-        # re-route the event write through the manifest for idempotence
         info = lineage.write_events_resumable(spark, res.events, args.out)
         print(json.dumps({"resumable": info["written_rows"], "run_id": info["run_id"]}))
     else:

@@ -109,8 +109,10 @@ def synth_wav(n_samples: int, rate: int, base: int) -> bytes:
     )
 
 
-def _decode_ppm(payload: bytes):
-    """(width, height, n_units, value_sum) from a binary P6 PPM."""
+def _ppm_raster(payload: bytes):
+    """(width, height, n_units, raster_offset) from a P6 header walk —
+    the one place that knows where pixels start (slicing from the END
+    breaks on trailing bytes after the raster; review finding)."""
     if not payload.startswith(b"P6"):
         raise ValueError("not a P6 PPM")
     # header: P6 <ws> width <ws> height <ws> maxval <single ws> raster
@@ -132,7 +134,12 @@ def _decode_ppm(payload: bytes):
     w, h, maxval = parts
     if maxval != 255:
         raise ValueError("only 8-bit PPM supported")
-    n = w * h * 3
+    return w, h, w * h * 3, pos
+
+
+def _decode_ppm(payload: bytes):
+    """(width, height, n_units, value_sum) from a binary P6 PPM."""
+    w, h, n, pos = _ppm_raster(payload)
     px = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
     return w, h, n, int(px.astype(np.int64).sum())
 
@@ -259,8 +266,10 @@ def _real_feature(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     formats (JPEG/MP3/...) need PIL/ffmpeg, absent in this container."""
     p = bytes(payload) if payload is not None else b""
     if p.startswith(b"P6"):
-        w, h, n, _ = _decode_ppm(p)
-        vals = np.frombuffer(p[-n:], dtype=np.uint8).astype(np.float64)
+        w, h, n, pos = _ppm_raster(p)
+        vals = np.frombuffer(p, dtype=np.uint8, count=n, offset=pos).astype(
+            np.float64
+        )
         hist, _ = np.histogram(vals, bins=dim, range=(0, 256))
     elif p[:4] == b"RIFF":
         _, data = _wav_chunks(p)

@@ -30,6 +30,19 @@ def _dot_lit(vec_col: F.Column, qvec: list[float]) -> F.Column:
     )
 
 
+def _dot_cols(a, b) -> F.Column:
+    """dot(array col, array col) — zip_with/aggregate with double
+    accumulation; THE one implementation every pairwise path shares (a
+    precision/accumulation fix must land exactly once)."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def _norm(vec_col: F.Column) -> F.Column:
     return F.sqrt(
         F.aggregate(
@@ -294,12 +307,9 @@ def embedding_near_duplicates(
         ).alias("bucket"),
     )
     cand = probes.join(b, "bucket").filter(F.col("id_a") < F.col("id"))
-    dot = F.aggregate(
-        F.zip_with("v_a", "v", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    cos = F.round(
+        _dot_cols("v_a", "v") / (_norm(F.col("v_a")) * _norm(F.col("v"))), 6
     )
-    cos = F.round(dot / (_norm(F.col("v_a")) * _norm(F.col("v"))), 6)
     return (
         cand.select("id_a", F.col("id").alias("id_b"), cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
@@ -327,14 +337,14 @@ def pairwise_topk_per_row(
     o = b.select(
         F.col("id").alias("id_b"), F.col("v").alias("v_b"), F.col("bucket").alias("bucket_b")
     )
-    dot = F.aggregate(
-        F.zip_with("v", "v_b", lambda a, c: a.cast("double") * c.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
     pairs = (
         b.join(o, (F.col("bucket") == F.col("bucket_b")) & (F.col("id") != F.col("id_b")))
-        .withColumn("cosine", F.round(dot / (_norm(F.col("v")) * _norm(F.col("v_b"))), 6))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot_cols("v", "v_b") / (_norm(F.col("v")) * _norm(F.col("v_b"))), 6
+            ),
+        )
     )
     w = Window.partitionBy("id").orderBy(F.desc("cosine"), "id_b")
     return (
@@ -393,12 +403,9 @@ def lsh_topk_batch(
         ).alias("bucket"),
     )
     cand = probes.join(b, "bucket")
-    dot = F.aggregate(
-        F.zip_with("qv", "v", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    cos = F.round(
+        _dot_cols("qv", "v") / (_norm(F.col("qv")) * _norm(F.col("v"))), 6
     )
-    cos = F.round(dot / (_norm(F.col("qv")) * _norm(F.col("v"))), 6)
     scored = cand.select("query_id", "id", cos.alias("cosine")).dropDuplicates(
         ["query_id", "id"]
     )

@@ -355,14 +355,25 @@ GROUP BY 1
 
 
 def q_compression_ratio(spark, sf):
-    """A11 input/output compression accounting (aggregator.go:218-221)."""
+    """A11 input/output compression accounting (aggregator.go:218-221).
+    Fully in-plan: both counts are 1-row aggregates broadcast-crossed
+    (no construction-time actions — the pattern r2 item 9 established
+    for |Q|; review finding)."""
     ev = _t(spark, sf, "events")
-    groups = ev.groupBy("event_type", (F.col("user_id") % 10)).count()
-    n_in = ev.count()
-    n_out = groups.count()
-    return spark.createDataFrame(
-        [(n_in, n_out, round(float(n_in - n_out) / n_in * 100, 6))],
-        "records_in bigint, groups_out bigint, reduction_pct double",
+    n_in = ev.agg(F.count(F.lit(1)).alias("records_in"))
+    n_out = (
+        ev.groupBy("event_type", (F.col("user_id") % 10))
+        .count()
+        .agg(F.count(F.lit(1)).alias("groups_out"))
+    )
+    return n_in.crossJoin(F.broadcast(n_out)).select(
+        "records_in",
+        "groups_out",
+        F.round(
+            (F.col("records_in") - F.col("groups_out"))
+            / F.col("records_in") * 100,
+            6,
+        ).alias("reduction_pct"),
     )
 
 

@@ -68,10 +68,14 @@ def asof_join(
     )
     unioned = l.unionByName(r, allowMissingColumns=True)
     # right rows sort BEFORE left rows at an equal timestamp (_src 0 < 1)
-    # => the boundary is inclusive, like DuckDB's l.ts >= r.ts
+    # => the boundary is inclusive, like DuckDB's l.ts >= r.ts. The
+    # payload-hash key makes DUPLICATE (key, ts) right rows resolve
+    # deterministically (highest hash wins) instead of by physical
+    # order — prefer unique (key, ts) on the right; the tiebreak only
+    # guarantees run-to-run stability, not a semantic choice.
     w = (
         Window.partitionBy("_k")
-        .orderBy("_t", "_src")
+        .orderBy("_t", "_src", F.xxhash64("_rv"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.withColumn(

@@ -73,10 +73,23 @@ def record_cells(
     run_id: str,
     started_at: float,
     bytes_col: str | None = "event_bytes",
+    written_mask: str | None = None,
 ) -> None:
-    agg_cols = [F.count(F.lit(1)).alias("rows_out")]
+    """``written_mask`` names a boolean column that is True for rows
+    NOT actually written (e.g. dropped_oversize): such rows still keep
+    their cell in the manifest (so it completes and is never retried)
+    but are excluded from rows_out/bytes_out — the manifest must count
+    what the events table really contains (review finding)."""
+    if written_mask and written_mask in df_written.columns:
+        written = ~F.col(written_mask)
+    else:
+        written = F.lit(True)
+    agg_cols = [F.sum(written.cast("long")).alias("rows_out")]
     if bytes_col and bytes_col in df_written.columns:
-        agg_cols.append(F.sum(bytes_col).cast("bigint").alias("bytes_out"))
+        agg_cols.append(
+            F.sum(F.when(written, F.col(bytes_col)).otherwise(F.lit(0)))
+            .cast("bigint").alias("bytes_out")
+        )
     else:
         agg_cols.append(F.lit(0).cast("bigint").alias("bytes_out"))
     finished = time.time()
@@ -113,10 +126,14 @@ def write_events_resumable(
     todo = todo.persist()
     n = todo.count()
     path = os.path.join(out_dir, "events")
+    written_n = 0
     if n:
-        todo.filter(~F.col("dropped_oversize")).write.mode("append").partitionBy(
-            "sink"
-        ).parquet(path)
-        record_cells(todo, manifest, stage, run_id, started)
+        written = todo.filter(~F.col("dropped_oversize"))
+        written_n = written.count()
+        written.write.mode("append").partitionBy("sink").parquet(path)
+        record_cells(
+            todo, manifest, stage, run_id, started,
+            written_mask="dropped_oversize",
+        )
     todo.unpersist()
-    return {"written_rows": n, "run_id": run_id, "path": path}
+    return {"written_rows": written_n, "run_id": run_id, "path": path}

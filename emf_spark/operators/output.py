@@ -168,11 +168,18 @@ def plan_cw_batches(
 
 def compression_stats(groups_with_json: DataFrame) -> DataFrame:
     """A11 per-sink compression ratio (aggregator.go:218-221): input
-    records/bytes (carried through metadata agg) vs emitted events."""
+    records/bytes (carried through metadata agg) vs EMITTED events —
+    events_out/bytes_out count only rows the sinks actually receive
+    (the reference computes size/count from the flusher's output);
+    dropped oversize rows are reported separately (review finding:
+    they used to be double-reported inside events_out too)."""
+    kept = ~F.col("dropped_oversize")
     return groups_with_json.groupBy("sink").agg(
         F.sum("records").alias("records_in"),
         F.sum("bytes_in").alias("bytes_in"),
-        F.count(F.lit(1)).alias("events_out"),
-        F.sum("event_bytes").alias("bytes_out"),
+        F.sum(kept.cast("long")).alias("events_out"),
+        F.sum(F.when(kept, F.col("event_bytes")).otherwise(F.lit(0))).alias(
+            "bytes_out"
+        ),
         F.sum(F.col("dropped_oversize").cast("long")).alias("dropped_oversize"),
     )

@@ -100,6 +100,7 @@ def run(
     key_by_namespace: bool = False,
     write_routed: bool = True,
     staging: str = "parquet",
+    write_events: bool = True,
 ) -> PipelineResult:
     """Full job with writes: staged parse checkpoint, routed rows,
     per-sink events, errors, stats.
@@ -193,7 +194,12 @@ def run(
         res.paths["events"], res.paths["events_jsonl"] = pq, txt
 
     with ThreadPoolExecutor(max_workers=3) as pool:
-        futures = [pool.submit(_write_errors), pool.submit(_write_events)]
+        futures = [pool.submit(_write_errors)]
+        if write_events:
+            # resumable callers write events through the lineage
+            # manifest instead (a second write here would double every
+            # event row — review finding)
+            futures.append(pool.submit(_write_events))
         if write_routed:
             futures.append(pool.submit(_write_routed))
         for f in futures:

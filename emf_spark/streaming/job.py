@@ -53,7 +53,17 @@ def _aggregate_batch(
     spark = batch.sparkSession
     parsed = parse_op.parse_emf(with_payload(batch))
     valid, errors = parse_op.split_valid(parsed)
-    errors.write.mode("append").parquet(os.path.join(out_dir, "errors"))
+    # idempotent under micro-batch REPLAY (append-then-crash-before-
+    # checkpoint-commit re-runs the same batch_id): every write is a
+    # dynamic partition overwrite scoped to this batch_id, so a replay
+    # overwrites its own partition instead of appending duplicates
+    (
+        errors.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(os.path.join(out_dir, "errors"))
+    )
     windowed = agg.with_window(enrich_op.enrich(valid, lookup), window_ms)
     obs = agg.explode_observations(windowed, key_by_namespace)
     hist = agg.aggregate_histograms(obs, key_by_namespace)
@@ -65,8 +75,9 @@ def _aggregate_batch(
     )
     (
         events.filter(~F.col("dropped_oversize"))
-        .write.mode("append")
-        .partitionBy("sink")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id", "sink")
         .parquet(os.path.join(out_dir, "events"))
     )
 

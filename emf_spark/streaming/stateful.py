@@ -75,8 +75,10 @@ def _update_group(
                 "records": records,
                 "obs": obs,
                 "sum": s,
-                "min": mn,
-                "max": mx,
+                # a group that has seen no observations yet has no
+                # min/max (records-only rows carry null pairs stats)
+                "min": mn if obs else None,
+                "max": mx if obs else None,
             }
         ]
     )
@@ -98,7 +100,9 @@ def running_group_totals(parsed_stream: DataFrame) -> DataFrame:
     )
     obs = (
         parsed_stream.select("sink", "dim_hash", pairs.alias("pairs"))
-        .filter(F.size("pairs") > 0)
+        # no filter: a record whose values ALL normalize away still IS
+        # an input record (docstring/ADVICE r1 contract) — it
+        # contributes records=1, obs=0, null min/max (review finding)
         .select(
             "sink",
             "dim_hash",

@@ -81,3 +81,20 @@ def test_manifest_exists_is_scheme_aware(spark, events, tmp_path):
     assert qualified.read().count() > 0
     missing = lineage.Manifest(spark, "file://" + str(tmp_path / "nope"))
     assert not missing.exists()
+
+
+def test_cli_resumable_writes_events_once(spark, tmp_path, corpus_path):
+    """Review finding: --resumable used to write every event TWICE
+    (pipeline's own events write + the manifest append to the same
+    path)."""
+    from emf_spark import cli
+
+    out = str(tmp_path / "resumable_once")
+    rc = cli.main(["--input", corpus_path, "--out", out, "--resumable",
+                   "--no-routed"])
+    assert rc == 0
+    ev = spark.read.parquet(f"{out}/events")
+    key = ["sink", "window_start", "dim_hash"]
+    dups = ev.groupBy(*key).count().filter(F.col("count") > 1).count()
+    assert dups == 0
+    assert ev.count() > 0

@@ -147,23 +147,22 @@ def test_stateful_running_totals(spark, stream_input, tmp_path):
             F.explode(parse_op._metric_pairs(F.col("raw"))).alias("p"),
         )
     )
-    # records = TRUE input records with >=1 value pair (ADVICE r1), not
-    # observation rows
-    pairs = F.flatten(
-        F.transform(F.map_values("metric_raw"), lambda r: parse_op._metric_pairs(r))
+    # records = ALL true input records, including ones whose values all
+    # normalize away (reference counts InputRecords before value
+    # parsing; review r3 fixed the operator's old >=1-pair filter)
+    rec_counts = enriched.groupBy("sink", "dim_hash").agg(
+        F.count(F.lit(1)).alias("records")
     )
-    rec_counts = (
-        enriched.select("sink", "dim_hash", pairs.alias("pairs"))
-        .filter(F.size("pairs") > 0)
-        .groupBy("sink", "dim_hash")
-        .agg(F.count(F.lit(1)).alias("records"))
-    )
-    truth = obs.groupBy("sink", "dim_hash").agg(
-        F.sum("p.c").alias("obs"),
-        F.round(F.sum(F.col("p.v") * F.col("p.c")), 6).alias("sum"),
-        F.min("p.v").alias("min"),
-        F.max("p.v").alias("max"),
-    ).join(rec_counts, ["sink", "dim_hash"])
+    truth = rec_counts.join(
+        obs.groupBy("sink", "dim_hash").agg(
+            F.sum("p.c").alias("obs"),
+            F.round(F.sum(F.col("p.v") * F.col("p.c")), 6).alias("sum"),
+            F.min("p.v").alias("min"),
+            F.max("p.v").alias("max"),
+        ),
+        ["sink", "dim_hash"],
+        "left",
+    ).na.fill({"obs": 0, "sum": 0.0})
     tmap = {(r["sink"], r["dim_hash"]): r for r in truth.collect()}
     fmap = {(r["sink"], r["dim_hash"]): r for r in final.collect()}
     assert set(fmap) == set(tmap)
@@ -327,3 +326,26 @@ def test_merge_partials_namespace_keyed(spark, stream_input, tmp_path):
         rb = b[k]
         for f in ("records", "cwj", "vc", "mcount"):
             assert ra[f] == rb[f], (k, f, ra[f], rb[f])
+
+
+def test_microbatch_replay_is_idempotent(spark, stream_input, tmp_path):
+    """Review finding: a replayed micro-batch (append succeeded,
+    checkpoint commit didn't) used to append duplicate partial events.
+    The per-batch dynamic partition overwrite makes re-running the same
+    batch_id a no-op."""
+    from emf_spark import fixtures as fx
+    from emf_spark.streaming.job import _aggregate_batch
+
+    out = str(tmp_path / "replay_out")
+    batch = spark.read.parquet(stream_input)
+    lookup = fx.lookup_df(spark)
+    _aggregate_batch(batch, out, 7, lookup, 60_000)
+    n1 = spark.read.parquet(f"{out}/events").count()
+    e1 = spark.read.parquet(f"{out}/errors").count()
+    # replay the SAME batch id — counts must not change
+    _aggregate_batch(batch, out, 7, lookup, 60_000)
+    assert spark.read.parquet(f"{out}/events").count() == n1
+    assert spark.read.parquet(f"{out}/errors").count() == e1
+    # a different batch id still appends (normal progress)
+    _aggregate_batch(batch, out, 8, lookup, 60_000)
+    assert spark.read.parquet(f"{out}/events").count() == 2 * n1

@@ -273,6 +273,7 @@ def embedding_near_duplicates(
     vec_col: str = "embedding",
     seed: int = 42,
     probe_hamming: int = 1,
+    probe_partitions: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: (id_a, id_b, cosine) with
     bucket-hamming <= probe_hamming AND exact cosine >= threshold.
@@ -283,10 +284,24 @@ def embedding_near_duplicates(
     exactly the hamming-ball pairs. The candidate predicate (not just
     the acceleration) is part of the operator's definition, so an
     external oracle can reproduce the result set exactly from the
-    hyperplane literals."""
+    hyperplane literals.
+
+    When the input arrives in fewer partitions than the session's
+    default parallelism (the classic single-parquet-file scan), the
+    probe side is round-robin repartitioned first: with a broadcast
+    build side the candidate cosines evaluate map-side on the probe
+    stream, and an un-fanned scan would run every pair on one core
+    (measured 6.7s -> 0.6s on 2k vectors at local[32]). Pass
+    ``probe_partitions`` to pin the fan-out explicitly, or 0 to
+    disable (e.g. when the input is already well-partitioned and the
+    build side is too big to broadcast — then the join shuffles by
+    bucket anyway and a pre-shuffle would be pure overhead)."""
     import itertools
 
     planes = _hyperplanes(dim, n_planes, seed)
+    if probe_partitions is None:
+        target = df.sparkSession.sparkContext.defaultParallelism
+        probe_partitions = target if df.rdd.getNumPartitions() < target else 0
     b = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
@@ -306,6 +321,8 @@ def embedding_near_duplicates(
             F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])
         ).alias("bucket"),
     )
+    if probe_partitions:
+        probes = probes.repartition(probe_partitions)
     cand = probes.join(b, "bucket").filter(F.col("id_a") < F.col("id"))
     cos = F.round(
         _dot_cols("v_a", "v") / (_norm(F.col("v_a")) * _norm(F.col("v"))), 6

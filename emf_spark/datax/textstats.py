@@ -241,3 +241,66 @@ def bm25_vs_terms(
         )
         .select(F.col("id").alias(id_col), F.round("bm25", 6).alias("bm25"))
     )
+
+
+URL_RE = r"https?://[^\s]+"
+# domain = authority up to the first '/', ':' (port) or end
+DOMAIN_RE = r"https?://([^/\s:]+)"
+
+
+def url_domain_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-domain URL statistics: (domain, n_urls, n_docs).
+
+    URL extraction is one `regexp_extract_all` + explode (rows-form, no
+    arrays survive the shuffle); the aggregation shuffles once on
+    `domain` — at 100 TB that key is low-cardinality-skewed (a handful
+    of CDN domains dominate real corpora), but both aggregates here are
+    algebraic (count, count_distinct partial-aggregates map-side), so
+    the skew cost is a map-side combine, not a single hot reducer
+    holding raw rows."""
+    urls = df.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(URL_RE), 0)
+        ).alias("url"),
+    )
+    return (
+        urls.select(
+            "_doc", F.regexp_extract("url", DOMAIN_RE, 1).alias("domain")
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.count_distinct("_doc").alias("n_docs"),
+        )
+    )
+
+
+def vocab_topk(
+    df: DataFrame, text_col: str = "text", k: int = 50
+) -> DataFrame:
+    """Corpus vocabulary: top-k tokens by frequency (rank, token, cnt).
+
+    The tokenizer-building primitive: lowercase, split on
+    non-[a-z0-9'], explode, count, deterministic top-k (count desc,
+    token asc — ties must not depend on partition layout). The global
+    top-k materializes via a single-partition window over the ALREADY
+    AGGREGATED token counts — vocabulary cardinality, not corpus
+    cardinality, so the narrow final sort is fine at any corpus size
+    (vocab ~1e6 rows even at 100 TB of text)."""
+    toks = df.select(
+        F.explode(
+            F.split(F.lower(F.col(text_col)), r"[^a-z0-9']+")
+        ).alias("token")
+    ).filter(F.col("token") != "")
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("rank", "token", "cnt")
+    )

@@ -1905,6 +1905,239 @@ ORDER BY cosine DESC, vec_id LIMIT 10
 """
 
 
+def q_text_pii_scrub(spark, sf):
+    """PII redaction (datax/pii.py): documents get deterministic PII
+    injected (email always; ip/ssn/phone/card on doc_id residues), the
+    scrubber redacts in pattern order, and the per-source aggregate
+    pins counts, redacted lengths, and the min/max redacted strings —
+    so a single mis-replaced character fails the hash."""
+    from emf_spark.datax.pii import pii_scrub
+
+    d = _t(spark, sf, "documents")
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    synth = F.concat(
+        F.substring("text", 1, 40),
+        F.lit(" mail u"), s(i), F.lit("@ex"), s(i % 7), F.lit(".com"),
+        F.when(
+            i % 3 == 0,
+            F.concat(F.lit(" from 10."), s(i % 256), F.lit(".0."), s((i * 7) % 256)),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 5 == 0,
+            F.concat(F.lit(" ssn 123-45-"), F.lpad(s(i % 10000), 4, "0")),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 4 == 0,
+            F.concat(F.lit(" call (555) 867-"), F.lpad(s(i % 10000), 4, "0")),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 11 == 0,
+            F.concat(F.lit(" card 4000 1234 5678 "), F.lpad(s(i % 10000), 4, "0")),
+        ).otherwise(F.lit("")),
+    )
+    scrubbed = pii_scrub(d.select("source", synth.alias("t")), text_col="t")
+    return scrubbed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_email").alias("emails"),
+        F.sum("n_ipv4").alias("ips"),
+        F.sum("n_ssn").alias("ssns"),
+        F.sum("n_phone").alias("phones"),
+        F.sum("n_card").alias("cards"),
+        F.sum(F.length("text_redacted")).alias("red_len"),
+        F.min("text_redacted").alias("min_red"),
+        F.max("text_redacted").alias("max_red"),
+    )
+
+
+def _sql_text_pii_scrub() -> str:
+    from emf_spark.datax.pii import sql_scrub_exprs
+
+    base = (
+        "substr(text, 1, 40) || ' mail u' || CAST(doc_id AS VARCHAR)"
+        " || '@ex' || CAST(doc_id % 7 AS VARCHAR) || '.com'"
+        " || CASE WHEN doc_id % 3 = 0 THEN ' from 10.' ||"
+        " CAST(doc_id % 256 AS VARCHAR) || '.0.' ||"
+        " CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END"
+        " || CASE WHEN doc_id % 5 = 0 THEN ' ssn 123-45-' ||"
+        " lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+        " || CASE WHEN doc_id % 4 = 0 THEN ' call (555) 867-' ||"
+        " lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+        " || CASE WHEN doc_id % 11 = 0 THEN ' card 4000 1234 5678 ' ||"
+        " lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+    )
+    red, counts = sql_scrub_exprs("t")
+    return f"""
+WITH synth AS (SELECT source, {base} AS t FROM documents),
+scrubbed AS (
+  SELECT source,
+         {counts['email']} AS n_email, {counts['ipv4']} AS n_ipv4,
+         {counts['ssn']} AS n_ssn, {counts['phone']} AS n_phone,
+         {counts['card']} AS n_card, {red} AS red
+  FROM synth)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_email) AS BIGINT) AS emails,
+       CAST(SUM(n_ipv4) AS BIGINT) AS ips,
+       CAST(SUM(n_ssn) AS BIGINT) AS ssns,
+       CAST(SUM(n_phone) AS BIGINT) AS phones,
+       CAST(SUM(n_card) AS BIGINT) AS cards,
+       CAST(SUM(length(red)) AS BIGINT) AS red_len,
+       MIN(red) AS min_red, MAX(red) AS max_red
+FROM scrubbed GROUP BY source
+"""
+
+
+def q_text_url_stats(spark, sf):
+    """URL/domain extraction (textstats.url_domain_stats): documents get
+    1-2 deterministic URLs appended; per-domain url + distinct-doc
+    counts."""
+    from emf_spark.datax.textstats import url_domain_stats
+
+    d = _t(spark, sf, "documents")
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    synth = F.concat(
+        F.lit("see https://ex"), s(i % 5), F.lit(".org/p/"), s(i),
+        F.when(
+            i % 3 == 0,
+            F.concat(F.lit(" http://cdn.ex"), s(i % 3), F.lit(".net/a?q="), s(i % 7)),
+        ).otherwise(F.lit("")),
+    )
+    return url_domain_stats(
+        d.select(i.alias("doc_id"), synth.alias("t")), text_col="t"
+    )
+
+
+SQL_TEXT_URL_STATS = r"""
+WITH synth AS (
+  SELECT doc_id,
+         'see https://ex' || CAST(doc_id % 5 AS VARCHAR) || '.org/p/' || CAST(doc_id AS VARCHAR)
+         || CASE WHEN doc_id % 3 = 0 THEN ' http://cdn.ex' || CAST(doc_id % 3 AS VARCHAR)
+                 || '.net/a?q=' || CAST(doc_id % 7 AS VARCHAR) ELSE '' END AS t
+  FROM documents),
+urls AS (
+  SELECT doc_id, unnest(regexp_extract_all(t, 'https?://[^\s]+')) AS url FROM synth)
+SELECT regexp_extract(url, 'https?://([^/\s:]+)', 1) AS domain,
+       COUNT(*) AS n_urls, COUNT(DISTINCT doc_id) AS n_docs
+FROM urls GROUP BY 1
+"""
+
+
+def q_text_vocab_topk(spark, sf):
+    """Vocabulary build (textstats.vocab_topk): corpus-wide top-25
+    tokens with deterministic (cnt desc, token asc) ranking — the
+    tokenizer-vocab primitive of a training-data pipeline."""
+    from emf_spark.datax.textstats import vocab_topk
+
+    return vocab_topk(_t(spark, sf, "documents"), text_col="text", k=25)
+
+
+SQL_TEXT_VOCAB_TOPK = """
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(text), '[^a-z0-9'']+')) AS token
+  FROM documents),
+c AS (SELECT token, COUNT(*) AS cnt FROM toks WHERE token <> '' GROUP BY 1)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS INT) AS rank,
+       token, cnt
+FROM c ORDER BY cnt DESC, token ASC LIMIT 25
+"""
+
+
+def q_tpch_order_priority_check(spark, sf):
+    """TPC-H Q4 shape (order-priority check): EXISTS-style left-semi
+    join of orders against late-shipping lineitems (this schema has no
+    l_commitdate/l_receiptdate; \"late\" = shipped >30 days after the
+    order date). The semi join shuffles both sides on l_orderkey —
+    dedup of the probe side happens inside the join (no distinct
+    pre-shuffle), which is exactly the plan you want at scale."""
+    o = _t(spark, sf, "orders")
+    l = _t(spark, sf, "lineitem")
+    late = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey)
+        & (l.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+SQL_TPCH_ORDER_PRIORITY = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+GROUP BY 1
+"""
+
+
+def q_tpch_forecast_revenue(spark, sf):
+    """TPC-H Q6 (forecasting revenue change): one scan, every predicate
+    pushed to parquet, integer-cent arithmetic so the global sum is
+    exact under any partitioning (revenue_e4 = cents x discount-pct)."""
+    l = _t(spark, sf, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    pct = F.round(F.col("l_discount") * 100).cast("bigint")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & pct.between(5, 7)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(cents * pct).alias("revenue_e4"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+SQL_TPCH_FORECAST_REVENUE = """
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+               * CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_e4,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND CAST(ROUND(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+  AND l_quantity < 24
+"""
+
+
+def q_tpch_priority_line_mix(spark, sf):
+    """TPC-H Q12 shape (priority mix by line status): orders-lineitem
+    shuffle join + conditional aggregation over a pushed shipdate
+    window."""
+    o = _t(spark, sf, "orders")
+    l = _t(spark, sf, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+SQL_TPCH_PRIORITY_LINE_MIX = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Callable] = {
     "emf_dim_hash_group": q_dim_hash_group,
     "emf_value_count_hist": q_value_count_hist,
@@ -1954,6 +2187,12 @@ QUERIES: dict[str, Callable] = {
     "dedup_embedding": q_dedup_embedding,
     "data_split": q_data_split,
     "data_pack_sequences": q_pack_sequences,
+    "text_pii_scrub": q_text_pii_scrub,
+    "text_url_stats": q_text_url_stats,
+    "text_vocab_topk": q_text_vocab_topk,
+    "tpch_order_priority_check": q_tpch_order_priority_check,
+    "tpch_forecast_revenue": q_tpch_forecast_revenue,
+    "tpch_priority_line_mix": q_tpch_priority_line_mix,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2008,4 +2247,10 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_embedding": _sql_dedup_embedding(),
     "data_split": SQL_DATA_SPLIT,
     "data_pack_sequences": SQL_PACK_SEQUENCES,
+    "text_pii_scrub": _sql_text_pii_scrub(),
+    "text_url_stats": SQL_TEXT_URL_STATS,
+    "text_vocab_topk": SQL_TEXT_VOCAB_TOPK,
+    "tpch_order_priority_check": SQL_TPCH_ORDER_PRIORITY,
+    "tpch_forecast_revenue": SQL_TPCH_FORECAST_REVENUE,
+    "tpch_priority_line_mix": SQL_TPCH_PRIORITY_LINE_MIX,
 }

@@ -1,0 +1,82 @@
+"""PII scrub + URL/vocab text ops (datax/pii.py, textstats additions)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from emf_spark.datax.pii import PII_PATTERNS, pii_scrub
+from emf_spark.datax.textstats import url_domain_stats, vocab_topk
+
+
+def test_pii_scrub_each_type(spark):
+    df = spark.createDataFrame(
+        [
+            ("mail bob.smith+x@sub.example.co.uk now",),
+            ("from 192.168.1.254 port 80",),
+            ("card 4000 1234 5678 9010 on file",),
+            ("ssn 123-45-6789 leaked",),
+            ("call (555) 867-5309 or 555 123-4567",),
+        ],
+        ["text"],
+    )
+    out = pii_scrub(df).collect()
+    red = {r["text_redacted"] for r in out}
+    assert "mail <EMAIL> now" in red
+    assert "from <IP> port 80" in red
+    assert "card <CARD> on file" in red
+    assert "ssn <SSN> leaked" in red
+    # paren-form phone MUST match: \(? sits outside \b (a boundary
+    # between space and "(" never fires; regression for that subtlety)
+    assert "call <PHONE> or <PHONE>" in red
+    totals = {
+        name: sum(r[f"n_{name}"] for r in out)
+        for name, _, _ in PII_PATTERNS
+    }
+    assert totals == {"email": 1, "ipv4": 1, "card": 1, "ssn": 1, "phone": 2}
+
+
+def test_pii_scrub_order_is_semantic(spark):
+    # an SSN and a card must be consumed BEFORE the looser phone
+    # pattern can see their digit runs; counts are progressive
+    df = spark.createDataFrame(
+        [("123-45-6789 and 4000 1234 5678 9010",)], ["text"]
+    )
+    r = pii_scrub(df).collect()[0]
+    assert r["text_redacted"] == "<SSN> and <CARD>"
+    assert (r["n_ssn"], r["n_card"], r["n_phone"]) == (1, 1, 0)
+
+
+def test_pii_scrub_no_pii_passthrough(spark):
+    df = spark.createDataFrame([("just words here",), ("",)], ["text"])
+    rows = pii_scrub(df).collect()
+    for r in rows:
+        assert r["text_redacted"] == r["text"]
+        assert all(r[f"n_{n}"] == 0 for n, _, _ in PII_PATTERNS)
+
+
+def test_url_domain_stats(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "see https://a.example.org/x and https://a.example.org/y"),
+            (2, "also http://b.example.net:8080/z https://a.example.org/w"),
+            (3, "no urls at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["domain"]: (r["n_urls"], r["n_docs"])
+        for r in url_domain_stats(df).collect()
+    }
+    # port is NOT part of the domain; doc counts are distinct
+    assert rows == {"a.example.org": (3, 2), "b.example.net": (1, 1)}
+
+
+def test_vocab_topk_deterministic_ties(spark):
+    df = spark.createDataFrame(
+        [("b a! a c,b?c d",), ("d e",)], ["text"]
+    )
+    rows = vocab_topk(df, k=4).collect()
+    # a,b,c,d all have cnt 2 -> tie-break token asc; e (cnt 1) misses k=4
+    assert [(r["rank"], r["token"], r["cnt"]) for r in rows] == [
+        (1, "a", 2), (2, "b", 2), (3, "c", 2), (4, "d", 2),
+    ]

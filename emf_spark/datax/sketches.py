@@ -65,3 +65,72 @@ def kmv_distinct(
         F.round(est, 4).alias("kmv_estimate"),
         (F.col("_n") < k).alias("exactish"),
     )
+
+
+def _cms_bucket_py(term: str, d: int, width: int) -> int:
+    """Python replica of the engine's CMS bucket formula (md5-derived
+    portable_hash56 % width) — used only to key tiny literal probe
+    frames, identical by construction to the Column expression."""
+    import hashlib
+
+    return int(hashlib.md5(f"cms{d}:{term}".encode()).hexdigest()[:14], 16) % width
+
+
+def cms_build(
+    df: DataFrame, value_col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Count-min sketch of a value column: rows (d, bucket, cnt) —
+    depth x width cells, cell = count of values hashing into it under
+    hash function d.
+
+    Like KMV, the whole sketch is a deterministic function of the
+    multiset and the (md5-derived) hash family, so an external SQL
+    engine reproduces every cell bit-for-bit — which is why this is a
+    hand-rolled CMS and not a binary-blob sketch library. Scale shape:
+    one explode (x depth) + one groupBy on (d, bucket) — at most
+    depth*width result rows regardless of input size, and the count
+    partial-aggregates map-side, so the shuffle carries at most
+    depth*width rows PER TASK, not per input row."""
+    from emf_spark.datax.dedup import portable_hash56
+
+    entries = [
+        F.struct(
+            F.lit(d).alias("d"),
+            (
+                portable_hash56(
+                    F.concat(F.lit(f"cms{d}:"), F.col(value_col).cast("string"))
+                )
+                % width
+            ).alias("bucket"),
+        )
+        for d in range(depth)
+    ]
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.explode(F.array(*entries)).alias("s"))
+        .groupBy(F.col("s.d").alias("d"), F.col("s.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    terms: list[str],
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-query the sketch: (term, cms_count) with
+    cms_count = min over d of the term's cell — the classic
+    overestimate-only bound (cms_count >= true count, equal when no
+    collision). The probe frame is depth*|terms| literal rows; the
+    sketch (<= depth*width rows) broadcasts, so estimation is
+    shuffle-free beyond the tiny final groupBy."""
+    spark = sketch.sparkSession
+    probes = spark.createDataFrame(
+        [(t, d, _cms_bucket_py(t, d, width)) for t in terms for d in range(depth)],
+        "term string, d int, bucket bigint",
+    )
+    joined = probes.join(F.broadcast(sketch), ["d", "bucket"], "left")
+    return joined.groupBy("term").agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_count")
+    )

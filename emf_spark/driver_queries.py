@@ -2138,6 +2138,60 @@ GROUP BY 1
 """
 
 
+CMS_PROBE_TERMS = ["the", "table", "fast", "spark", "zzz"]
+
+
+def q_emf_cms_heavy_hitters(spark, sf):
+    """Count-min sketch (datax/sketches.py): build a deliberately-tight
+    3x32 sketch over document tokens (forces collisions, so the
+    overestimate path is exercised), point-query five probe terms, and
+    return estimate vs exact — the oracle replicates every sketch cell
+    from the same md5 hash family."""
+    from emf_spark.datax.sketches import cms_build, cms_estimate
+
+    d = _t(spark, sf, "documents")
+    toks = d.select(
+        F.explode(F.split(F.lower("text"), r"[^a-z0-9']+")).alias("token")
+    ).filter(F.col("token") != "")
+    sketch = cms_build(toks, "token", depth=3, width=32)
+    est = cms_estimate(sketch, CMS_PROBE_TERMS, depth=3, width=32)
+    exact = (
+        toks.filter(F.col("token").isin(CMS_PROBE_TERMS))
+        .groupBy(F.col("token").alias("term"))
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    return est.join(exact, "term", "left").select(
+        "term",
+        "cms_count",
+        F.coalesce("exact_count", F.lit(0)).alias("exact_count"),
+    )
+
+
+def _sql_cms_heavy_hitters() -> str:
+    terms = ", ".join(f"('{t}')" for t in CMS_PROBE_TERMS)
+    h = "CAST('0x' || substr(md5('cms' || CAST(d AS VARCHAR) || ':' || {v}), 1, 14) AS BIGINT) % 32"
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(text), '[^a-z0-9'']+')) AS token
+  FROM documents),
+tk AS (SELECT token FROM toks WHERE token <> ''),
+ds AS (SELECT unnest(range(0, 3)) AS d),
+sk AS (
+  SELECT d, {h.format(v='token')} AS bucket, COUNT(*) AS cnt
+  FROM tk CROSS JOIN ds GROUP BY 1, 2),
+terms(term) AS (VALUES {terms}),
+probes AS (
+  SELECT term, d, {h.format(v='term')} AS bucket FROM terms CROSS JOIN ds),
+est AS (
+  SELECT term, MIN(COALESCE(cnt, 0)) AS cms_count
+  FROM probes LEFT JOIN sk USING (d, bucket) GROUP BY 1),
+ex AS (SELECT token AS term, COUNT(*) AS exact_count FROM tk GROUP BY 1)
+SELECT term, CAST(cms_count AS BIGINT) AS cms_count,
+       CAST(COALESCE(exact_count, 0) AS BIGINT) AS exact_count
+FROM est LEFT JOIN ex USING (term)
+"""
+
+
 QUERIES: dict[str, Callable] = {
     "emf_dim_hash_group": q_dim_hash_group,
     "emf_value_count_hist": q_value_count_hist,
@@ -2193,6 +2247,7 @@ QUERIES: dict[str, Callable] = {
     "tpch_order_priority_check": q_tpch_order_priority_check,
     "tpch_forecast_revenue": q_tpch_forecast_revenue,
     "tpch_priority_line_mix": q_tpch_priority_line_mix,
+    "emf_cms_heavy_hitters": q_emf_cms_heavy_hitters,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2253,4 +2308,5 @@ ORACLE_SQL: dict[str, str] = {
     "tpch_order_priority_check": SQL_TPCH_ORDER_PRIORITY,
     "tpch_forecast_revenue": SQL_TPCH_FORECAST_REVENUE,
     "tpch_priority_line_mix": SQL_TPCH_PRIORITY_LINE_MIX,
+    "emf_cms_heavy_hitters": _sql_cms_heavy_hitters(),
 }

@@ -80,3 +80,21 @@ def test_vocab_topk_deterministic_ties(spark):
     assert [(r["rank"], r["token"], r["cnt"]) for r in rows] == [
         (1, "a", 2), (2, "b", 2), (3, "c", 2), (4, "d", 2),
     ]
+
+
+def test_cms_overestimates_never_under(spark):
+    from emf_spark.datax.sketches import cms_build, cms_estimate
+
+    vals = [("a",)] * 7 + [("b",)] * 3 + [("c",)] * 1
+    df = spark.createDataFrame(vals, ["v"])
+    # tight sketch: collisions likely -> estimate >= exact always
+    sk = cms_build(df, "v", depth=3, width=2)
+    est = {r["term"]: r["cms_count"] for r in
+           cms_estimate(sk, ["a", "b", "c", "missing"], depth=3, width=2).collect()}
+    assert est["a"] >= 7 and est["b"] >= 3 and est["c"] >= 1
+    assert est["missing"] >= 0
+    # wide sketch: no collisions -> exact, and absent term is exactly 0
+    sk2 = cms_build(df, "v", depth=4, width=4096)
+    est2 = {r["term"]: r["cms_count"] for r in
+            cms_estimate(sk2, ["a", "b", "c", "missing"], depth=4, width=4096).collect()}
+    assert est2 == {"a": 7, "b": 3, "c": 1, "missing": 0}

@@ -254,3 +254,49 @@ def test_zorder_key_width_guard(spark):
 
     with pytest.raises(ValueError, match="<= 63"):
         storage.zorder_key(["a", "b", "c", "d"], bits=16)
+
+
+def test_pii_scrub_is_map_only(spark):
+    """The scrubber must stay a pure narrow map over the scan: no
+    Exchange, no Python eval — regexes inside whole-stage codegen."""
+    from emf_spark.datax.pii import pii_scrub
+
+    df = spark.createDataFrame([("a@b.co x",)], ["text"])
+    p = plan_of(pii_scrub(df), "simple")
+    assert "Exchange" not in p
+    assert "Python" not in p
+
+
+def test_vocab_topk_windows_after_aggregation(spark):
+    """The single-partition rank window must sit ABOVE the token-count
+    aggregate (vocab cardinality), never over the raw exploded tokens
+    (corpus cardinality)."""
+    from emf_spark.datax.textstats import vocab_topk
+
+    df = spark.createDataFrame([("a b c",)], ["text"])
+    p = plan_of(vocab_topk(df), "formatted")
+    assert p.index("Window") < p.index("HashAggregate")  # formatted prints top-down
+
+
+def test_tpch_forecast_revenue_pushes_all_predicates(spark):
+    """Q6 is the pushdown poster child: shipdate range AND quantity
+    bound must reach the parquet scan, and the scan must not read
+    columns beyond the 4 used."""
+    from emf_spark import driver_queries as dq
+
+    p = plan_of(dq.QUERIES["tpch_forecast_revenue"](spark, "/root/testdata/sf0.001"))
+    assert "GreaterThanOrEqual(l_shipdate" in p
+    assert "LessThan(l_quantity,24.0)" in p.replace(" ", "")
+    import re
+
+    read = re.search(r"ReadSchema: struct<([^>]*)>", p).group(1)
+    cols = {c.split(":")[0] for c in read.split(",")}
+    assert cols == {"l_shipdate", "l_quantity", "l_extendedprice", "l_discount"}
+
+
+def test_tpch_order_priority_is_semi_join(spark):
+    from emf_spark import driver_queries as dq
+
+    p = plan_of(dq.QUERIES["tpch_order_priority_check"](spark, "/root/testdata/sf0.001"))
+    assert "LeftSemi" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p

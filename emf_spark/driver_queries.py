@@ -2138,6 +2138,45 @@ GROUP BY 1
 """
 
 
+def q_dedup_cluster_labels(spark, sf):
+    """Connected components over the minhash near-dup pairs
+    (dedup_clusters: hash-to-min + pointer jump to fixpoint). The r2
+    advisor found hub-shaped components silently splitting here — this
+    query pins the FIXED semantics end to end against a DuckDB
+    recursive-CTE transitive closure, so any future regression to
+    forest-only propagation hash-fails the gate."""
+    from emf_spark.datax import dedup as dd
+
+    d = _t(spark, sf, "documents")
+    pairs = dd.minhash_near_duplicates(
+        d,
+        num_perm=32,
+        bands=8,
+        threshold=0.8,
+        word_hash=dd.portable_word_hash,
+        max_bucket=1_000_000,
+    )
+    labels = dd.dedup_clusters(pairs)
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("root").alias("cluster")
+    ).orderBy("doc_id")
+
+
+def _sql_dedup_cluster_labels() -> str:
+    pairs = _sql_dedup_minhash()
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster
+FROM reach GROUP BY a ORDER BY doc_id
+"""
+
+
 CMS_PROBE_TERMS = ["the", "table", "fast", "spark", "zzz"]
 
 
@@ -2248,6 +2287,7 @@ QUERIES: dict[str, Callable] = {
     "tpch_forecast_revenue": q_tpch_forecast_revenue,
     "tpch_priority_line_mix": q_tpch_priority_line_mix,
     "emf_cms_heavy_hitters": q_emf_cms_heavy_hitters,
+    "dedup_cluster_labels": q_dedup_cluster_labels,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2309,4 +2349,5 @@ ORACLE_SQL: dict[str, str] = {
     "tpch_forecast_revenue": SQL_TPCH_FORECAST_REVENUE,
     "tpch_priority_line_mix": SQL_TPCH_PRIORITY_LINE_MIX,
     "emf_cms_heavy_hitters": _sql_cms_heavy_hitters(),
+    "dedup_cluster_labels": _sql_dedup_cluster_labels(),
 }

@@ -143,6 +143,38 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_sliding_window(spark, sf):
+    """W1 extension: hopping window via Spark's native F.window
+    (size 2h, slide 1h — every event lands in exactly two windows).
+    The oracle replicates the epoch-aligned window set with a
+    range(0,2) cross join."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp("w.start").cast("bigint").alias("window_start"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+SQL_SLIDING_WINDOW = """
+SELECT (CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) - k) * 3600 AS window_start,
+       event_type, COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sum_value
+FROM events CROSS JOIN (SELECT unnest(range(0, 2)) AS k) ks
+GROUP BY 1, 2
+"""
+
+
 def q_session_window(spark, sf):
     """Gap-based session windows (W-family beyond the reference's
     tumbling flush): per-user sessions with a 30-minute inactivity gap
@@ -2238,6 +2270,7 @@ QUERIES: dict[str, Callable] = {
     "emf_seh_representative": q_seh_representative,
     "emf_tumbling_window": q_tumbling_window,
     "emf_session_window": q_session_window,
+    "emf_sliding_window": q_sliding_window,
     "emf_broadcast_enrich": q_broadcast_enrich,
     "emf_route_fanout": q_route_fanout,
     "emf_malformed_filter": q_malformed_filter,
@@ -2297,6 +2330,7 @@ ORACLE_SQL: dict[str, str] = {
     "emf_seh_representative": SQL_SEH_REPRESENTATIVE,
     "emf_tumbling_window": SQL_TUMBLING_WINDOW,
     "emf_session_window": SQL_SESSION_WINDOW,
+    "emf_sliding_window": SQL_SLIDING_WINDOW,
     "emf_broadcast_enrich": SQL_BROADCAST_ENRICH,
     "emf_route_fanout": SQL_ROUTE_FANOUT,
     "emf_malformed_filter": SQL_MALFORMED_FILTER,

@@ -24,6 +24,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _fan(spark: SparkSession, df: DataFrame, mult: int = 2) -> DataFrame:
+    """Round-robin fan-out for single-file scans feeding CPU-heavy
+    hashing/regex chains: Spark splits scans by BYTES, which
+    underestimates per-row compute, so a one-file table otherwise runs
+    the whole map side on one core (measured 6.7s -> sub-second on the
+    embedding-dedup cosine stage). No-op when the scan already fans
+    wide; results of every caller are partition-independent by
+    construction (deterministic caps/folds), so this is pure layout."""
+    target = spark.sparkContext.defaultParallelism * mult
+    return df.repartition(target) if df.rdd.getNumPartitions() < target else df
+
+
 # ---------------------------------------------------------------------------
 # EMF-core operators (SURVEY.md §2) over the testdata star schema
 # ---------------------------------------------------------------------------
@@ -611,12 +623,7 @@ def q_grok_accesslog(spark, sf):
     recursively, logstash-style (VERDICT r2 item 6)."""
     from emf_spark.operators.grok import grok_extract
 
-    ev = _t(spark, sf, "events")
-    # single-file scan + CPU-heavy regex: fan out first (byte-split
-    # underestimates regex rows, same rule as the tokenize chain)
-    target = spark.sparkContext.defaultParallelism * 2
-    if ev.rdd.getNumPartitions() < target:
-        ev = ev.repartition(target)
+    ev = _fan(spark, _t(spark, sf, "events"))
     method = (
         F.when(F.col("event_type") == "view", "GET")
         .when(F.col("event_type") == "purchase", "POST")
@@ -748,13 +755,7 @@ def _ns_corpus_tokenized(spark, sf):
     built from the events table (to_json render + tokenize UDF)."""
     from emf_spark.tokenizer import tokenize_udf
 
-    ev = _t(spark, sf, "events")
-    # sf parquet is a single file: fan out before the CPU-heavy
-    # tokenize/parse chain (same skinny-input rule as pipeline.run —
-    # measured 1-core execution otherwise)
-    target = spark.sparkContext.defaultParallelism * 2
-    if ev.rdd.getNumPartitions() < target:
-        ev = ev.repartition(target)
+    ev = _fan(spark, _t(spark, sf, "events"))
     payload = F.to_json(
         F.struct(
             F.struct(
@@ -848,12 +849,7 @@ def q_emf_namespace_keyed(spark, sf):
         spark, sf, "nskeyed", "events",
         lambda: _ns_corpus_tokenized(spark, sf),
     )
-    tok = spark.read.parquet(staged)
-    # token arrays are fat: a byte-split scan underestimates the CPU of
-    # the parse chain — keep >= 2x cores of parallelism
-    target = spark.sparkContext.defaultParallelism * 2
-    if tok.rdd.getNumPartitions() < target:
-        tok = tok.repartition(target)
+    tok = _fan(spark, spark.read.parquet(staged))
     parsed = parse_op.parse_emf(with_payload(tok)).filter(F.col("valid"))
     windowed = agg.with_window(parsed, window_ms=3_600_000)
     obs = agg.explode_observations(windowed, key_by_namespace=True)

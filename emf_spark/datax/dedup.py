@@ -626,3 +626,103 @@ def decontaminate(
         F.count_distinct("h").alias("matching_shingles"),
         F.count_distinct("test_id").alias("test_docs"),
     )
+
+
+def write_signature_store(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    shingle_k: int = 3,
+    seed: int = 42,
+    word_hash=None,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize minhash signatures (id, sig:array<bigint>) to parquet.
+
+    The signature store is the incremental-ingest primitive: shingling +
+    permutation minima are ~all of minhash's cost, and they are a pure
+    per-document function — at 100 TB you compute them once per document
+    lifetime, not once per dedup pass. Store rows are tiny
+    (num_perm x 8 bytes) regardless of document size."""
+    minhash_signatures(
+        df, text_col, id_col, num_perm, shingle_k, seed, word_hash
+    ).write.mode(mode).parquet(path)
+
+
+def minhash_incremental(
+    new_df: DataFrame,
+    store_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    shingle_k: int = 3,
+    seed: int = 42,
+    word_hash=None,
+    max_bucket: int = 200,
+    update_store: bool = True,
+) -> DataFrame:
+    """Near-dup pairs of a NEW batch against (store ∪ batch): only the
+    new documents are shingled; stored documents participate via their
+    persisted signatures (band keys re-derive from the sig array — a
+    cheap slice+hash, no text access).
+
+    Returns (id_a, id_b, est_jaccard) pairs with AT LEAST ONE new side
+    (old-old pairs were reported when those documents were new), so
+    ingest-run outputs union to exactly the full-corpus pair set when
+    ids are batch-monotonic and buckets stay under ``max_bucket``
+    (cap-bound buckets pair against the first members BY ID, so a
+    later batch cannot retroactively change an earlier run's pairing —
+    the incremental union is then a superset-consistent cover; pinned
+    by the parity pytest). ``pre_dedupe_exact`` is deliberately absent:
+    exact-dup collapse needs the old TEXT, which the store does not
+    carry — run exact_dedup upstream of ingest instead.
+
+    ``update_store`` appends the batch's signatures, making the call
+    the whole per-ingest dedup step."""
+    spark = new_df.sparkSession
+    new_sigs = minhash_signatures(
+        new_df, text_col, id_col, num_perm, shingle_k, seed, word_hash
+    ).persist()
+    try:
+        old_sigs = spark.read.parquet(store_path)
+    except Exception:  # first ingest: empty store
+        old_sigs = spark.createDataFrame([], new_sigs.schema)
+    sigs = old_sigs.union(new_sigs)
+    new_ids = new_sigs.select(F.col("id").alias("_nid")).distinct()
+    pairs = lsh_candidate_pairs(sigs, bands, max_bucket)
+    # keep pairs with >= 1 new side; new ids broadcast (a batch is
+    # small next to the store)
+    pairs = (
+        pairs.join(
+            F.broadcast(new_ids), pairs.id_a == F.col("_nid"), "left"
+        )
+        .withColumnRenamed("_nid", "_na")
+        .join(F.broadcast(new_ids), pairs.id_b == F.col("_nid"), "left")
+        .filter(F.col("_na").isNotNull() | F.col("_nid").isNotNull())
+        .select("id_a", "id_b")
+    )
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    est = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "est_jaccard",
+            F.size(
+                F.filter(
+                    F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                    lambda eq: eq,
+                )
+            )
+            / F.size("sig_a"),
+        )
+        .select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+    if update_store:
+        new_sigs.write.mode("append").parquet(store_path)
+    return est

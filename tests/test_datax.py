@@ -653,3 +653,43 @@ def test_real_feature_wav_with_data_bytes_in_samples():
     assert ns == 6 and sa == int(np.abs(s.astype(np.int64)).sum())
     v = multimodal._real_feature(wav)
     assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-5
+
+
+def test_minhash_incremental_matches_full(spark, tmp_path):
+    """Ingest-run union == full-corpus pairs: two batches through the
+    signature store (only the new batch is ever shingled) must produce
+    exactly the pairs a from-scratch run over the whole corpus finds."""
+    from emf_spark.datax import dedup as dd
+
+    base = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu",
+        "one two three four five six seven eight nine ten eleven twelve",
+        "red green blue cyan magenta yellow black white gray pink teal navy",
+    ]
+    rows = []
+    for i in range(30):
+        fam = base[i % 3]
+        words = fam.split()
+        words[-1] = f"tail{i // 3 % 2}"  # two variants per family
+        rows.append((i, " ".join(words)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    kw = dict(num_perm=32, bands=8, threshold=0.5, max_bucket=1_000_000)
+    full = {
+        (r["id_a"], r["id_b"], r["est_jaccard"])
+        for r in dd.minhash_near_duplicates(
+            df, pre_dedupe_exact=False, **kw
+        ).collect()
+    }
+    assert len(full) > 20  # non-vacuous: families produce real pairs
+    store = str(tmp_path / "sigstore")
+    b1 = df.filter(F.col("doc_id") < 15)
+    b2 = df.filter(F.col("doc_id") >= 15)
+    inc = set()
+    for b in (b1, b2):
+        inc |= {
+            (r["id_a"], r["id_b"], r["est_jaccard"])
+            for r in dd.minhash_incremental(b, store, **kw).collect()
+        }
+    assert inc == full
+    # the store now carries every signature exactly once
+    assert spark.read.parquet(store).count() == 30

@@ -98,3 +98,20 @@ def test_cms_overestimates_never_under(spark):
     est2 = {r["term"]: r["cms_count"] for r in
             cms_estimate(sk2, ["a", "b", "c", "missing"], depth=4, width=4096).collect()}
     assert est2 == {"a": 7, "b": 3, "c": 1, "missing": 0}
+
+
+def test_compact_parquet_collapses_small_files(spark, tmp_path):
+    from emf_spark.operators.storage import compact_parquet
+
+    src = str(tmp_path / "many")
+    spark.range(0, 10_000).withColumnRenamed("id", "v").repartition(
+        40
+    ).write.parquet(src)
+    import glob
+
+    assert len(glob.glob(src + "/*.parquet")) == 40
+    out = str(tmp_path / "few")
+    n = compact_parquet(spark, src, out, target_mb=128)
+    assert n == 1 == len(glob.glob(out + "/*.parquet"))
+    a = {r["v"] for r in spark.read.parquet(out).collect()}
+    assert a == set(range(10_000))

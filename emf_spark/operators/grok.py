@@ -88,6 +88,41 @@ GROK_PATTERNS: dict[str, str] = {
     "DATESTAMP_RFC822": "%{DAY} %{MONTH} %{MONTHDAY} %{YEAR} %{TIME} %{TZ}",
     "TZ": r"(?:[A-Z]{3,4}|[+-]\d{4})",
     "DATESTAMP_EVENTLOG": r"\d{14}",
+    # more network atoms
+    "CIDR": "%{IPV4}/\\d{1,2}",
+    "MACADDR": "%{MAC}",
+    "PORT": r"\b(?:[1-9]\d{0,3}|[1-5]\d{4}|6[0-4]\d{3}|65[0-4]\d{2}|655[0-2]\d|6553[0-5])\b",
+    "URIPROTO": r"[A-Za-z][A-Za-z0-9+.-]*",
+    "URIHOST": "%{IPORHOST}(?::%{POSINT})?",
+    "URI": "%{URIPROTO}://(?:%{USER}(?::[^@]*)?@)?%{URIHOST}(?:%{URIPATHPARAM})?",
+    # date/time variants
+    "DATESTAMP_RFC2822": "%{DAY}, %{MONTHDAY} %{MONTH} %{YEAR} %{TIME} %{ISO8601_TIMEZONE}",
+    "DATESTAMP_OTHER": "%{DAY} %{MONTH} %{MONTHDAY} %{TIME} %{TZ} %{YEAR}",
+    "HTTPDERROR_DATE": "%{DAY} %{MONTH} %{MONTHDAY} %{TIME} %{YEAR}",
+    # syslog 5424 (structured syslog; PRI/version/ids)
+    "SYSLOG5424PRI": r"<\d{1,3}>",
+    "NONNEGINT_OR_DASH": r"(?:-|\b[0-9]+\b)",
+    "SYSLOG5424SD": r"\[.*?\]|-",
+    "SYSLOG5424BASE": (
+        r"%{SYSLOG5424PRI:syslog5424_pri}%{NONNEGINT:syslog5424_ver} "
+        r"(?:-|%{TIMESTAMP_ISO8601:syslog5424_ts}) (?:-|%{IPORHOST:syslog5424_host}) "
+        r"(?:-|%{PROG:syslog5424_app}) (?:-|%{POSINT:syslog5424_proc}) "
+        r"(?:-|%{WORD:syslog5424_msgid}) (?:%{SYSLOG5424SD:syslog5424_sd}|-)"
+    ),
+    "SYSLOG5424LINE": "%{SYSLOG5424BASE} +%{GREEDYDATA:syslog5424_msg}",
+    # app/infra composites (public logstash shapes)
+    "JAVACLASS": r"(?:[a-zA-Z$_][a-zA-Z$_0-9]*\.)*[a-zA-Z$_][a-zA-Z$_0-9]*",
+    "JAVAFILE": r"(?:[A-Za-z0-9_. -]+)",
+    "JAVASTACKTRACEPART": r"\s+at %{JAVACLASS:class}\.%{WORD:method}\(%{JAVAFILE:file}(?::%{NONNEGINT:line})?\)",
+    "CATALINA_DATESTAMP": "%{MONTH} %{MONTHDAY}, %{YEAR} %{HOUR}:%{MINUTE}:%{SECOND} (?:AM|PM)",
+    "REDISTIMESTAMP": "%{MONTHDAY} %{MONTH} %{TIME}",
+    "REDISLOG": r"\[%{POSINT:pid}\] %{REDISTIMESTAMP:timestamp} \* ",
+    "CRON_ACTION": r"[A-Z ]+",
+    "CRONLOG": "%{SYSLOGBASE} \\(%{USER:user}\\) %{CRON_ACTION:action} \\(%{DATA:message}\\)",
+    "HTTPD_ERRORLOG": (
+        r"\[%{HTTPDERROR_DATE:timestamp}\] \[%{LOGLEVEL:loglevel}\] "
+        r"(?:\[client %{IPORHOST:clientip}\] )?%{GREEDYDATA:message}"
+    ),
     # apache access logs (the two classic library composites)
     "COMMONAPACHELOG": (
         r"%{IPORHOST:clientip} %{USER:ident} %{USER:auth} "

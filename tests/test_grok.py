@@ -188,3 +188,37 @@ def test_single_pass_equals_naive_extraction(spark):
         else:
             expect = ("", None, "", "")
         assert got[l] == expect, (l, got[l], expect)
+
+
+def test_syslog5424_library_pattern(spark):
+    from emf_spark.operators.grok import grok_extract
+
+    line = (
+        '<165>1 2003-10-11T22:14:15.003Z mymachine.example.com evntslog '
+        '1234 ID47 [exampleSDID@32473 iut="3"] An application event log entry'
+    )
+    df = spark.createDataFrame([(line,), ("not syslog",)], ["line"])
+    rows = grok_extract(df, "line", "%{SYSLOG5424LINE}").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["syslog5424_pri"] == "<165>"
+    assert r["syslog5424_host"] == "mymachine.example.com"
+    assert r["syslog5424_app"] == "evntslog"
+    assert r["syslog5424_proc"] == "1234"
+    assert r["syslog5424_sd"] == '[exampleSDID@32473 iut="3"]'
+    assert r["syslog5424_msg"] == "An application event log entry"
+
+
+def test_httpd_errorlog_optional_client(spark):
+    from emf_spark.operators.grok import grok_extract
+
+    lines = [
+        "[Wed Oct 11 14:32:52 2000] [error] [client 127.0.0.1] client denied",
+        "[Wed Oct 11 14:32:53 2000] [notice] caught SIGTERM, shutting down",
+    ]
+    df = spark.createDataFrame([(l,) for l in lines], ["line"])
+    rows = {r["loglevel"]: r for r in
+            grok_extract(df, "line", "%{HTTPD_ERRORLOG}").collect()}
+    assert rows["error"]["clientip"] == "127.0.0.1"
+    assert rows["notice"]["clientip"] == ""  # optional group -> empty
+    assert rows["notice"]["message"] == "caught SIGTERM, shutting down"

@@ -109,6 +109,53 @@ def synth_wav(n_samples: int, rate: int, base: int) -> bytes:
     )
 
 
+def synth_bmp(width: int, height: int, base: int) -> bytes:
+    """Deterministic 24bpp BI_RGB bottom-up BMP: pixel byte i (in raster
+    order, padding excluded) = (base + i) % 256."""
+    import struct
+
+    stride = (width * 3 + 3) // 4 * 4
+    px = ((np.arange(width * height * 3, dtype=np.int64) + base) % 256).astype(
+        np.uint8
+    ).reshape(height, width * 3)
+    rows = np.zeros((height, stride), dtype=np.uint8)
+    rows[:, : width * 3] = px
+    raster = rows.tobytes()
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(raster), 2835, 2835, 0, 0
+    )
+    off = 14 + len(dib)
+    hdr = b"BM" + struct.pack("<IHHI", off + len(raster), 0, 0, off)
+    return hdr + dib + raster
+
+
+def _decode_bmp(payload: bytes):
+    """(width, height, n_units, value_sum) from a 24bpp uncompressed
+    BMP — header-driven walk (pixel offset from the file header, stride
+    padding stripped per row; negative height = top-down, same sum)."""
+    import struct
+
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("not a BMP")
+    (off,) = struct.unpack("<I", payload[10:14])
+    dib_size, w, h = struct.unpack("<Iii", payload[14:26])
+    planes, bpp = struct.unpack("<HH", payload[26:30])
+    (compression,) = struct.unpack("<I", payload[30:34])
+    if dib_size < 40 or planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError("only 24bpp BI_RGB supported")
+    h_abs = abs(h)
+    if w <= 0 or h_abs == 0:
+        raise ValueError("bad dimensions")
+    stride = (w * 3 + 3) // 4 * 4
+    if off + stride * h_abs > len(payload):
+        raise ValueError("truncated raster")
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h_abs, offset=off
+    ).reshape(h_abs, stride)[:, : w * 3]
+    n = w * h_abs * 3
+    return w, h_abs, n, int(rows.astype(np.int64).sum())
+
+
 def _ppm_raster(payload: bytes):
     """(width, height, n_units, raster_offset) from a P6 header walk —
     the one place that knows where pixels start (slicing from the END
@@ -204,6 +251,9 @@ def decode_media(df: DataFrame) -> DataFrame:
                     if p.startswith(b"P6"):
                         w, h, n, vs = _decode_ppm(p)
                         rows.append((media_id, kind, "ppm", w, h, None, n, vs, len(p)))
+                    elif p[:2] == b"BM":
+                        w, h, n, vs = _decode_bmp(p)
+                        rows.append((media_id, kind, "bmp", w, h, None, n, vs, len(p)))
                     elif p[:4] == b"RIFF":
                         _, ns, dur, sa = _decode_wav(p)
                         rows.append(

@@ -693,3 +693,31 @@ def test_minhash_incremental_matches_full(spark, tmp_path):
     assert inc == full
     # the store now carries every signature exactly once
     assert spark.read.parquet(store).count() == 30
+
+
+def test_bmp_decode_roundtrip(spark):
+    """24bpp BMP: stride padding excluded from sums; top-down (negative
+    height) decodes identically; truncated raster degrades to unknown."""
+    import struct
+
+    from emf_spark.datax import multimodal
+
+    w, h, base = 5, 3, 7  # w*3=15 -> stride 16 (padding exercised)
+    p = multimodal.synth_bmp(w, h, base)
+    topdown = bytearray(p)
+    topdown[22:26] = struct.pack("<i", -h)
+    media = spark.createDataFrame(
+        [
+            ("up", "image", p),
+            ("down", "image", bytes(topdown)),
+            ("trunc", "image", p[:-8]),
+        ],
+        "media_id string, kind string, payload binary",
+    )
+    got = {r["media_id"]: r for r in multimodal.decode_media(media).collect()}
+    want_sum = sum((base + i) % 256 for i in range(w * h * 3))
+    for mid in ("up", "down"):
+        r = got[mid]
+        assert (r["format"], r["width"], r["height"]) == ("bmp", w, h)
+        assert (r["n_units"], r["value_sum"]) == (w * h * 3, want_sum)
+    assert got["trunc"]["format"] == "unknown"

@@ -40,6 +40,10 @@ def datax_main(argv) -> int:
     python -m emf_spark.cli datax decontaminate --train T --test E --out O [--k 13]
     python -m emf_spark.cli datax textstats --docs D --out O
     python -m emf_spark.cli datax ann-buckets --embeddings E --out O [--n-planes 8]
+    python -m emf_spark.cli datax pii --docs D --out O
+    python -m emf_spark.cli datax vocab --docs D --out O [--k 50000]
+    python -m emf_spark.cli datax dedup-ingest --docs D --store S --out O
+    python -m emf_spark.cli datax compact --path P --out O [--target-mb 128]
     """
     ap = argparse.ArgumentParser(prog="emf_spark.cli datax")
     sub = ap.add_subparsers(dest="op", required=True)
@@ -62,7 +66,26 @@ def datax_main(argv) -> int:
     ab.add_argument("--embeddings", required=True)
     ab.add_argument("--out", required=True)
     ab.add_argument("--n-planes", type=int, default=8)
-    for p in (d, dc, ts, ab):
+    pi = sub.add_parser("pii", help="redact PII, keep per-type match counts")
+    pi.add_argument("--docs", required=True)
+    pi.add_argument("--out", required=True)
+    vo = sub.add_parser("vocab", help="corpus top-k token vocabulary")
+    vo.add_argument("--docs", required=True)
+    vo.add_argument("--out", required=True)
+    vo.add_argument("--k", type=int, default=50_000)
+    ig = sub.add_parser(
+        "dedup-ingest",
+        help="incremental minhash: new batch vs signature store, store updated",
+    )
+    ig.add_argument("--docs", required=True)
+    ig.add_argument("--store", required=True)
+    ig.add_argument("--out", required=True)
+    ig.add_argument("--threshold", type=float, default=0.7)
+    co = sub.add_parser("compact", help="rewrite small parquet files to ~target size")
+    co.add_argument("--path", required=True)
+    co.add_argument("--out", required=True)
+    co.add_argument("--target-mb", type=int, default=128)
+    for p in (d, dc, ts, ab, pi, vo, ig, co):
         p.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args(argv)
     spark = _get_session(args.cpus)
@@ -101,6 +124,35 @@ def datax_main(argv) -> int:
         out = base.join(rep, "doc_id")
         out.write.mode("overwrite").parquet(args.out)
         print(json.dumps({"op": "textstats", "rows": spark.read.parquet(args.out).count()}))
+    elif args.op == "pii":
+        from emf_spark.datax.pii import pii_scrub
+
+        pii_scrub(spark.read.parquet(args.docs)).write.mode("overwrite").parquet(
+            args.out
+        )
+        print(json.dumps({"op": "pii", "rows": spark.read.parquet(args.out).count()}))
+    elif args.op == "vocab":
+        from emf_spark.datax.textstats import vocab_topk
+
+        vocab_topk(spark.read.parquet(args.docs), k=args.k).write.mode(
+            "overwrite"
+        ).parquet(args.out)
+        print(json.dumps({"op": "vocab", "k": args.k,
+                          "rows": spark.read.parquet(args.out).count()}))
+    elif args.op == "dedup-ingest":
+        from emf_spark.datax import dedup as dd
+
+        pairs = dd.minhash_incremental(
+            spark.read.parquet(args.docs), args.store, threshold=args.threshold
+        )
+        pairs.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"op": "dedup-ingest",
+                          "pairs": spark.read.parquet(args.out).count()}))
+    elif args.op == "compact":
+        from emf_spark.operators.storage import compact_parquet
+
+        n = compact_parquet(spark, args.path, args.out, target_mb=args.target_mb)
+        print(json.dumps({"op": "compact", "files": n}))
     else:
         from emf_spark.datax import similarity as sim
 

@@ -115,3 +115,39 @@ def test_compact_parquet_collapses_small_files(spark, tmp_path):
     assert n == 1 == len(glob.glob(out + "/*.parquet"))
     a = {r["v"] for r in spark.read.parquet(out).collect()}
     assert a == set(range(10_000))
+
+
+def test_pii_scrub_equals_python_re_oracle(spark):
+    """Property test: the Spark scrubber must equal a pure-Python
+    re-based oracle applying the same patterns in the same progressive
+    order, on adversarial text mixing PII fragments and near-misses."""
+    import random
+    import re as _re
+
+    rng = random.Random(99)
+    frags = [
+        "a@b.co", "x.y+z@mail.example.org", "@", "a@b", "10.0.0.1",
+        "999.1.2.3", "1.2.3.4.5", "123-45-6789", "123-456-789",
+        "(555) 123-4567", "555 123-4567", "555)123-4567",
+        "4000 1234 5678 9010", "4000-1234-5678-9010", "4000 1234 5678",
+        "word", "w0rd", "-", "(", ")", "12", "1234", ".",
+    ]
+    texts = [
+        " ".join(rng.choice(frags) for _ in range(rng.randrange(0, 8)))
+        for _ in range(120)
+    ]
+
+    def oracle(t: str):
+        counts, cur = {}, t
+        for name, pat, repl in PII_PATTERNS:
+            counts[name] = len(_re.findall(pat, cur))
+            cur = _re.sub(pat, repl, cur)
+        return cur, counts
+
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    got = pii_scrub(df).collect()
+    for r in got:
+        want_red, want_counts = oracle(r["text"])
+        assert r["text_redacted"] == want_red, r["text"]
+        for name in want_counts:
+            assert r[f"n_{name}"] == want_counts[name], (r["text"], name)

@@ -2205,6 +2205,48 @@ FROM reach GROUP BY a ORDER BY doc_id
 """
 
 
+def q_data_snapshot_diff(spark, sf):
+    """Snapshot diff (datax/diff.py): two synthetic versions of the
+    documents table (removals on %11/%13 residues, text edits on %7)
+    -> (doc_id, status). The engine hashes compared columns pre-join
+    (xxhash64) so the shuffle carries (key, hash); the oracle states
+    the SEMANTICS directly (IS DISTINCT FROM per column) — identical
+    output barring a 64-bit hash collision."""
+    from emf_spark.datax.diff import snapshot_diff
+
+    d = _t(spark, sf, "documents")
+    i = F.col("doc_id")
+    old = d.filter(i % 11 != 0).select("doc_id", "text", "source")
+    new = d.filter(i % 13 != 0).select(
+        "doc_id",
+        F.when(i % 7 == 0, F.concat("text", F.lit(" v2")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "source",
+    )
+    return snapshot_diff(old, new, ["doc_id"]).orderBy("doc_id")
+
+
+SQL_DATA_SNAPSHOT_DIFF = """
+WITH oldv AS (
+  SELECT doc_id, text, source FROM documents WHERE doc_id % 11 <> 0),
+newv AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text,
+         source
+  FROM documents WHERE doc_id % 13 <> 0)
+SELECT * FROM (
+  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+         CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'removed'
+              WHEN o.text IS DISTINCT FROM n.text
+                   OR o.source IS DISTINCT FROM n.source THEN 'changed'
+         END AS status
+  FROM oldv o FULL OUTER JOIN newv n ON o.doc_id = n.doc_id)
+WHERE status IS NOT NULL ORDER BY doc_id
+"""
+
+
 CMS_PROBE_TERMS = ["the", "table", "fast", "spark", "zzz"]
 
 
@@ -2317,6 +2359,7 @@ QUERIES: dict[str, Callable] = {
     "tpch_priority_line_mix": q_tpch_priority_line_mix,
     "emf_cms_heavy_hitters": q_emf_cms_heavy_hitters,
     "dedup_cluster_labels": q_dedup_cluster_labels,
+    "data_snapshot_diff": q_data_snapshot_diff,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2380,4 +2423,5 @@ ORACLE_SQL: dict[str, str] = {
     "tpch_priority_line_mix": SQL_TPCH_PRIORITY_LINE_MIX,
     "emf_cms_heavy_hitters": _sql_cms_heavy_hitters(),
     "dedup_cluster_labels": _sql_dedup_cluster_labels(),
+    "data_snapshot_diff": SQL_DATA_SNAPSHOT_DIFF,
 }

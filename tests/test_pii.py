@@ -151,3 +151,20 @@ def test_pii_scrub_equals_python_re_oracle(spark):
         assert r["text_redacted"] == want_red, r["text"]
         for name in want_counts:
             assert r[f"n_{name}"] == want_counts[name], (r["text"], name)
+
+
+def test_snapshot_diff_null_positions_and_statuses(spark):
+    from emf_spark.datax.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, None, "b"), (2, "x", "y"), (3, "k", "l")],
+        ["id", "a", "b"],
+    )
+    new = spark.createDataFrame(
+        [(1, "b", None), (2, "x", "y"), (4, "n", "m")],
+        ["id", "a", "b"],
+    )
+    got = {r["id"]: r["status"] for r in snapshot_diff(old, new, ["id"]).collect()}
+    # id 1: (null,'b') vs ('b',null) MUST read as changed (nulls are
+    # position-sensitive in the compare hash); id 2 unchanged -> absent
+    assert got == {1: "changed", 3: "removed", 4: "added"}

@@ -2247,6 +2247,131 @@ WHERE status IS NOT NULL ORDER BY doc_id
 """
 
 
+def q_tpch_returned_item_revenue(spark, sf):
+    """TPC-H Q10 shape: revenue lost to returned items per customer,
+    top 20. Three joins (lineitem⋈orders shuffle on orderkey; customer
+    and nation broadcast — dimension sides), integer-e4 revenue
+    (cents x (100 - discount-pct)) so the sum is partitioning-exact,
+    deterministic top-k tie-break on custkey."""
+    o = _t(spark, sf, "orders")
+    l = _t(spark, sf, "lineitem")
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    rev = (
+        F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+    )
+    agg = (
+        l.filter(F.col("l_returnflag") == "R")
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).alias("revenue_e4"))
+    )
+    w = Window.orderBy(F.col("revenue_e4").desc(), F.col("c_custkey").asc())
+    return (
+        agg.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("c_custkey", "c_name", "n_name", "revenue_e4", "rk")
+    )
+
+
+SQL_TPCH_RETURNED_ITEM_REVENUE = """
+WITH agg AS (
+  SELECT c_custkey, c_name, n_name,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT)
+           AS revenue_e4
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+  GROUP BY 1, 2, 3)
+SELECT c_custkey, c_name, n_name, revenue_e4,
+       CAST(ROW_NUMBER() OVER (ORDER BY revenue_e4 DESC, c_custkey ASC) AS INT) AS rk
+FROM agg ORDER BY revenue_e4 DESC, c_custkey ASC LIMIT 20
+"""
+
+
+def q_tpch_promo_revenue(spark, sf):
+    """TPC-H Q14 shape: promo-parts share of 1997 revenue. lineitem
+    shuffles once on partkey against the broadcast part dim; exact
+    integer-e4 sums, ONE double division after aggregation."""
+    l = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part")
+    rev = (
+        F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+    )
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0)).alias(
+                "promo_e4"
+            ),
+            F.sum(rev).alias("total_e4"),
+        )
+        .select(
+            "promo_e4",
+            "total_e4",
+            F.round(F.col("promo_e4") / F.col("total_e4"), 6).alias("promo_share"),
+        )
+    )
+
+
+SQL_TPCH_PROMO_REVENUE = """
+WITH j AS (
+  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+         * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS rev, p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01')
+SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS BIGINT) AS promo_e4,
+       CAST(SUM(rev) AS BIGINT) AS total_e4,
+       ROUND(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END)
+             / CAST(SUM(rev) AS DOUBLE), 6) AS promo_share
+FROM j
+"""
+
+
+def q_emf_moving_avg(spark, sf):
+    """Frame-based analytic window (beyond rank/row_number): 4-row
+    moving average of event values per type, ordered by the UNIQUE
+    (ts, event_id) pair — a frame over a nondeterministic order would
+    be partition-layout-dependent; the tie-break makes the fold order
+    (and hence the double sum) bit-identical on both engines."""
+    ev = _t(spark, sf, "events").filter(F.col("user_id") % 50 == 0)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, 0)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.unix_timestamp("ts").cast("bigint").alias("ts_epoch"),
+        F.round(F.avg("value").over(w), 6).alias("mavg4"),
+    )
+
+
+SQL_EMF_MOVING_AVG = """
+SELECT event_id, event_type,
+       -- FLOOR, not bare CAST: EPOCH returns fractional seconds and
+       -- DuckDB's double->bigint cast ROUNDS, while Spark's
+       -- unix_timestamp truncates
+       CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_epoch,
+       ROUND(AVG(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS mavg4
+FROM events WHERE user_id % 50 = 0
+"""
+
+
 CMS_PROBE_TERMS = ["the", "table", "fast", "spark", "zzz"]
 
 
@@ -2360,6 +2485,9 @@ QUERIES: dict[str, Callable] = {
     "emf_cms_heavy_hitters": q_emf_cms_heavy_hitters,
     "dedup_cluster_labels": q_dedup_cluster_labels,
     "data_snapshot_diff": q_data_snapshot_diff,
+    "tpch_returned_item_revenue": q_tpch_returned_item_revenue,
+    "tpch_promo_revenue": q_tpch_promo_revenue,
+    "emf_moving_avg": q_emf_moving_avg,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2424,4 +2552,7 @@ ORACLE_SQL: dict[str, str] = {
     "emf_cms_heavy_hitters": _sql_cms_heavy_hitters(),
     "dedup_cluster_labels": _sql_dedup_cluster_labels(),
     "data_snapshot_diff": SQL_DATA_SNAPSHOT_DIFF,
+    "tpch_returned_item_revenue": SQL_TPCH_RETURNED_ITEM_REVENUE,
+    "tpch_promo_revenue": SQL_TPCH_PROMO_REVENUE,
+    "emf_moving_avg": SQL_EMF_MOVING_AVG,
 }

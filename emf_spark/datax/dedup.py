@@ -346,6 +346,10 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             .groupBy(F.col("id_a").alias("id"))
             .agg(F.min("_nroot").alias("_minnbr"))
         )
+        # lazy checkpoint: still cuts lineage (the 4^k plan growth),
+        # but materializes inside nxt's single eager job instead of
+        # running its own — one job per iteration, not three (the
+        # double reference below resolves to the one checkpointed RDD)
         merged = (
             labels.join(nbr, "id", "left")
             .select(
@@ -355,7 +359,7 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
                     F.col("root"), F.coalesce(F.col("_minnbr"), F.col("root"))
                 ).alias("root"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         # pointer jump: root <- root(root), squares propagation distance
         jump = merged.select(

@@ -730,3 +730,54 @@ def minhash_incremental(
     if update_store:
         new_sigs.write.mode("append").parquet(store_path)
     return est
+
+
+def exact_dedup_incremental(
+    new_df: DataFrame,
+    store_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    update_store: bool = True,
+) -> DataFrame:
+    """Per-ingest exact dedup against a content-hash store: returns the
+    new batch's rows tagged ``is_dup`` (true if the normalized text was
+    already in the store OR earlier in the batch by min id) plus the
+    surviving representative's ``keep_id``. The exact-dedup counterpart
+    of minhash_incremental — together they make the whole dedup family
+    ingest-shaped (hash the batch, one join against (content_hash,
+    keep_id) store rows, append the batch's NEW hashes).
+
+    The store never stores text: (content_hash, keep_id) rows only, so
+    at 100 TB the store is ~48 bytes/distinct-doc and the join ships
+    hashes."""
+    spark = new_df.sparkSession
+    hashed = new_df.select(
+        F.col(id_col).alias("id"),
+        F.md5(normalized(F.col(text_col))).alias("content_hash"),
+    )
+    # min id per hash WITHIN the batch (batch-internal dup structure)
+    batch_min = hashed.groupBy("content_hash").agg(F.min("id").alias("_bmin"))
+    try:
+        store = spark.read.parquet(store_path)
+    except Exception:  # first ingest
+        store = spark.createDataFrame(
+            [], "content_hash string, keep_id bigint"
+        )
+    j = (
+        hashed.join(batch_min, "content_hash")
+        .join(store, "content_hash", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "content_hash",
+            F.coalesce(F.col("keep_id"), F.col("_bmin")).alias("keep_id"),
+        )
+        .withColumn("is_dup", F.col(id_col) != F.col("keep_id"))
+    )
+    if update_store:
+        # append only hashes the store has not seen; keep_id = batch min
+        fresh = (
+            batch_min.join(store, "content_hash", "left_anti")
+            .select("content_hash", F.col("_bmin").alias("keep_id"))
+        )
+        fresh.write.mode("append").parquet(store_path)
+    return j

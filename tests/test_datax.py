@@ -721,3 +721,26 @@ def test_bmp_decode_roundtrip(spark):
         assert (r["format"], r["width"], r["height"]) == ("bmp", w, h)
         assert (r["n_units"], r["value_sum"]) == (w * h * 3, want_sum)
     assert got["trunc"]["format"] == "unknown"
+
+
+def test_exact_dedup_incremental_two_ingests(spark, tmp_path):
+    from emf_spark.datax import dedup as dd
+
+    store = str(tmp_path / "hashstore")
+    b1 = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb"), (3, "aaa")], ["doc_id", "text"]
+    )
+    r1 = {r["doc_id"]: (r["is_dup"], r["keep_id"]) for r in
+          dd.exact_dedup_incremental(b1, store).collect()}
+    assert r1 == {1: (False, 1), 2: (False, 2), 3: (True, 1)}
+    # second batch: one dup-vs-store, one batch-internal dup, one new
+    b2 = spark.createDataFrame(
+        [(10, "bbb"), (11, "ccc"), (12, "ccc")], ["doc_id", "text"]
+    )
+    r2 = {r["doc_id"]: (r["is_dup"], r["keep_id"]) for r in
+          dd.exact_dedup_incremental(b2, store).collect()}
+    assert r2 == {10: (True, 2), 11: (False, 11), 12: (True, 11)}
+    # store holds one row per distinct text with the FIRST-seen keeper
+    rows = {r["content_hash"]: r["keep_id"]
+            for r in spark.read.parquet(store).collect()}
+    assert sorted(rows.values()) == [1, 2, 11]

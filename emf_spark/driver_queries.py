@@ -2372,6 +2372,69 @@ FROM events WHERE user_id % 50 = 0
 """
 
 
+def q_text_quality_filter(spark, sf):
+    """Composite C4/Gopher-style keep/drop gate (datax/filtering.py):
+    fixed rule order, first failing rule names the reason; thresholds
+    tuned to this corpus's distributions so multiple reasons fire.
+    Output = (source, reason) doc counts."""
+    from emf_spark.datax import dedup as dd
+    from emf_spark.datax.filtering import quality_filter
+
+    d = _t(spark, sf, "documents")
+    f = quality_filter(
+        d,
+        min_words=20,
+        max_words=90,
+        max_dup_word_frac=0.65,
+        max_dup_line_frac=0.5,
+        max_top_bigram_frac=0.15,
+        min_quality=0.35,
+        word_hash=dd.portable_word_hash,
+    )
+    return f.groupBy("source", "reason").agg(F.count(F.lit(1)).alias("docs"))
+
+
+def _sql_text_quality_filter() -> str:
+    return f"""
+WITH words AS (SELECT doc_id, source, text,
+                      string_split({_NORM_TXT}, ' ') AS w,
+                      string_split(text, chr(10)) AS rawlines
+               FROM documents),
+base AS (
+  SELECT doc_id, source,
+    len(w) AS n_words,
+    ROUND((len(list_distinct(w)) * 1.0 / len(w))
+          * LEAST(LENGTH(text) / 200.0, 1.0), 6) AS quality,
+    CASE WHEN len(w) > 0
+         THEN ROUND(1 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6)
+         ELSE 0.0 END AS dup_word_frac,
+    CASE WHEN len(list_filter(rawlines, l -> trim(l) <> '')) > 0
+         THEN ROUND(1 - CAST(len(list_distinct(list_filter(rawlines, l -> trim(l) <> ''))) AS DOUBLE)
+                    / len(list_filter(rawlines, l -> trim(l) <> '')), 6)
+         ELSE 0.0 END AS dup_line_frac
+  FROM words),
+wh AS (SELECT doc_id, {_SQL_WORD_HASHES} AS wh FROM words),
+bi AS (SELECT doc_id,
+         UNNEST(list_transform(range(1, greatest(len(wh) - 1, 0) + 1),
+                i -> (wh[i] * 1000003 + wh[i + 1]) % {_P31})) AS h
+       FROM wh),
+per AS (SELECT doc_id, h, COUNT(*) AS c FROM bi GROUP BY 1, 2),
+top AS (SELECT doc_id, ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_bigram_frac
+        FROM per GROUP BY 1),
+verdict AS (
+  SELECT source,
+    CASE WHEN n_words < 20 THEN 'too_short'
+         WHEN n_words > 90 THEN 'too_long'
+         WHEN dup_word_frac > 0.65 THEN 'dup_words'
+         WHEN dup_line_frac > 0.5 THEN 'dup_lines'
+         WHEN COALESCE(top_bigram_frac, 0.0) > 0.15 THEN 'repetitive_bigram'
+         WHEN quality < 0.35 THEN 'low_quality'
+         ELSE 'keep' END AS reason
+  FROM base LEFT JOIN top USING (doc_id))
+SELECT source, reason, COUNT(*) AS docs FROM verdict GROUP BY 1, 2
+"""
+
+
 CMS_PROBE_TERMS = ["the", "table", "fast", "spark", "zzz"]
 
 
@@ -2488,6 +2551,7 @@ QUERIES: dict[str, Callable] = {
     "tpch_returned_item_revenue": q_tpch_returned_item_revenue,
     "tpch_promo_revenue": q_tpch_promo_revenue,
     "emf_moving_avg": q_emf_moving_avg,
+    "text_quality_filter": q_text_quality_filter,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2555,4 +2619,5 @@ ORACLE_SQL: dict[str, str] = {
     "tpch_returned_item_revenue": SQL_TPCH_RETURNED_ITEM_REVENUE,
     "tpch_promo_revenue": SQL_TPCH_PROMO_REVENUE,
     "emf_moving_avg": SQL_EMF_MOVING_AVG,
+    "text_quality_filter": _sql_text_quality_filter(),
 }

@@ -168,3 +168,61 @@ def test_snapshot_diff_null_positions_and_statuses(spark):
     # id 1: (null,'b') vs ('b',null) MUST read as changed (nulls are
     # position-sensitive in the compare hash); id 2 unchanged -> absent
     assert got == {1: "changed", 3: "removed", 4: "added"}
+
+
+def test_quality_filter_every_reason_and_order(spark):
+    from emf_spark.datax.filtering import quality_filter
+
+    docs = [
+        (1, "one two three"),                                   # too_short (n<5)
+        (2, " ".join(f"w{i}" for i in range(30))),              # keep
+        (3, "a a a a a a a a a a"),                             # dup_words
+        (4, "l1 x y z q\nl1 x y z q\nl1 x y z q\nl2 a b c d"), # dup_lines? words dup too -> order check
+        (5, "ab " * 9 + "tail"),                                # dup_words fires before bigram
+    ]
+    f = quality_filter(
+        spark.createDataFrame(docs, ["doc_id", "text"]),
+        min_words=5, max_words=1000, max_dup_word_frac=0.6,
+        max_dup_line_frac=0.5, max_top_bigram_frac=0.3, min_quality=0.01,
+    )
+    got = {r["doc_id"]: r["reason"] for r in f.collect()}
+    assert got[1] == "too_short"
+    assert got[2] == "keep"
+    assert got[3] == "dup_words"
+    # doc 4: dup_word_frac = 1 - 10/20 = 0.5, dup_line_frac = 1 - 2/4
+    # = 0.5, top bigram 3/19 — under every threshold here
+    assert got[4] == "keep"
+    assert got[5] == "dup_words"
+    # both dup_words (0.5 > 0.45) and dup_lines (0.5 > 0.4) fail ->
+    # dup_words wins: the FIXED rule order is part of the contract
+    f2a = quality_filter(
+        spark.createDataFrame([docs[3]], ["doc_id", "text"]),
+        min_words=5, max_words=1000, max_dup_word_frac=0.45,
+        max_dup_line_frac=0.4, max_top_bigram_frac=0.9, min_quality=0.01,
+    )
+    assert f2a.collect()[0]["reason"] == "dup_words"
+    # word rule out of the way -> dup_lines surfaces
+    f2 = quality_filter(
+        spark.createDataFrame([docs[3]], ["doc_id", "text"]),
+        min_words=5, max_words=1000, max_dup_word_frac=1.1,
+        max_dup_line_frac=0.4, max_top_bigram_frac=0.9, min_quality=0.01,
+    )
+    assert f2.collect()[0]["reason"] == "dup_lines"
+    # repetitive_bigram: the repeated PAIR dominates (3 of 7 bigrams);
+    # word-dup rule disabled so the bigram rule attributes
+    f3 = quality_filter(
+        spark.createDataFrame(
+            [(9, "red car red car red car blue bike")],
+            ["doc_id", "text"],
+        ),
+        min_words=5, max_words=1000, max_dup_word_frac=1.1,
+        max_dup_line_frac=1.1, max_top_bigram_frac=0.2, min_quality=0.01,
+    )
+    assert f3.collect()[0]["reason"] == "repetitive_bigram"
+    # low_quality: short text -> length ratio shrinks quality
+    f4 = quality_filter(
+        spark.createDataFrame([(10, "aa bb cc dd ee")], ["doc_id", "text"]),
+        min_words=5, max_words=1000, max_dup_word_frac=1.1,
+        max_dup_line_frac=1.1, max_top_bigram_frac=1.1, min_quality=0.5,
+    )
+    assert f4.collect()[0]["reason"] == "low_quality"

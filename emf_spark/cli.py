@@ -127,9 +127,13 @@ def datax_main(argv) -> int:
     elif args.op == "pii":
         from emf_spark.datax.pii import pii_scrub
 
-        pii_scrub(spark.read.parquet(args.docs)).write.mode("overwrite").parquet(
-            args.out
-        )
+        # the scrub COMMAND's output must not carry the raw text — a
+        # "redacted" dataset with the original column still ships every
+        # piece of PII (the library function keeping both is fine; the
+        # CLI dataset is the one consumers treat as clean)
+        pii_scrub(spark.read.parquet(args.docs)).drop("text").write.mode(
+            "overwrite"
+        ).parquet(args.out)
         print(json.dumps({"op": "pii", "rows": spark.read.parquet(args.out).count()}))
     elif args.op == "vocab":
         from emf_spark.datax.textstats import vocab_topk

@@ -287,6 +287,15 @@ def minhash_near_duplicates(
         df, text_col, id_col, num_perm, shingle_k, seed, word_hash
     ).persist()
     pairs = lsh_candidate_pairs(sigs, bands, max_bucket)
+    return _estimate_pairs(sigs, pairs, threshold)
+
+
+def _estimate_pairs(
+    sigs: DataFrame, pairs: DataFrame, threshold: float
+) -> DataFrame:
+    """Signature-estimated Jaccard for candidate (id_a, id_b) pairs —
+    THE one verify implementation shared by the batch and incremental
+    minhash paths (an estimate tweak must land exactly once)."""
     sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
     est = (
@@ -649,10 +658,20 @@ def write_signature_store(
     permutation minima are ~all of minhash's cost, and they are a pure
     per-document function — at 100 TB you compute them once per document
     lifetime, not once per dedup pass. Store rows are tiny
-    (num_perm x 8 bytes) regardless of document size."""
-    minhash_signatures(
+    (num_perm x 8 bytes) regardless of document size. Written
+    partitioned by ``_ingest`` (min id of the frame) — the same layout
+    minhash_incremental maintains, so a bootstrap store and
+    incrementally-grown stores are interchangeable."""
+    sigs = minhash_signatures(
         df, text_col, id_col, num_perm, shingle_k, seed, word_hash
-    ).write.mode(mode).parquet(path)
+    )
+    key = sigs.agg(F.min("id")).collect()[0][0]
+    (
+        sigs.withColumn("_ingest", F.lit(int(key if key is not None else 0)))
+        .write.mode(mode)
+        .partitionBy("_ingest")
+        .parquet(path)
+    )
 
 
 def minhash_incremental(
@@ -685,16 +704,19 @@ def minhash_incremental(
     exact-dup collapse needs the old TEXT, which the store does not
     carry — run exact_dedup upstream of ingest instead.
 
-    ``update_store`` appends the batch's signatures, making the call
-    the whole per-ingest dedup step."""
+    ``update_store`` persists the batch's signatures into a partition
+    keyed by the batch's min id (deterministic per batch) with DYNAMIC
+    partition overwrite — a crashed-and-retried ingest overwrites its
+    own partition instead of double-appending, so the store stays
+    1-row-per-doc under at-least-once execution (same idempotence
+    pattern as the streaming micro-batch writer)."""
     spark = new_df.sparkSession
     new_sigs = minhash_signatures(
         new_df, text_col, id_col, num_perm, shingle_k, seed, word_hash
     ).persist()
-    try:
-        old_sigs = spark.read.parquet(store_path)
-    except Exception:  # first ingest: empty store
-        old_sigs = spark.createDataFrame([], new_sigs.schema)
+    old_sigs = _read_store(
+        spark, store_path, "id bigint, sig array<bigint>", drop=["_ingest"]
+    )
     sigs = old_sigs.union(new_sigs)
     new_ids = new_sigs.select(F.col("id").alias("_nid")).distinct()
     pairs = lsh_candidate_pairs(sigs, bands, max_bucket)
@@ -709,27 +731,40 @@ def minhash_incremental(
         .filter(F.col("_na").isNotNull() | F.col("_nid").isNotNull())
         .select("id_a", "id_b")
     )
-    sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
-    sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
-    est = (
-        pairs.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "est_jaccard",
-            F.size(
-                F.filter(
-                    F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-                    lambda eq: eq,
-                )
-            )
-            / F.size("sig_a"),
-        )
-        .select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
-        .filter(F.col("est_jaccard") >= threshold)
-    )
+    est = _estimate_pairs(sigs, pairs, threshold)
     if update_store:
-        new_sigs.write.mode("append").parquet(store_path)
+        # materialize BEFORE the store write: est's plan reads the
+        # store files, and a retried ingest's dynamic overwrite
+        # replaces that batch's old partition — collecting the lazy
+        # frame afterwards would hit deleted files
+        est = est.localCheckpoint(eager=True)
+        batch_key = new_sigs.agg(F.min("id")).collect()[0][0]
+        if batch_key is not None:
+            (
+                new_sigs.withColumn("_ingest", F.lit(int(batch_key)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_ingest")
+                .parquet(store_path)
+            )
     return est
+
+
+def _read_store(spark, path: str, schema: str, drop: list[str] = ()) -> DataFrame:
+    """Read an incremental-store parquet dir; a MISSING path means
+    first ingest (empty frame of ``schema``), but any other read
+    failure (corrupt footer, permissions) propagates — silently
+    treating a broken store as empty would report zero cross-batch
+    dups and then half-update the store."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        df = spark.read.parquet(path)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "UNABLE_TO_INFER_SCHEMA" in str(e):
+            return spark.createDataFrame([], schema)
+        raise
+    return df.drop(*drop) if drop else df
 
 
 def exact_dedup_incremental(
@@ -749,20 +784,22 @@ def exact_dedup_incremental(
 
     The store never stores text: (content_hash, keep_id) rows only, so
     at 100 TB the store is ~48 bytes/distinct-doc and the join ships
-    hashes."""
+    hashes. The store update is retry-idempotent by construction: only
+    hashes the store has NOT seen append, so a crashed-then-retried
+    ingest finds its own hashes already present and appends nothing."""
     spark = new_df.sparkSession
+    # null text hashes to a sentinel, not to NULL: md5(NULL) is NULL
+    # and inner equality joins drop NULL keys — the null-text rows
+    # would silently vanish from the returned batch (review finding)
     hashed = new_df.select(
         F.col(id_col).alias("id"),
-        F.md5(normalized(F.col(text_col))).alias("content_hash"),
+        F.coalesce(
+            F.md5(normalized(F.col(text_col))), F.lit("__NULL_TEXT__")
+        ).alias("content_hash"),
     )
     # min id per hash WITHIN the batch (batch-internal dup structure)
     batch_min = hashed.groupBy("content_hash").agg(F.min("id").alias("_bmin"))
-    try:
-        store = spark.read.parquet(store_path)
-    except Exception:  # first ingest
-        store = spark.createDataFrame(
-            [], "content_hash string, keep_id bigint"
-        )
+    store = _read_store(spark, store_path, "content_hash string, keep_id bigint")
     j = (
         hashed.join(batch_min, "content_hash")
         .join(store, "content_hash", "left")

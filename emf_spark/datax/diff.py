@@ -43,6 +43,11 @@ def snapshot_diff(
         for c in compare_cols:
             parts.append(F.col(c).isNull())
             parts.append(F.col(c))
+        if not parts:
+            # membership-only diff (no shared non-key columns):
+            # xxhash64() with zero args fails analysis; a constant hash
+            # makes every matched key "unchanged", leaving added/removed
+            parts = [F.lit(0)]
         return df.select(*key_cols, F.xxhash64(*parts).alias(f"_h_{tag}"))
 
     o = keyed(old, "o")

@@ -51,8 +51,15 @@ def quality_filter(
     rep = repetition_stats(df, text_col, id_col, word_hash=word_hash)
     j = df.join(rep.select(id_col, "dup_word_frac", "dup_line_frac",
                            "top_bigram_frac"), id_col)
+    # NULL text must not fall through the rule chain: every predicate
+    # below evaluates to NULL on it (never true), and the otherwise()
+    # would wave a garbage document through the gate (review finding)
     reason = (
-        F.when(n_words < min_words, "too_short")
+        F.when(
+            F.col(text_col).isNull() | (F.trim(F.col(text_col)) == ""),
+            "empty",
+        )
+        .when(n_words < min_words, "too_short")
         .when(n_words > max_words, "too_long")
         .when(F.col("dup_word_frac") > max_dup_word_frac, "dup_words")
         .when(F.col("dup_line_frac") > max_dup_line_frac, "dup_lines")

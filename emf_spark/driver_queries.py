@@ -2401,7 +2401,7 @@ WITH words AS (SELECT doc_id, source, text,
                       string_split(text, chr(10)) AS rawlines
                FROM documents),
 base AS (
-  SELECT doc_id, source,
+  SELECT doc_id, source, text,
     len(w) AS n_words,
     ROUND((len(list_distinct(w)) * 1.0 / len(w))
           * LEAST(LENGTH(text) / 200.0, 1.0), 6) AS quality,
@@ -2423,7 +2423,8 @@ top AS (SELECT doc_id, ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_bigram_f
         FROM per GROUP BY 1),
 verdict AS (
   SELECT source,
-    CASE WHEN n_words < 20 THEN 'too_short'
+    CASE WHEN text IS NULL OR trim(text) = '' THEN 'empty'
+         WHEN n_words < 20 THEN 'too_short'
          WHEN n_words > 90 THEN 'too_long'
          WHEN dup_word_frac > 0.65 THEN 'dup_words'
          WHEN dup_line_frac > 0.5 THEN 'dup_lines'

@@ -101,7 +101,6 @@ GROK_PATTERNS: dict[str, str] = {
     "HTTPDERROR_DATE": "%{DAY} %{MONTH} %{MONTHDAY} %{TIME} %{YEAR}",
     # syslog 5424 (structured syslog; PRI/version/ids)
     "SYSLOG5424PRI": r"<\d{1,3}>",
-    "NONNEGINT_OR_DASH": r"(?:-|\b[0-9]+\b)",
     "SYSLOG5424SD": r"\[.*?\]|-",
     "SYSLOG5424BASE": (
         r"%{SYSLOG5424PRI:syslog5424_pri}%{NONNEGINT:syslog5424_ver} "

@@ -744,3 +744,61 @@ def test_exact_dedup_incremental_two_ingests(spark, tmp_path):
     rows = {r["content_hash"]: r["keep_id"]
             for r in spark.read.parquet(store).collect()}
     assert sorted(rows.values()) == [1, 2, 11]
+
+
+def test_minhash_incremental_retry_is_idempotent(spark, tmp_path):
+    """A crashed-then-retried ingest must not double-append signatures
+    (dynamic partition overwrite keyed by batch-min id)."""
+    from emf_spark.datax import dedup as dd
+
+    store = str(tmp_path / "sigstore_retry")
+    b = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta tail{i % 2}") for i in range(8)],
+        ["doc_id", "text"],
+    )
+    kw = dict(num_perm=32, bands=8, threshold=0.5, max_bucket=1_000_000)
+    p1 = {tuple(r) for r in dd.minhash_incremental(b, store, **kw).collect()}
+    # retry the SAME batch (simulates crash after store update)
+    p2 = {tuple(r) for r in dd.minhash_incremental(b, store, **kw).collect()}
+    assert spark.read.parquet(store).count() == 8  # not 16
+    assert p1  # non-vacuous
+    assert p2 >= p1  # same new-side pairs, no duplicates/corruption
+
+
+def test_exact_dedup_incremental_null_text_kept(spark, tmp_path):
+    from emf_spark.datax import dedup as dd
+
+    store = str(tmp_path / "hashstore_null")
+    b = spark.createDataFrame(
+        [(1, "x"), (2, None), (3, None)], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: (r["is_dup"], r["keep_id"]) for r in
+           dd.exact_dedup_incremental(b, store).collect()}
+    # null-text rows must not vanish; they dedup against each other
+    assert got == {1: (False, 1), 2: (False, 2), 3: (True, 2)}
+
+
+def test_read_store_propagates_corruption(spark, tmp_path):
+    from emf_spark.datax import dedup as dd
+
+    bad = tmp_path / "corrupt_store"
+    bad.mkdir()
+    (bad / "part-00000.parquet").write_bytes(b"not a parquet file")
+    try:
+        dd.exact_dedup_incremental(
+            spark.createDataFrame([(1, "x")], ["doc_id", "text"]),
+            str(bad),
+        ).collect()
+        raised = False
+    except Exception:
+        raised = True
+    assert raised  # a broken store must NOT read as empty
+
+
+def test_snapshot_diff_membership_only(spark):
+    from emf_spark.datax.diff import snapshot_diff
+
+    old = spark.createDataFrame([(1,), (2,)], ["id"])
+    new = spark.createDataFrame([(2,), (3,)], ["id"])
+    got = {r["id"]: r["status"] for r in snapshot_diff(old, new, ["id"]).collect()}
+    assert got == {1: "removed", 3: "added"}

@@ -226,3 +226,17 @@ def test_quality_filter_every_reason_and_order(spark):
         max_dup_line_frac=1.1, max_top_bigram_frac=1.1, min_quality=0.5,
     )
     assert f4.collect()[0]["reason"] == "low_quality"
+
+
+def test_quality_filter_null_and_empty_text_rejected(spark):
+    from emf_spark.datax.filtering import quality_filter
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "   "), (3, "enough words to pass the gate now")],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r["reason"] for r in quality_filter(
+        df, min_words=3, max_words=100, max_dup_word_frac=1.1,
+        max_dup_line_frac=1.1, max_top_bigram_frac=1.1, min_quality=0.0,
+    ).collect()}
+    assert got[1] == "empty" and got[2] == "empty" and got[3] == "keep"

@@ -717,7 +717,11 @@ def minhash_incremental(
     old_sigs = _read_store(
         spark, store_path, "id bigint, sig array<bigint>", drop=["_ingest"]
     )
-    sigs = old_sigs.union(new_sigs)
+    # the union feeds three plan branches (banding + both estimate
+    # sides) exactly like the batch path — without this persist the
+    # store parquet is scanned three times and the incremental path
+    # measured SLOWER than a full recompute (0.72x at 200k+20k docs)
+    sigs = old_sigs.union(new_sigs).persist()
     new_ids = new_sigs.select(F.col("id").alias("_nid")).distinct()
     pairs = lsh_candidate_pairs(sigs, bands, max_bucket)
     # keep pairs with >= 1 new side; new ids broadcast (a batch is

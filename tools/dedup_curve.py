@@ -24,12 +24,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 SIZES = [int(x) for x in (sys.argv[1] if len(sys.argv) > 1 else "50000,150000,500000").split(",")]
 
 
-def corpus(spark, n: int):
+def corpus(spark, n: int, n_words: int = 60):
     from pyspark.sql import functions as F
 
     base = spark.range(n).select(F.col("id").alias("doc_id"))
     words = F.transform(
-        F.sequence(F.lit(1), F.lit(60)),
+        F.sequence(F.lit(1), F.lit(n_words)),
         lambda i: F.concat(
             F.lit("w"),
             F.pmod(F.xxhash64(F.col("doc_id") * F.lit(997) + i), F.lit(30000)).cast(
@@ -50,7 +50,7 @@ def corpus(spark, n: int):
             # change exactly the first word per replica -> Jaccard ~0.9
             F.concat(
                 F.lit("v"), F.col("rep").cast("string"), F.lit(" "),
-                F.substring_index("text", " ", -59),
+                F.substring_index("text", " ", -(n_words - 1)),
             ).alias("text"),
         )
     )

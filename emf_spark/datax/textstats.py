@@ -304,3 +304,82 @@ def vocab_topk(
         .filter(F.col("rank") <= k)
         .select("rank", "token", "cnt")
     )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 50,
+    min_pair_count: int = 2,
+):
+    """Byte-pair-encoding merge training over a corpus: returns
+    (merges, vocab_df) where ``merges`` is the ordered list of merged
+    symbol pairs and ``vocab_df`` the word-frequency table with each
+    word's final symbol sequence.
+
+    Distributed shape: the corpus collapses to the WORD-FREQUENCY
+    table first (one shuffle over the corpus — the only
+    corpus-cardinality step; vocabulary is ~1e6 rows even at 100 TB of
+    text). Every merge iteration then runs on the vocab table alone:
+    one weighted pair-count aggregate (map-side combinable), one tiny
+    driver-side argmax (count desc, pair asc — deterministic
+    tie-break), one Catalyst left-to-right merge scan per word
+    (aggregate HOF), with a per-iteration localCheckpoint cutting the
+    iterative lineage exactly like dedup_clusters. Stops early when no
+    pair reaches ``min_pair_count``."""
+    toks = df.select(
+        F.explode(
+            F.split(F.lower(F.col(text_col)), r"[^a-z0-9']+")
+        ).alias("word")
+    ).filter(F.col("word") != "")
+    vocab = (
+        toks.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("word", "cnt", F.split("word", "").alias("syms"))
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        idx = F.when(
+            F.size("syms") >= 2, F.sequence(F.lit(0), F.size("syms") - 2)
+        ).otherwise(F.array().cast("array<int>"))
+        pairs = vocab.select(
+            "cnt",
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.struct(
+                        F.element_at("syms", i + 1).alias("a"),
+                        F.element_at("syms", i + 2).alias("b"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["n"] < min_pair_count:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        # left-to-right scan: merge each adjacent (a, b) once; the
+        # merged token never chain-merges within the same iteration
+        # (classic BPE). try_element_at: NULL (not ANSI throw) on the
+        # empty accumulator.
+        merged = F.aggregate(
+            "syms",
+            F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.try_element_at(acc, F.lit(-1)) == F.lit(a))
+                & (s == F.lit(b)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        vocab = vocab.withColumn("syms", merged).localCheckpoint(eager=True)
+    return merges, vocab

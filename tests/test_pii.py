@@ -240,3 +240,55 @@ def test_quality_filter_null_and_empty_text_rejected(spark):
         max_dup_line_frac=1.1, max_top_bigram_frac=1.1, min_quality=0.0,
     ).collect()}
     assert got[1] == "empty" and got[2] == "empty" and got[3] == "keep"
+
+
+def test_bpe_train_matches_python_reference(spark):
+    """Distributed BPE == the classic sequential algorithm (same
+    deterministic tie-break), merge-for-merge and symbol-for-symbol."""
+    from collections import Counter
+
+    from emf_spark.datax.textstats import bpe_train
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new wider wide",
+        "low wide lower new",
+    ]
+
+    def py_bpe(texts, n_merges, min_count):
+        words = Counter()
+        for t in texts:
+            import re
+            for w in re.split(r"[^a-z0-9']+", t.lower()):
+                if w:
+                    words[w] += 1
+        vocab = {w: list(w) for w in words}
+        merges = []
+        for _ in range(n_merges):
+            pc = Counter()
+            for w, syms in vocab.items():
+                for x, y in zip(syms, syms[1:]):
+                    pc[(x, y)] += words[w]
+            if not pc:
+                break
+            best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            if best[1] < min_count:
+                break
+            (a, b) = best[0]
+            merges.append((a, b))
+            for w, syms in vocab.items():
+                out = []
+                for s in syms:
+                    if out and out[-1] == a and s == b:
+                        out[-1] = a + b
+                    else:
+                        out.append(s)
+                vocab[w] = out
+        return merges, vocab
+
+    want_merges, want_vocab = py_bpe(texts, 12, 2)
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    got_merges, got_vocab_df = bpe_train(df, n_merges=12, min_pair_count=2)
+    assert got_merges == want_merges
+    got_vocab = {r["word"]: list(r["syms"]) for r in got_vocab_df.collect()}
+    assert got_vocab == want_vocab

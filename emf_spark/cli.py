@@ -44,6 +44,7 @@ def datax_main(argv) -> int:
     python -m emf_spark.cli datax vocab --docs D --out O [--k 50000]
     python -m emf_spark.cli datax dedup-ingest --docs D --store S --out O
     python -m emf_spark.cli datax compact --path P --out O [--target-mb 128]
+    python -m emf_spark.cli datax bpe --docs D --out merges.json [--n-merges 1000]
     """
     ap = argparse.ArgumentParser(prog="emf_spark.cli datax")
     sub = ap.add_subparsers(dest="op", required=True)
@@ -85,7 +86,11 @@ def datax_main(argv) -> int:
     co.add_argument("--path", required=True)
     co.add_argument("--out", required=True)
     co.add_argument("--target-mb", type=int, default=128)
-    for p in (d, dc, ts, ab, pi, vo, ig, co):
+    bp = sub.add_parser("bpe", help="train BPE merges over the corpus")
+    bp.add_argument("--docs", required=True)
+    bp.add_argument("--out", required=True, help="merges written as JSON")
+    bp.add_argument("--n-merges", type=int, default=1000)
+    for p in (d, dc, ts, ab, pi, vo, ig, co, bp):
         p.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args(argv)
     spark = _get_session(args.cpus)
@@ -157,6 +162,16 @@ def datax_main(argv) -> int:
 
         n = compact_parquet(spark, args.path, args.out, target_mb=args.target_mb)
         print(json.dumps({"op": "compact", "files": n}))
+    elif args.op == "bpe":
+        from pathlib import Path
+
+        from emf_spark.datax.textstats import bpe_train
+
+        merges, _ = bpe_train(
+            spark.read.parquet(args.docs), n_merges=args.n_merges
+        )
+        Path(args.out).write_text(json.dumps(merges))
+        print(json.dumps({"op": "bpe", "merges": len(merges)}))
     else:
         from emf_spark.datax import similarity as sim
 

@@ -116,13 +116,17 @@ def run_eventtime_counts(
     window: str = "1 minute",
     watermark: str = "30 seconds",
     max_files_per_trigger: int = 2,
+    slide: str | None = None,
 ):
     """Cross-batch stateful windowed counts with a watermark (W2): per
     (sink-agnostic) dim_hash and event-time window, total observation
     count and record count; late rows beyond the watermark are dropped
     by Spark's state eviction. Append mode emits a window once the
     watermark passes its end — windows still open when a bounded input
-    drains stay in state (use update mode or a final flush for those)."""
+    drains stay in state (use update mode or a final flush for those).
+    ``slide`` turns the window hopping (each event lands in
+    size/slide windows — the streaming form of emf_sliding_window);
+    state grows by the same factor, watermark eviction unchanged."""
     stream = (
         spark.readStream.schema(TOKENIZED_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -134,7 +138,10 @@ def run_eventtime_counts(
     )
     counts = (
         valid.withWatermark("event_time", watermark)
-        .groupBy(F.window("event_time", window).alias("w"), "dim_hash")
+        .groupBy(
+            F.window("event_time", window, slide or window).alias("w"),
+            "dim_hash",
+        )
         .agg(
             F.count(F.lit(1)).alias("records"),
             F.sum(F.size(F.map_keys(F.col("metric_raw")))).alias("metric_values"),

@@ -349,3 +349,57 @@ def test_microbatch_replay_is_idempotent(spark, stream_input, tmp_path):
     # a different batch id still appends (normal progress)
     _aggregate_batch(batch, out, 8, lookup, 60_000)
     assert spark.read.parquet(f"{out}/events").count() == 2 * n1
+
+
+def test_eventtime_counts_sliding(spark, stream_input, tmp_path):
+    """Hopping-window streaming counts: every emitted (window, dim_hash)
+    count matches the batch double-assignment (each event in exactly
+    window/slide windows)."""
+    # time-ordered input (range-partitioned files, pinned mtimes) so
+    # the watermark closes windows without dropping late rows — same
+    # setup as test_eventtime_counts
+    import glob
+    import os
+    import time as _time
+
+    ordered_in = str(tmp_path / "ordered_in_slide")
+    (
+        spark.read.parquet(stream_input)
+        .repartitionByRange(6, F.col("doc_id"))
+        .write.mode("overwrite")
+        .parquet(ordered_in)
+    )
+    base = _time.time() - 600
+    for i, f in enumerate(sorted(glob.glob(f"{ordered_in}/part-*"))):
+        os.utime(f, (base + i, base + i))
+    stream_input = ordered_in
+    out = str(tmp_path / "ev_counts_slide")
+    q = sjob.run_eventtime_counts(
+        spark, stream_input, out, window="2 minutes", slide="1 minute",
+        watermark="30 seconds",
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(f"{out}/counts")
+    assert got.count() > 0
+    # all emitted starts align to the SLIDE, not the window size
+    starts = [r["window_start"] for r in got.select("window_start").distinct().collect()]
+    assert all(s % 60_000 == 0 for s in starts)
+    res = pipeline.build_events(spark, spark.read.parquet(stream_input))
+    batch = (
+        res.parsed.select(
+            "dim_hash",
+            F.explode(
+                F.array(
+                    (F.floor(F.col("ts") / 60000) * 60000).cast("bigint"),
+                    (F.floor(F.col("ts") / 60000) * 60000 - 60000).cast("bigint"),
+                )
+            ).alias("window_start"),
+        )
+        .filter(F.col("window_start").isin(starts))
+        .groupBy("window_start", "dim_hash")
+        .agg(F.count(F.lit(1)).alias("records"))
+        .collect()
+    )
+    bmap = {(r["window_start"], r["dim_hash"]): r["records"] for r in batch}
+    for r in got.collect():
+        assert bmap[(r["window_start"], r["dim_hash"])] == r["records"], r

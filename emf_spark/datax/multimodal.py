@@ -156,6 +156,47 @@ def _decode_bmp(payload: bytes):
     return w, h_abs, n, int(rows.astype(np.int64).sum())
 
 
+def probe_compressed_meta(payload: bytes):
+    """(format, width, height) for COMPRESSED image containers whose
+    dimensions live in plain header fields — PNG (IHDR), JPEG (SOF
+    marker walk), GIF (logical screen descriptor). No pixel decode
+    happens (that would need the codec libs this container lacks); the
+    point is that dimension/aspect statistics — the most common
+    multimodal-pipeline filter — do not need one. Raises ValueError on
+    anything else."""
+    import struct
+
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        if payload[12:16] != b"IHDR" or len(payload) < 24:
+            raise ValueError("PNG without leading IHDR")
+        w, h = struct.unpack(">II", payload[16:24])
+        return "png", w, h
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        if len(payload) < 10:
+            raise ValueError("truncated GIF header")
+        w, h = struct.unpack("<HH", payload[6:10])
+        return "gif", w, h
+    if payload[:2] == b"\xff\xd8":  # JPEG SOI; walk markers to a SOF
+        pos = 2
+        while pos + 4 <= len(payload):
+            if payload[pos] != 0xFF:
+                raise ValueError("bad JPEG marker stream")
+            marker = payload[pos + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2  # standalone markers carry no length
+                continue
+            (seglen,) = struct.unpack(">H", payload[pos + 2:pos + 4])
+            # SOF0..SOF15 except DHT(C4)/DAC(CC)/RST: frame header
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if pos + 9 > len(payload):
+                    raise ValueError("truncated SOF")
+                h, w = struct.unpack(">HH", payload[pos + 5:pos + 9])
+                return "jpeg", w, h
+            pos += 2 + seglen
+        raise ValueError("no SOF marker found")
+    raise ValueError("not a recognized compressed image container")
+
+
 def _ppm_raster(payload: bytes):
     """(width, height, n_units, raster_offset) from a P6 header walk —
     the one place that knows where pixels start (slicing from the END
@@ -260,7 +301,13 @@ def decode_media(df: DataFrame) -> DataFrame:
                             (media_id, kind, "wav", None, None, dur, ns, sa, len(p))
                         )
                     else:
-                        raise ValueError("unknown magic")
+                        # compressed containers: header-only dimension
+                        # probe (no pixel decode — n_units/value_sum
+                        # stay null, honestly)
+                        fmt, w, h = probe_compressed_meta(p)
+                        rows.append(
+                            (media_id, kind, fmt, w, h, None, None, None, len(p))
+                        )
                 except (ValueError, _struct.error):
                     rows.append(
                         (media_id, kind, "unknown", None, None, None, None, None, len(p))

@@ -802,3 +802,33 @@ def test_snapshot_diff_membership_only(spark):
     new = spark.createDataFrame([(2,), (3,)], ["id"])
     got = {r["id"]: r["status"] for r in snapshot_diff(old, new, ["id"]).collect()}
     assert got == {1: "removed", 3: "added"}
+
+
+def test_compressed_meta_probe(spark):
+    """PNG/GIF/JPEG dimension probes (header-only, no codec): real
+    minimal containers, plus JPEG marker-walk past APP0/DQT segments."""
+    import struct
+
+    from emf_spark.datax import multimodal
+
+    png = (
+        b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">IIBBBBB", 640, 480, 8, 2, 0, 0, 0) + b"\0\0\0\0"
+    )
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\xf7\x00\x00"
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" * 65
+    sof0 = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 1080, 1920) + b"\x01\x01\x11\x00"
+    jpeg = b"\xff\xd8" + app0 + dqt + sof0 + b"\xff\xd9"
+    media = spark.createDataFrame(
+        [("p", "image", png), ("g", "image", gif), ("j", "image", jpeg),
+         ("x", "image", b"\xff\xd8\x00junk")],
+        "media_id string, kind string, payload binary",
+    )
+    got = {r["media_id"]: r for r in multimodal.decode_media(media).collect()}
+    assert (got["p"]["format"], got["p"]["width"], got["p"]["height"]) == ("png", 640, 480)
+    assert (got["g"]["format"], got["g"]["width"], got["g"]["height"]) == ("gif", 320, 200)
+    assert (got["j"]["format"], got["j"]["width"], got["j"]["height"]) == ("jpeg", 1920, 1080)
+    # no pixel decode claimed for compressed formats
+    assert got["j"]["n_units"] is None and got["j"]["value_sum"] is None
+    assert got["x"]["format"] == "unknown"

@@ -10,7 +10,11 @@ Two decode tiers (VERDICT r2 item 4):
   ``decode_media`` emits exact per-row stats (width/height/duration/
   integer value sums) an external SQL oracle reproduces bit-for-bit;
   payloads whose magic is neither P6 nor RIFF raise (no silent fake).
-  Compressed formats (JPEG/PNG/MP3/H.264) still need PIL/ffmpeg — not
+  Compressed IMAGE containers get a header-only dimension probe
+  (PNG IHDR / JPEG SOF marker walk / GIF screen descriptor,
+  ``probe_compressed_meta``) — enough for the dimension/aspect
+  filters a pipeline actually gates on. Compressed PIXEL/SAMPLE
+  decode (JPEG/PNG/MP3/H.264 content) still needs PIL/ffmpeg — not
   in this container; that boundary is the remaining honest stub.
 - ``decode_mode='fake'`` produces deterministic hash-derived features
   so the Spark-side plumbing — schema, batch iteration, partition
@@ -511,3 +515,53 @@ def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
             yield out
 
     return df.mapInPandas(run, MEDIA_SCHEMA)
+
+
+def media_compressed_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL compressed-container headers derived from the
+    documents table — actual PNG/GIF/JPEG byte streams whose dimension
+    fields probe_compressed_meta must walk to (the JPEG variant carries
+    APP0 + DQT segments before the SOF so the marker walk is
+    non-trivial). Dimensions are closed-form in (doc_id, n_chars):
+
+    - doc_id % 3 == 0 -> PNG:  w = n_chars % 800 + 16,  h = n_chars % 600 + 16
+    - doc_id % 3 == 1 -> GIF:  w = n_chars % 500 + 10,  h = n_chars % 300 + 10
+    - doc_id % 3 == 2 -> JPEG: w = n_chars % 1920 + 32, h = n_chars % 1080 + 32
+    """
+    import struct
+
+    def png(w, h):
+        return (
+            b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+            + struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0) + b"\0\0\0\0"
+        )
+
+    def gif(w, h):
+        return b"GIF89a" + struct.pack("<HH", w, h) + b"\xf7\x00\x00"
+
+    def jpeg(w, h):
+        app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" * 65
+        sof0 = (
+            b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+            + struct.pack(">HH", h, w) + b"\x01\x01\x11\x00"
+        )
+        return b"\xff\xd8" + app0 + dqt + sof0 + b"\xff\xd9"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                d, n = int(doc_id), int(n_chars)
+                if d % 3 == 0:
+                    payload = png(n % 800 + 16, n % 600 + 16)
+                elif d % 3 == 1:
+                    payload = gif(n % 500 + 10, n % 300 + 10)
+                else:
+                    payload = jpeg(n % 1920 + 32, n % 1080 + 32)
+                rows.append((f"doc-{d}", "image", payload, (None, None, None, None)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "meta"]
+            )
+
+    return docs.select("doc_id", "n_chars").mapInPandas(run, MEDIA_SCHEMA)

@@ -1658,6 +1658,42 @@ FROM allm GROUP BY 1
 """
 
 
+def q_multimodal_meta(spark, sf):
+    """Compressed-container dimension probe: real PNG/GIF/JPEG byte
+    streams synthesized from documents (the JPEG walks APP0+DQT to the
+    SOF), probed header-only by decode_media; per-format dimension
+    aggregates are closed-form in (doc_id, n_chars), so the oracle
+    verifies the synth -> bytes -> marker-walk loop exactly."""
+    from emf_spark.datax import multimodal
+
+    d = _t(spark, sf, "documents")
+    dec = multimodal.decode_media(multimodal.media_compressed_from_documents(d))
+    return dec.groupBy("format").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("width").alias("sum_w"),
+        F.sum("height").alias("sum_h"),
+        F.sum(F.col("width").cast("bigint") * F.col("height")).alias("sum_px"),
+    )
+
+
+SQL_MULTIMODAL_META = """
+WITH m AS (
+  SELECT CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'jpeg' END AS format,
+         CASE doc_id % 3 WHEN 0 THEN n_chars % 800 + 16
+                         WHEN 1 THEN n_chars % 500 + 10
+                         ELSE n_chars % 1920 + 32 END AS w,
+         CASE doc_id % 3 WHEN 0 THEN n_chars % 600 + 16
+                         WHEN 1 THEN n_chars % 300 + 10
+                         ELSE n_chars % 1080 + 32 END AS h
+  FROM documents)
+SELECT format, COUNT(*) AS n_media,
+       CAST(SUM(w) AS BIGINT) AS sum_w,
+       CAST(SUM(h) AS BIGINT) AS sum_h,
+       CAST(SUM(w * h) AS BIGINT) AS sum_px
+FROM m GROUP BY 1
+"""
+
+
 def q_data_split(spark, sf):
     """Deterministic train/val/test hash split + per-language stratified
     keep-fractions (datax.sampling) — reproducible row-for-row by an
@@ -2531,6 +2567,7 @@ QUERIES: dict[str, Callable] = {
     "dedup_simhash": q_dedup_simhash,
     "multimodal_features": q_multimodal_features,
     "multimodal_decode": q_multimodal_decode,
+    "multimodal_meta": q_multimodal_meta,
     "dedup_decontaminate": q_dedup_decontaminate,
     "text_repetition": q_text_repetition,
     "text_bm25": q_text_bm25,
@@ -2599,6 +2636,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_simhash": _sql_dedup_simhash(),
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
+    "multimodal_meta": SQL_MULTIMODAL_META,
     "dedup_decontaminate": _sql_dedup_decontaminate(),
     "text_repetition": _sql_text_repetition(),
     "text_bm25": SQL_TEXT_BM25,

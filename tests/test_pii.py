@@ -292,3 +292,103 @@ def test_bpe_train_matches_python_reference(spark):
     assert got_merges == want_merges
     got_vocab = {r["word"]: list(r["syms"]) for r in got_vocab_df.collect()}
     assert got_vocab == want_vocab
+
+
+def test_bpe_train_random_corpora_fuzz(spark):
+    """BPE fuzz: 6 random corpora (short alphabet -> heavy ties) must
+    match the sequential reference merge-for-merge — the tie-break
+    (count desc, pair asc) is where a distributed argmax diverges
+    first."""
+    import random
+    import re
+    from collections import Counter
+
+    from emf_spark.datax.textstats import bpe_train
+
+    def py_bpe(texts, n_merges, min_count):
+        words = Counter()
+        for t in texts:
+            for w in re.split(r"[^a-z0-9']+", t.lower()):
+                if w:
+                    words[w] += 1
+        vocab = {w: list(w) for w in words}
+        merges = []
+        for _ in range(n_merges):
+            pc = Counter()
+            for w, syms in vocab.items():
+                for x, y in zip(syms, syms[1:]):
+                    pc[(x, y)] += words[w]
+            if not pc:
+                break
+            best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            if best[1] < min_count:
+                break
+            a, b = best[0]
+            merges.append((a, b))
+            for w, syms in vocab.items():
+                out = []
+                for s in syms:
+                    if out and out[-1] == a and s == b:
+                        out[-1] = a + b
+                    else:
+                        out.append(s)
+                vocab[w] = out
+        return merges
+
+    rng = random.Random(7)
+    for trial in range(6):
+        texts = [
+            "".join(rng.choice("ab c") for _ in range(rng.randrange(5, 40)))
+            for _ in range(rng.randrange(2, 6))
+        ]
+        want = py_bpe(texts, 8, 1)
+        got, _ = bpe_train(
+            spark.createDataFrame([(t,) for t in texts], ["text"]),
+            n_merges=8,
+            min_pair_count=1,
+        )
+        assert got == want, (trial, texts, got, want)
+
+
+def test_snapshot_diff_random_frames_fuzz(spark):
+    """snapshot_diff == brute-force row comparison on random keyed
+    frames with nulls and multi-column keys."""
+    import random
+
+    from emf_spark.datax.diff import snapshot_diff
+
+    rng = random.Random(31)
+
+    def frame():
+        rows = {}
+        for _ in range(rng.randrange(5, 25)):
+            k = (rng.randrange(5), rng.randrange(3))
+            rows[k] = (
+                rng.choice([None, "x", "y", "z"]),
+                rng.choice([None, 1, 2]),
+            )
+        return rows
+
+    for trial in range(6):
+        o, n = frame(), frame()
+        want = {}
+        for k in o.keys() | n.keys():
+            if k not in n:
+                want[k] = "removed"
+            elif k not in o:
+                want[k] = "added"
+            elif o[k] != n[k]:
+                want[k] = "changed"
+        odf = spark.createDataFrame(
+            [(k1, k2, a, b) for (k1, k2), (a, b) in o.items()],
+            "k1 int, k2 int, a string, b int",
+        )
+        ndf = spark.createDataFrame(
+            [(k1, k2, a, b) for (k1, k2), (a, b) in n.items()],
+            "k1 int, k2 int, a string, b int",
+        )
+        got = {
+            (r["k1"], r["k2"]): r["status"]
+            for r in snapshot_diff(odf, ndf, ["k1", "k2"]).collect()
+        }
+        assert got == want, (trial, got, want)

@@ -751,6 +751,12 @@ def minhash_incremental(
                 .partitionBy("_ingest")
                 .parquet(store_path)
             )
+        # est is checkpointed — release the corpus-sized caches so a
+        # long-lived session running many ingests does not accumulate
+        # one N+b signature cache per call (review finding). The
+        # update_store=False path returns a LAZY est and must keep them.
+        sigs.unpersist()
+        new_sigs.unpersist()
     return est
 
 

@@ -170,21 +170,33 @@ def probe_compressed_meta(payload: bytes):
     anything else."""
     import struct
 
+    def dims(w, h):
+        # corrupt-but-parseable headers must degrade to 'unknown', not
+        # crash downstream: a PNG width of 0xFFFFFFFF probes fine as a
+        # Python int and then kills the whole mapInPandas task at Arrow
+        # int32 conversion (review finding; PNG itself caps at 2^31-1)
+        if not (0 < w <= 0x7FFFFFFF and 0 < h <= 0x7FFFFFFF):
+            raise ValueError("implausible dimensions")
+        return w, h
+
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         if payload[12:16] != b"IHDR" or len(payload) < 24:
             raise ValueError("PNG without leading IHDR")
         w, h = struct.unpack(">II", payload[16:24])
-        return "png", w, h
+        return ("png", *dims(w, h))
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         if len(payload) < 10:
             raise ValueError("truncated GIF header")
         w, h = struct.unpack("<HH", payload[6:10])
-        return "gif", w, h
+        return ("gif", *dims(w, h))
     if payload[:2] == b"\xff\xd8":  # JPEG SOI; walk markers to a SOF
         pos = 2
         while pos + 4 <= len(payload):
             if payload[pos] != 0xFF:
                 raise ValueError("bad JPEG marker stream")
+            # 0xFF fill bytes are legal padding before any marker
+            while payload[pos + 1] == 0xFF and pos + 4 <= len(payload):
+                pos += 1
             marker = payload[pos + 1]
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 pos += 2  # standalone markers carry no length
@@ -195,7 +207,7 @@ def probe_compressed_meta(payload: bytes):
                 if pos + 9 > len(payload):
                     raise ValueError("truncated SOF")
                 h, w = struct.unpack(">HH", payload[pos + 5:pos + 9])
-                return "jpeg", w, h
+                return ("jpeg", *dims(w, h))
             pos += 2 + seglen
         raise ValueError("no SOF marker found")
     raise ValueError("not a recognized compressed image container")

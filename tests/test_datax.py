@@ -832,3 +832,32 @@ def test_compressed_meta_probe(spark):
     # no pixel decode claimed for compressed formats
     assert got["j"]["n_units"] is None and got["j"]["value_sum"] is None
     assert got["x"]["format"] == "unknown"
+
+
+def test_compressed_meta_probe_hardening(spark):
+    """JPEG 0xFF fill bytes (legal padding) must parse; corrupt PNG
+    dimensions (>= 2^31) must degrade to unknown, not kill the Arrow
+    batch (int32 overflow)."""
+    import struct
+
+    from emf_spark.datax import multimodal
+
+    sof0 = (
+        b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+        + struct.pack(">HH", 10, 20) + b"\x01\x01\x11\x00"
+    )
+    jpeg_fill = b"\xff\xd8" + b"\xff" + sof0 + b"\xff\xd9"  # fill before SOF
+    bad_png = (
+        b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">IIBBBBB", 0xFFFFFFFF, 10, 8, 2, 0, 0, 0) + b"\0\0\0\0"
+    )
+    zero_gif = b"GIF89a" + struct.pack("<HH", 0, 5) + b"\xf7\x00\x00"
+    media = spark.createDataFrame(
+        [("f", "image", jpeg_fill), ("bp", "image", bad_png),
+         ("zg", "image", zero_gif)],
+        "media_id string, kind string, payload binary",
+    )
+    got = {r["media_id"]: r for r in multimodal.decode_media(media).collect()}
+    assert (got["f"]["format"], got["f"]["width"], got["f"]["height"]) == ("jpeg", 20, 10)
+    assert got["bp"]["format"] == "unknown"
+    assert got["zg"]["format"] == "unknown"

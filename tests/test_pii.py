@@ -242,6 +242,42 @@ def test_quality_filter_null_and_empty_text_rejected(spark):
     assert got[1] == "empty" and got[2] == "empty" and got[3] == "keep"
 
 
+def _py_bpe(texts, n_merges, min_count):
+    """Sequential BPE reference (THE one copy both parity tests use —
+    a tie-break or min_count tweak must land exactly once)."""
+    import re
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        for w in re.split(r"[^a-z0-9']+", t.lower()):
+            if w:
+                words[w] += 1
+    vocab = {w: list(w) for w in words}
+    merges = []
+    for _ in range(n_merges):
+        pc = Counter()
+        for w, syms in vocab.items():
+            for x, y in zip(syms, syms[1:]):
+                pc[(x, y)] += words[w]
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_count:
+            break
+        a, b = best[0]
+        merges.append((a, b))
+        for w, syms in vocab.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            vocab[w] = out
+    return merges, vocab
+
+
 def test_bpe_train_matches_python_reference(spark):
     """Distributed BPE == the classic sequential algorithm (same
     deterministic tie-break), merge-for-merge and symbol-for-symbol."""
@@ -255,38 +291,8 @@ def test_bpe_train_matches_python_reference(spark):
         "low wide lower new",
     ]
 
-    def py_bpe(texts, n_merges, min_count):
-        words = Counter()
-        for t in texts:
-            import re
-            for w in re.split(r"[^a-z0-9']+", t.lower()):
-                if w:
-                    words[w] += 1
-        vocab = {w: list(w) for w in words}
-        merges = []
-        for _ in range(n_merges):
-            pc = Counter()
-            for w, syms in vocab.items():
-                for x, y in zip(syms, syms[1:]):
-                    pc[(x, y)] += words[w]
-            if not pc:
-                break
-            best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
-            if best[1] < min_count:
-                break
-            (a, b) = best[0]
-            merges.append((a, b))
-            for w, syms in vocab.items():
-                out = []
-                for s in syms:
-                    if out and out[-1] == a and s == b:
-                        out[-1] = a + b
-                    else:
-                        out.append(s)
-                vocab[w] = out
-        return merges, vocab
 
-    want_merges, want_vocab = py_bpe(texts, 12, 2)
+    want_merges, want_vocab = _py_bpe(texts, 12, 2)
     df = spark.createDataFrame([(t,) for t in texts], ["text"])
     got_merges, got_vocab_df = bpe_train(df, n_merges=12, min_pair_count=2)
     assert got_merges == want_merges
@@ -305,35 +311,6 @@ def test_bpe_train_random_corpora_fuzz(spark):
 
     from emf_spark.datax.textstats import bpe_train
 
-    def py_bpe(texts, n_merges, min_count):
-        words = Counter()
-        for t in texts:
-            for w in re.split(r"[^a-z0-9']+", t.lower()):
-                if w:
-                    words[w] += 1
-        vocab = {w: list(w) for w in words}
-        merges = []
-        for _ in range(n_merges):
-            pc = Counter()
-            for w, syms in vocab.items():
-                for x, y in zip(syms, syms[1:]):
-                    pc[(x, y)] += words[w]
-            if not pc:
-                break
-            best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
-            if best[1] < min_count:
-                break
-            a, b = best[0]
-            merges.append((a, b))
-            for w, syms in vocab.items():
-                out = []
-                for s in syms:
-                    if out and out[-1] == a and s == b:
-                        out[-1] = a + b
-                    else:
-                        out.append(s)
-                vocab[w] = out
-        return merges
 
     rng = random.Random(7)
     for trial in range(6):
@@ -341,7 +318,7 @@ def test_bpe_train_random_corpora_fuzz(spark):
             "".join(rng.choice("ab c") for _ in range(rng.randrange(5, 40)))
             for _ in range(rng.randrange(2, 6))
         ]
-        want = py_bpe(texts, 8, 1)
+        want, _ = _py_bpe(texts, 8, 1)
         got, _ = bpe_train(
             spark.createDataFrame([(t,) for t in texts], ["text"]),
             n_merges=8,

@@ -381,9 +381,13 @@ def test_eventtime_counts_sliding(spark, stream_input, tmp_path):
     q.awaitTermination(300)
     got = spark.read.parquet(f"{out}/counts")
     assert got.count() > 0
-    # all emitted starts align to the SLIDE, not the window size
+    # all emitted starts align to the SLIDE, not the window size —
+    # and at least one start must NOT be window-size-aligned, or a
+    # regression to tumbling 2-minute windows would pass this test
+    # (review finding: tumbling counts also satisfy the bmap compare)
     starts = [r["window_start"] for r in got.select("window_start").distinct().collect()]
     assert all(s % 60_000 == 0 for s in starts)
+    assert any(s % 120_000 != 0 for s in starts)
     res = pipeline.build_events(spark, spark.read.parquet(stream_input))
     batch = (
         res.parsed.select(

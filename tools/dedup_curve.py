@@ -21,7 +21,6 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-SIZES = [int(x) for x in (sys.argv[1] if len(sys.argv) > 1 else "50000,150000,500000").split(",")]
 
 
 def corpus(spark, n: int, n_words: int = 60):
@@ -64,7 +63,14 @@ def main():
     spark = get_spark("dedup_curve", cpus=16, shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
     out = {}
-    for n in SIZES:
+    # argv parse lives HERE, not at module level: tools/ingest_bench.py
+    # imports corpus() from this module and must not have its own argv
+    # re-parsed as a sizes list (review finding)
+    sizes = [
+        int(x)
+        for x in (sys.argv[1] if len(sys.argv) > 1 else "50000,150000,500000").split(",")
+    ]
+    for n in sizes:
         df = corpus(spark, n)
         df.write.mode("overwrite").parquet(f"/tmp/dedup_curve_{n}.parquet")
         df = spark.read.parquet(f"/tmp/dedup_curve_{n}.parquet")

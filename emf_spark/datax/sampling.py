@@ -109,3 +109,35 @@ def pack_sequences(
         )
         .drop("_unit", "_cum_before")
     )
+
+
+from pyspark.sql.window import Window
+
+
+def balanced_sample(
+    df: DataFrame,
+    class_col: str,
+    n_per_class: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic class-balanced downsample: at most ``n_per_class``
+    rows per class, chosen by the smallest md5-derived hash fraction of
+    (id, salt) — i.e. a uniform pseudo-random sample that is
+    reproducible row-for-row in any engine (no RNG, no
+    partition-order dependence; tie-break on id). The dataset-balancing
+    primitive: cap head classes, keep tail classes whole.
+
+    Scale shape: one shuffle on ``class_col`` for the rank window. A
+    skewed head class concentrates its rows on one reducer — for a
+    class with billions of rows pre-filter with an approximate
+    per-class threshold first (hash_fraction < n/estimated_count) so
+    the exact window only ranks ~n survivors; below ~1e8 rows/class
+    the plain window is fine."""
+    h = hash_fraction(F.col(id_col).cast("string"), salt)
+    w = Window.partitionBy(class_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_class)
+        .drop("_rk")
+    )

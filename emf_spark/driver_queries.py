@@ -1694,6 +1694,18 @@ FROM m GROUP BY 1
 """
 
 
+def q_data_balanced_sample(spark, sf):
+    """Class-balanced downsample (sampling.balanced_sample): at most 12
+    docs per source, picked by the portable hash fraction — the
+    head-class-capping primitive, reproducible row-for-row."""
+    from emf_spark.datax import sampling
+
+    d = _t(spark, sf, "documents")
+    return sampling.balanced_sample(d, "source", 12, salt="bal").select(
+        "doc_id", "source"
+    ).orderBy("doc_id")
+
+
 def q_data_split(spark, sf):
     """Deterministic train/val/test hash split + per-language stratified
     keep-fractions (datax.sampling) — reproducible row-for-row by an
@@ -1730,6 +1742,17 @@ FROM assigned
 WHERE kf_ < (CASE WHEN lang = 'es' THEN 0.5 WHEN lang = 'de' THEN 0.25
                   ELSE 1.0 END)
 GROUP BY 1, 2
+"""
+
+
+SQL_DATA_BALANCED_SAMPLE = f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY {_H56_FRAC.format(salt='bal')} ASC, doc_id ASC) AS rk
+  FROM documents) t
+WHERE rk <= 12 ORDER BY doc_id
 """
 
 
@@ -2576,6 +2599,7 @@ QUERIES: dict[str, Callable] = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "dedup_embedding": q_dedup_embedding,
     "data_split": q_data_split,
+    "data_balanced_sample": q_data_balanced_sample,
     "data_pack_sequences": q_pack_sequences,
     "text_pii_scrub": q_text_pii_scrub,
     "text_url_stats": q_text_url_stats,
@@ -2645,6 +2669,7 @@ ORACLE_SQL: dict[str, str] = {
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,
     "dedup_embedding": _sql_dedup_embedding(),
     "data_split": SQL_DATA_SPLIT,
+    "data_balanced_sample": SQL_DATA_BALANCED_SAMPLE,
     "data_pack_sequences": SQL_PACK_SEQUENCES,
     "text_pii_scrub": _sql_text_pii_scrub(),
     "text_url_stats": SQL_TEXT_URL_STATS,

@@ -82,3 +82,17 @@ def test_pack_sequences_max_seqs_cap(spark):
         for r in packed.groupBy("pack_id").agg(F.count(F.lit(1)).alias("n")).collect()
     ]
     assert max(sizes) <= 10 and sum(sizes) == 100
+
+
+def test_balanced_sample_caps_heads_keeps_tails(spark):
+    from emf_spark.datax.sampling import balanced_sample
+
+    rows = [(i, "head") for i in range(100)] + [(1000 + i, "tail") for i in range(3)]
+    df = spark.createDataFrame(rows, ["doc_id", "cls"])
+    got = balanced_sample(df, "cls", 10, salt="t").groupBy("cls").count().collect()
+    counts = {r["cls"]: r["count"] for r in got}
+    assert counts == {"head": 10, "tail": 3}
+    # partition-layout independence: same rows whatever the input split
+    a = {r["doc_id"] for r in balanced_sample(df.repartition(13), "cls", 10, salt="t").collect()}
+    b = {r["doc_id"] for r in balanced_sample(df.coalesce(1), "cls", 10, salt="t").collect()}
+    assert a == b and len(a) == 13

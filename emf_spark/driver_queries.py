@@ -2495,6 +2495,88 @@ SELECT source, reason, COUNT(*) AS docs FROM verdict GROUP BY 1, 2
 """
 
 
+def q_tpch_discounted_revenue(spark, sf):
+    """TPC-H Q19 shape: disjunctive brand/size/quantity predicate (an
+    OR of ANDs) over the lineitem-part join — the classic test of
+    whether the common join key stays an equi-join and the residual
+    disjunction rides as a filter (not a nested loop); plan pinned by
+    tests/test_plans.py. Integer-e4 revenue."""
+    l = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part")
+    rev = (
+        F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+    )
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(1, 15)
+    ) | (
+        (F.col("p_brand") == "Brand#13")
+        & F.col("p_size").between(10, 25)
+        & F.col("l_quantity").between(10, 30)
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.sum(rev).alias("revenue_e4"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+SQL_TPCH_DISCOUNTED_REVENUE = """
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT)
+         AS revenue_e4,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 1 AND 15)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 25
+       AND l_quantity BETWEEN 10 AND 30)
+"""
+
+
+def q_emf_kmv_per_window(spark, sf):
+    """KMV distinct-user sketch per (daily window, event_type) — the
+    sketch-mergeability story: per-group state stays k values whatever
+    the window count, map-side combinable. k=16 is deliberately under
+    most groups' true cardinality so the ESTIMATE branch (not the
+    exact-collapse) is what the oracle checks."""
+    from emf_spark.datax import sketches
+
+    ev = _t(spark, sf, "events").withColumn(
+        "window_start",
+        (F.floor(F.unix_timestamp("ts") / 86400) * 86400).cast("bigint"),
+    )
+    return sketches.kmv_distinct(
+        ev, "user_id", ["window_start", "event_type"], k=16
+    )
+
+
+SQL_EMF_KMV_PER_WINDOW = """
+WITH h AS (
+  SELECT DISTINCT CAST(FLOOR(EPOCH(ts) / 86400) * 86400 AS BIGINT) AS window_start,
+    event_type,
+    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 14) AS BIGINT)
+      / 72057594037927936.0 AS hh
+  FROM events WHERE user_id IS NOT NULL),
+ranked AS (
+  SELECT window_start, event_type, hh,
+         ROW_NUMBER() OVER (PARTITION BY window_start, event_type ORDER BY hh) AS r
+  FROM h),
+per AS (SELECT window_start, event_type, MAX(r) AS n, MAX(hh) AS kth
+        FROM ranked WHERE r <= 16 GROUP BY 1, 2)
+SELECT window_start, event_type,
+       ROUND(CASE WHEN n < 16 THEN CAST(n AS DOUBLE) ELSE 15.0 / kth END, 4)
+         AS kmv_estimate,
+       n < 16 AS exactish
+FROM per
+"""
+
+
 CMS_PROBE_TERMS = ["the", "table", "fast", "spark", "zzz"]
 
 
@@ -2614,6 +2696,8 @@ QUERIES: dict[str, Callable] = {
     "tpch_promo_revenue": q_tpch_promo_revenue,
     "emf_moving_avg": q_emf_moving_avg,
     "text_quality_filter": q_text_quality_filter,
+    "tpch_discounted_revenue": q_tpch_discounted_revenue,
+    "emf_kmv_per_window": q_emf_kmv_per_window,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2684,4 +2768,6 @@ ORACLE_SQL: dict[str, str] = {
     "tpch_promo_revenue": SQL_TPCH_PROMO_REVENUE,
     "emf_moving_avg": SQL_EMF_MOVING_AVG,
     "text_quality_filter": _sql_text_quality_filter(),
+    "tpch_discounted_revenue": SQL_TPCH_DISCOUNTED_REVENUE,
+    "emf_kmv_per_window": SQL_EMF_KMV_PER_WINDOW,
 }

@@ -300,3 +300,13 @@ def test_tpch_order_priority_is_semi_join(spark):
     p = plan_of(dq.QUERIES["tpch_order_priority_check"](spark, "/root/testdata/sf0.001"))
     assert "LeftSemi" in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_tpch_disjunctive_predicate_stays_equi_join(spark):
+    """Q19 shape: the OR-of-ANDs must ride as a post-join filter on the
+    partkey equi-join (BroadcastHashJoin), never force a nested loop."""
+    from emf_spark import driver_queries as dq
+
+    p = plan_of(dq.QUERIES["tpch_discounted_revenue"](spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p

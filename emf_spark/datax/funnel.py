@@ -1,0 +1,91 @@
+"""Ordered event-funnel analysis (sequential pattern matching).
+
+Computes, per analysis unit (arbitrary key columns, e.g. ``user_id`` or
+``(user_id, day)``), the earliest timestamp at which each step of an
+ordered funnel was reached, where step *k* must occur strictly (or
+weakly, ``strict=False``) after the unit's step *k-1* time. This is the
+"time-ordered conversion" primitive behind product funnels
+(view -> click -> purchase) and pipeline-stage SLA tracking; the
+reference engine has no equivalent, so semantics here are the standard
+first-touch funnel definition.
+
+Scale posture (100 TB): each step costs one key-partitioned groupBy of
+the step's *filtered* events plus one equi-join back on the same unit
+key — never a window over the whole stream, never a cross product.
+Steps are few (< 10 in practice), so the plan is O(steps) shuffles all
+on one key; the exchange is reused across steps, and each successive
+step's right side only shrinks (units that converted so far). The
+summary is a single 1-row aggregate unpivoted with ``stack`` — no
+driver-side collect.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def funnel_times(
+    events: DataFrame,
+    steps: Sequence[str],
+    key_cols: Sequence[str],
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    strict: bool = True,
+) -> DataFrame:
+    """Per-unit earliest time each funnel step was reached, in order.
+
+    Returns one row per unit that reached step 1, with columns
+    ``t_1 .. t_n`` (``t_k`` null when step k was never reached after
+    ``t_{k-1}``). ``strict=True`` requires ``ts > t_{k-1}``; with
+    ``strict=False`` a same-timestamp later step counts (``>=``).
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    keys = list(key_cols)
+    out = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(*keys)
+        .agg(F.min(ts_col).alias("t_1"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        prev = f"t_{i - 1}"
+        after = (
+            F.col(ts_col) > F.col(prev)
+            if strict
+            else F.col(ts_col) >= F.col(prev)
+        )
+        nxt = (
+            events.filter(F.col(type_col) == step)
+            .join(out.select(*keys, prev), on=keys)
+            .filter(after)
+            .groupBy(*keys)
+            .agg(F.min(ts_col).alias(f"t_{i}"))
+        )
+        out = out.join(nxt, on=keys, how="left")
+    return out
+
+
+def funnel_summary(times: DataFrame, steps: Sequence[str]) -> DataFrame:
+    """Long-form (step, step_name, units, conv_rate) from funnel_times.
+
+    ``units`` counts units whose ``t_k`` is non-null; ``conv_rate`` is
+    units / step-1 units rounded to 6 dp. Entirely in-plan: one 1-row
+    aggregate, unpivoted with ``stack`` — no collect.
+    """
+    n = len(steps)
+    counts = times.agg(
+        *[F.count(f"t_{i}").alias(f"s{i}") for i in range(1, n + 1)]
+    )
+    stack_args = ", ".join(
+        f"CAST({i} AS BIGINT), '{steps[i - 1]}', s{i}" for i in range(1, n + 1)
+    )
+    return counts.selectExpr(
+        f"stack({n}, {stack_args}) AS (step, step_name, units)", "s1"
+    ).select(
+        "step",
+        "step_name",
+        "units",
+        F.round(F.col("units") / F.col("s1"), 6).alias("conv_rate"),
+    )

@@ -2631,6 +2631,141 @@ FROM est LEFT JOIN ex USING (term)
 """
 
 
+def q_events_funnel(spark, sf):
+    """Ordered-funnel operator (datax/funnel.py): per (user, day) unit,
+    view -> click -> purchase with strict time ordering; long-form
+    step counts + conversion from step 1. No reference equivalent —
+    standard first-touch funnel semantics."""
+    from emf_spark.datax.funnel import funnel_summary, funnel_times
+
+    ev = _t(spark, sf, "events").withColumn("day", F.date_trunc("day", "ts"))
+    steps = ["view", "click", "purchase"]
+    times = funnel_times(ev, steps, key_cols=["user_id", "day"])
+    return funnel_summary(times, steps)
+
+
+SQL_EVENTS_FUNNEL = """
+WITH u AS (SELECT user_id, date_trunc('day', ts) AS d, event_type, ts FROM events),
+s1 AS (SELECT user_id, d, MIN(ts) AS t1 FROM u WHERE event_type = 'view' GROUP BY 1, 2),
+s2 AS (SELECT u.user_id, u.d, MIN(u.ts) AS t2 FROM u JOIN s1 USING (user_id, d)
+       WHERE u.event_type = 'click' AND u.ts > s1.t1 GROUP BY 1, 2),
+s3 AS (SELECT u.user_id, u.d, MIN(u.ts) AS t3 FROM u JOIN s2 USING (user_id, d)
+       WHERE u.event_type = 'purchase' AND u.ts > s2.t2 GROUP BY 1, 2),
+c AS (SELECT (SELECT COUNT(*) FROM s1) AS c1,
+             (SELECT COUNT(*) FROM s2) AS c2,
+             (SELECT COUNT(*) FROM s3) AS c3)
+SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name, c1 AS units,
+       ROUND(c1 / CAST(c1 AS DOUBLE), 6) AS conv_rate FROM c
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'click', c2, ROUND(c2 / CAST(c1 AS DOUBLE), 6) FROM c
+UNION ALL
+SELECT CAST(3 AS BIGINT), 'purchase', c3, ROUND(c3 / CAST(c1 AS DOUBLE), 6) FROM c
+"""
+
+
+def q_tpch_order_distribution(spark, sf):
+    """TPC-H Q13 shape: distribution of order counts per customer via a
+    filtered LEFT OUTER join + two-level aggregation (customers with
+    zero qualifying orders land in the c_count=0 bucket)."""
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders").filter(
+        ~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    )
+    per = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+SQL_TPCH_ORDER_DISTRIBUTION = """
+WITH per AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey
+   AND o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+  GROUP BY c_custkey)
+SELECT c_count, COUNT(*) AS custdist FROM per GROUP BY c_count
+"""
+
+
+def q_tpch_large_volume_customer(spark, sf):
+    """TPC-H Q18 shape: orders whose total lineitem quantity exceeds a
+    threshold (group-HAVING), joined back to orders + customer. The
+    HAVING output is a small fraction of orders, so the join back is a
+    pre-filtered equi-join, never orders x lineitem."""
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            F.col("o_orderkey").alias("okey"),
+            F.unix_timestamp("o_orderdate").cast("bigint").alias("odate_epoch"),
+            F.round("o_totalprice", 2).alias("total_price"),
+            "sum_qty",
+        )
+    )
+
+
+SQL_TPCH_LARGE_VOLUME_CUSTOMER = """
+WITH big AS (
+  SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING ROUND(SUM(l_quantity), 2) > 250)
+SELECT c_name, o_orderkey AS okey,
+       CAST(FLOOR(EPOCH(o_orderdate)) AS BIGINT) AS odate_epoch,
+       ROUND(o_totalprice, 2) AS total_price, sum_qty
+FROM orders JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_tpch_global_sales_opportunity(spark, sf):
+    """TPC-H Q22 shape: customers with above-average positive balance
+    and no RECENT orders (>= 2000-01-01 — classic Q22's bare NOT EXISTS
+    is vacuous on this dense corpus), grouped by a derived country
+    code. Exercises the scalar-subquery-as-broadcast pattern (1-row agg
+    cross join, no driver-side collect) + left anti join."""
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    rich = (
+        cust.withColumn("cntrycode", (F.col("c_custkey") % 7).cast("bigint"))
+        .join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+    )
+    no_orders = rich.join(
+        orders, rich.c_custkey == orders.o_custkey, "left_anti"
+    )
+    return no_orders.groupBy("cntrycode").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+    )
+
+
+SQL_TPCH_GLOBAL_SALES_OPPORTUNITY = """
+SELECT c_custkey % 7 AS cntrycode, COUNT(*) AS numcust,
+       ROUND(SUM(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Callable] = {
     "emf_dim_hash_group": q_dim_hash_group,
     "emf_value_count_hist": q_value_count_hist,
@@ -2698,6 +2833,10 @@ QUERIES: dict[str, Callable] = {
     "text_quality_filter": q_text_quality_filter,
     "tpch_discounted_revenue": q_tpch_discounted_revenue,
     "emf_kmv_per_window": q_emf_kmv_per_window,
+    "events_funnel": q_events_funnel,
+    "tpch_order_distribution": q_tpch_order_distribution,
+    "tpch_large_volume_customer": q_tpch_large_volume_customer,
+    "tpch_global_sales_opportunity": q_tpch_global_sales_opportunity,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2770,4 +2909,8 @@ ORACLE_SQL: dict[str, str] = {
     "text_quality_filter": _sql_text_quality_filter(),
     "tpch_discounted_revenue": SQL_TPCH_DISCOUNTED_REVENUE,
     "emf_kmv_per_window": SQL_EMF_KMV_PER_WINDOW,
+    "events_funnel": SQL_EVENTS_FUNNEL,
+    "tpch_order_distribution": SQL_TPCH_ORDER_DISTRIBUTION,
+    "tpch_large_volume_customer": SQL_TPCH_LARGE_VOLUME_CUSTOMER,
+    "tpch_global_sales_opportunity": SQL_TPCH_GLOBAL_SALES_OPPORTUNITY,
 }

@@ -1,0 +1,71 @@
+"""Funnel operator boundary semantics (datax/funnel.py)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from emf_spark.datax.funnel import funnel_summary, funnel_times
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(u, dt.datetime(2024, 1, 1, 0, 0, s), t) for u, s, t in rows],
+        "user_id long, ts timestamp, event_type string",
+    )
+
+
+def test_strict_ordering_excludes_same_timestamp(spark):
+    # click at the exact same second as view: strict drops it,
+    # weak (strict=False) keeps it.
+    ev = _ev(spark, [(1, 10, "view"), (1, 10, "click"), (2, 5, "view"), (2, 6, "click")])
+    strict = funnel_times(ev, ["view", "click"], ["user_id"]).collect()
+    by_user = {r.user_id: r for r in strict}
+    assert by_user[1].t_2 is None
+    assert by_user[2].t_2 is not None
+    weak = funnel_times(ev, ["view", "click"], ["user_id"], strict=False).collect()
+    assert {r.user_id: r.t_2 is not None for r in weak} == {1: True, 2: True}
+
+
+def test_order_matters_not_mere_presence(spark):
+    # purchase BEFORE the first view must not count as conversion.
+    ev = _ev(spark, [(1, 5, "purchase"), (1, 10, "view"), (2, 1, "view"), (2, 2, "purchase")])
+    t = funnel_times(ev, ["view", "purchase"], ["user_id"]).collect()
+    by_user = {r.user_id: r for r in t}
+    assert by_user[1].t_2 is None and by_user[2].t_2 is not None
+
+
+def test_units_without_step1_are_absent(spark):
+    ev = _ev(spark, [(1, 1, "click"), (2, 1, "view")])
+    t = funnel_times(ev, ["view", "click"], ["user_id"])
+    assert [r.user_id for r in t.collect()] == [2]
+
+
+def test_earliest_qualifying_time_per_step(spark):
+    # t_2 is the EARLIEST click after t_1, not the last.
+    ev = _ev(spark, [(1, 1, "view"), (1, 3, "click"), (1, 7, "click")])
+    row = funnel_times(ev, ["view", "click"], ["user_id"]).collect()[0]
+    assert row.t_1.second == 1 and row.t_2.second == 3
+
+
+def test_summary_long_form_and_conversion(spark):
+    ev = _ev(
+        spark,
+        [(1, 1, "view"), (1, 2, "click"), (1, 3, "purchase"),
+         (2, 1, "view"), (2, 2, "click"),
+         (3, 1, "view"),
+         (4, 1, "click")],  # no view: not a unit
+    )
+    steps = ["view", "click", "purchase"]
+    s = funnel_summary(funnel_times(ev, steps, ["user_id"]), steps)
+    rows = {r.step: r for r in s.collect()}
+    assert [rows[i].units for i in (1, 2, 3)] == [3, 2, 1]
+    assert rows[3].conv_rate == pytest.approx(1 / 3, abs=1e-6)
+    assert rows[1].step_name == "view"
+    assert dict(s.dtypes)["step"] == "bigint"
+
+
+def test_empty_steps_raises(spark):
+    ev = _ev(spark, [(1, 1, "view")])
+    with pytest.raises(ValueError):
+        funnel_times(ev, [], ["user_id"])

@@ -306,6 +306,64 @@ def vocab_topk(
     )
 
 
+def bigram_lm_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document fluency under the corpus's own bigram MLE model:
+    the mean conditional probability p(w_i | w_{i-1}) = c2(w1,w2) /
+    c1(w1-as-prefix) over the doc's bigram positions. Low scores flag
+    word-salad / boilerplate-shuffled text — the language-model leg of
+    training-data quality scoring (cheap stand-in for perplexity that
+    needs no log, so the cross-engine compare stays exact).
+
+    Determinism: each term is integer-scaled (round(1e6 * p) as bigint)
+    BEFORE the per-doc sum, so the fold is order-independent; exactly
+    one double division happens after aggregation. Docs with < 2 words
+    have no bigrams and are absent from the output.
+
+    Scale posture: bigram explode is map-side; the model is one
+    groupBy on the bigram key plus a vocab-cardinality prefix rollup;
+    scoring re-joins doc-bigrams to the model on the same (w1, w2) key
+    (co-partitioned, no cross product), then one groupBy doc. All
+    shuffles are on bigram/doc keys — nothing is corpus² anywhere.
+    """
+    from emf_spark.datax.dedup import normalized
+
+    w = F.split(normalized(F.col(text_col)), " ")
+    n = F.size(w)
+    pairs = F.when(
+        n >= 2,
+        F.arrays_zip(
+            F.slice(w, 1, n - 1).alias("w1"),
+            F.slice(w, 2, n - 1).alias("w2"),
+        ),
+    ).otherwise(F.array())
+    big = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(pairs).alias("p")
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    model = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    prefix = model.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    scored = (
+        big.join(model, ["w1", "w2"])
+        .join(prefix, "w1")
+        .select(
+            "doc_id",
+            F.round(F.lit(1_000_000) * F.col("c2") / F.col("c1"))
+            .cast("bigint")
+            .alias("p_e6"),
+        )
+    )
+    # no final ROUND: both engines hold the identical integer sum, so a
+    # single IEEE division yields a bit-identical double — rounding to
+    # N dp would re-introduce half-tie divergence (HALF_UP vs half-even)
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (F.sum("p_e6") / (F.lit(1_000_000.0) * F.count(F.lit(1)))).alias(
+            "fluency"
+        ),
+    )
+
+
 def bpe_train(
     df: DataFrame,
     text_col: str = "text",

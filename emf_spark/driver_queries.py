@@ -2766,6 +2766,82 @@ GROUP BY 1
 """
 
 
+def q_text_lm_fluency(spark, sf):
+    """Bigram-LM fluency scoring (textstats.bigram_lm_score): mean
+    conditional bigram probability of each doc under the corpus MLE
+    model — integer-scaled per term so the compare is exact."""
+    from emf_spark.datax.textstats import bigram_lm_score
+
+    return bigram_lm_score(_t(spark, sf, "documents"))
+
+
+SQL_TEXT_LM_FLUENCY = f"""
+WITH w AS (SELECT doc_id, string_split({_NORM_TXT}, ' ') AS wl FROM documents),
+b2 AS (SELECT doc_id,
+              UNNEST(list_transform(range(1, greatest(len(wl) - 1, 0) + 1),
+                     i -> struct_pack(w1 := wl[i], w2 := wl[i + 1]))) AS p
+       FROM w),
+big AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM b2),
+model AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY 1, 2),
+prefix AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM model GROUP BY 1),
+terms AS (SELECT doc_id, CAST(ROUND(1000000 * c2 / CAST(c1 AS DOUBLE)) AS BIGINT) AS p_e6
+          FROM big JOIN model USING (w1, w2) JOIN prefix USING (w1))
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       -- no ROUND: identical integer sums, one IEEE division -> bit-equal
+       CAST(SUM(p_e6) AS DOUBLE) / (1000000.0 * COUNT(*)) AS fluency
+FROM terms GROUP BY 1
+"""
+
+
+def q_tpch_min_cost_supplier(spark, sf):
+    """TPC-H Q2 shape (groupwise argmin): cheapest observed unit cost
+    per part and the supplier achieving it, ties broken by lowest
+    suppkey. The argmin is a single-shuffle lexicographic struct-min
+    over the (part, supplier) cost table — no window over lineitem,
+    no self-join on the fact side; dims broadcast for the name join."""
+    li = _t(spark, sf, "lineitem").filter(F.col("l_quantity") > 0)
+    part = _t(spark, sf, "part")
+    supp = _t(spark, sf, "supplier")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(
+            F.round(F.lit(100) * F.col("l_extendedprice") / F.col("l_quantity"))
+            .cast("bigint")
+        ).alias("cost_c")
+    )
+    best = (
+        ps.groupBy("l_partkey")
+        .agg(F.min(F.struct("cost_c", "l_suppkey")).alias("b"))
+        .select(
+            "l_partkey",
+            F.col("b.cost_c").alias("min_cost_c"),
+            F.col("b.l_suppkey").alias("s_key"),
+        )
+    )
+    return (
+        best.join(F.broadcast(part), best.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), best.s_key == supp.s_suppkey)
+        .filter(F.col("p_size") >= 40)
+        .select("p_partkey", "p_brand", "s_name", "min_cost_c")
+    )
+
+
+SQL_TPCH_MIN_COST_SUPPLIER = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(CAST(ROUND(100 * l_extendedprice / l_quantity) AS BIGINT)) AS cost_c
+  FROM lineitem WHERE l_quantity > 0 GROUP BY 1, 2),
+m AS (SELECT l_partkey, MIN(cost_c) AS min_cost_c FROM ps GROUP BY 1),
+pick AS (
+  SELECT ps.l_partkey, MIN(ps.l_suppkey) AS s_key, MIN(ps.cost_c) AS min_cost_c
+  FROM ps JOIN m ON ps.l_partkey = m.l_partkey AND ps.cost_c = m.min_cost_c
+  GROUP BY 1)
+SELECT p_partkey, p_brand, s_name, min_cost_c
+FROM pick JOIN part ON l_partkey = p_partkey
+JOIN supplier ON s_key = s_suppkey
+WHERE p_size >= 40
+"""
+
+
 QUERIES: dict[str, Callable] = {
     "emf_dim_hash_group": q_dim_hash_group,
     "emf_value_count_hist": q_value_count_hist,
@@ -2837,6 +2913,8 @@ QUERIES: dict[str, Callable] = {
     "tpch_order_distribution": q_tpch_order_distribution,
     "tpch_large_volume_customer": q_tpch_large_volume_customer,
     "tpch_global_sales_opportunity": q_tpch_global_sales_opportunity,
+    "text_lm_fluency": q_text_lm_fluency,
+    "tpch_min_cost_supplier": q_tpch_min_cost_supplier,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2913,4 +2991,6 @@ ORACLE_SQL: dict[str, str] = {
     "tpch_order_distribution": SQL_TPCH_ORDER_DISTRIBUTION,
     "tpch_large_volume_customer": SQL_TPCH_LARGE_VOLUME_CUSTOMER,
     "tpch_global_sales_opportunity": SQL_TPCH_GLOBAL_SALES_OPPORTUNITY,
+    "text_lm_fluency": SQL_TEXT_LM_FLUENCY,
+    "tpch_min_cost_supplier": SQL_TPCH_MIN_COST_SUPPLIER,
 }

@@ -69,3 +69,21 @@ def test_empty_steps_raises(spark):
     ev = _ev(spark, [(1, 1, "view")])
     with pytest.raises(ValueError):
         funnel_times(ev, [], ["user_id"])
+
+
+def test_bigram_lm_score_hand_model(spark):
+    # model over BOTH docs: c2(a,b)=3, c2(b,a)=1, c2(b,c)=1
+    # prefix counts: c1(a)=3, c1(b)=2
+    # d1 "a b a b": terms p(a,b)=1, p(b,a)=.5, p(a,b)=1 -> 2.5/3
+    # d2 "a b c":   terms p(a,b)=1, p(b,c)=.5          -> .75
+    # d3 "z": single word, no bigrams -> absent
+    from emf_spark.datax.textstats import bigram_lm_score
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "z")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in bigram_lm_score(docs).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1].n_bigrams == 3 and rows[2].n_bigrams == 2
+    assert rows[1].fluency == 2_500_000 / 3_000_000
+    assert rows[2].fluency == 0.75

@@ -2842,6 +2842,108 @@ WHERE p_size >= 40
 """
 
 
+def q_tpch_important_parts(spark, sf):
+    """TPC-H Q11 shape: parts whose revenue share exceeds a threshold
+    derived from GLOBAL aggregates — like spec Q11, the fraction
+    scales with size (spec: 0.0001/SF; here: 1.2x the mean part
+    revenue, i.e. rev * n_parts * 10 > tot * 12) so the query is
+    non-vacuous at every scale. Global sum + part count ride as a
+    1-row broadcast; the HAVING compare is pure integer cross-multiply
+    — no doubles until the reported share, which is one IEEE division
+    of identical integers on both engines."""
+    li = _t(spark, sf, "lineitem")
+    rev_e4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+    )
+    per_part = li.groupBy("l_partkey").agg(F.sum(rev_e4).alias("rev_e4"))
+    total = per_part.agg(
+        F.sum("rev_e4").alias("tot_e4"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(
+            F.col("rev_e4") * F.col("n_parts") * 10 > F.col("tot_e4") * 12
+        )
+        .select(
+            "l_partkey",
+            "rev_e4",
+            (F.col("rev_e4") / F.col("tot_e4").cast("double")).alias("share"),
+        )
+    )
+
+
+SQL_TPCH_IMPORTANT_PARTS = """
+WITH per AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT)
+           AS rev_e4
+  FROM lineitem GROUP BY 1),
+tot AS (SELECT CAST(SUM(rev_e4) AS BIGINT) AS tot_e4,
+               COUNT(*) AS n_parts FROM per)
+SELECT l_partkey, rev_e4, rev_e4 / CAST(tot_e4 AS DOUBLE) AS share
+FROM per CROSS JOIN tot
+WHERE rev_e4 * n_parts * 10 > tot_e4 * 12
+"""
+
+
+def q_tpch_volume_shipping(spark, sf):
+    """TPC-H Q7 shape: bilateral trade volume between two nations by
+    ship year — the deepest join chain in the battery (lineitem ⋈
+    supplier ⋈ orders ⋈ customer, nation names via broadcast dims).
+    The two fact-fact joins shuffle on their natural keys
+    (l_orderkey, o_custkey); everything dimension-sized broadcasts."""
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    rev_e4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+    )
+    n1 = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            ((F.col("s_nk") == 1) & (F.col("c_nk") == 2))
+            | ((F.col("s_nk") == 2) & (F.col("c_nk") == 1))
+        )
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(F.sum(rev_e4).alias("revenue_e4"))
+
+
+SQL_TPCH_VOLUME_SHIPPING = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(YEAR(l_shipdate) AS INT) AS l_year,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT)
+         AS revenue_e4
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_nationkey = 1 AND n2.n_nationkey = 2)
+   OR (n1.n_nationkey = 2 AND n2.n_nationkey = 1)
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES: dict[str, Callable] = {
     "emf_dim_hash_group": q_dim_hash_group,
     "emf_value_count_hist": q_value_count_hist,
@@ -2915,6 +3017,8 @@ QUERIES: dict[str, Callable] = {
     "tpch_global_sales_opportunity": q_tpch_global_sales_opportunity,
     "text_lm_fluency": q_text_lm_fluency,
     "tpch_min_cost_supplier": q_tpch_min_cost_supplier,
+    "tpch_important_parts": q_tpch_important_parts,
+    "tpch_volume_shipping": q_tpch_volume_shipping,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2993,4 +3097,6 @@ ORACLE_SQL: dict[str, str] = {
     "tpch_global_sales_opportunity": SQL_TPCH_GLOBAL_SALES_OPPORTUNITY,
     "text_lm_fluency": SQL_TEXT_LM_FLUENCY,
     "tpch_min_cost_supplier": SQL_TPCH_MIN_COST_SUPPLIER,
+    "tpch_important_parts": SQL_TPCH_IMPORTANT_PARTS,
+    "tpch_volume_shipping": SQL_TPCH_VOLUME_SHIPPING,
 }

@@ -310,3 +310,39 @@ def test_tpch_disjunctive_predicate_stays_equi_join(spark):
     p = plan_of(dq.QUERIES["tpch_discounted_revenue"](spark, "/root/testdata/sf0.001"))
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_funnel_and_new_tpch_shapes_never_nested_loop(spark):
+    """Funnel steps and the Q2/Q7/Q13/Q18 shapes must stay equi-joins;
+    anti/left joins must not degrade to nested loops."""
+    from emf_spark import driver_queries as dq
+
+    SF = "/root/testdata/sf0.001"
+    for name in (
+        "events_funnel",
+        "tpch_order_distribution",
+        "tpch_large_volume_customer",
+        "tpch_min_cost_supplier",
+        "tpch_volume_shipping",
+        "text_lm_fluency",
+    ):
+        p = plan_of(dq.QUERIES[name](spark, SF))
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_scalar_broadcast_queries_have_one_row_build_side(spark):
+    """Q11/Q22's only nested-loop is the sanctioned scalar shape: the
+    build side is a single global aggregate row (no grouping keys), so
+    the 'nested loop' is a constant broadcast, not a pair generator."""
+    from emf_spark import driver_queries as dq
+
+    SF = "/root/testdata/sf0.001"
+    for name in ("tpch_important_parts", "tpch_global_sales_opportunity"):
+        p = plan_of(dq.QUERIES[name](spark, SF))
+        assert "CartesianProduct" not in p, name
+        # every aggregate feeding the BNLJ build side must be global
+        # (grouping-key-free): its partial/final pair appears with
+        # empty grouping "keys=[]"
+        if "BroadcastNestedLoopJoin" in p:
+            assert "Keys: []" in p or "keys=[]" in p, name

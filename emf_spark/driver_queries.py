@@ -2944,6 +2944,64 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_tpch_waiting_suppliers(spark, sf):
+    """TPC-H Q21 shape (the classic hardest query): late lineitems
+    whose order has OTHER suppliers (EXISTS) but no OTHER late supplier
+    (NOT EXISTS) — a semi join AND an anti join of the fact table
+    against itself, both shuffling on l_orderkey with the
+    different-supplier predicate riding as a residual condition (never
+    a nested loop). "Late" = shipped > 60 days after the order date
+    (this schema has no commit/receipt dates)."""
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    s = _t(spark, sf, "supplier")
+    lo = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ).alias("late"),
+    )
+    l1 = lo.filter("late").alias("a")
+    others = lo.select("l_orderkey", "l_suppkey").alias("b")
+    late_others = lo.filter("late").select("l_orderkey", "l_suppkey").alias("c")
+    waited = l1.join(
+        others,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
+        "left_semi",
+    ).alias("a2")
+    sole_blame = waited.join(
+        late_others,
+        (F.col("a2.l_orderkey") == F.col("c.l_orderkey"))
+        & (F.col("a2.l_suppkey") != F.col("c.l_suppkey")),
+        "left_anti",
+    )
+    return (
+        sole_blame.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+SQL_TPCH_WAITING_SUPPLIERS = """
+WITH l AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+SELECT s_name, COUNT(*) AS numwait
+FROM l l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE l1.late
+  AND EXISTS (SELECT 1 FROM l l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM l l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Callable] = {
     "emf_dim_hash_group": q_dim_hash_group,
     "emf_value_count_hist": q_value_count_hist,
@@ -3019,6 +3077,7 @@ QUERIES: dict[str, Callable] = {
     "tpch_min_cost_supplier": q_tpch_min_cost_supplier,
     "tpch_important_parts": q_tpch_important_parts,
     "tpch_volume_shipping": q_tpch_volume_shipping,
+    "tpch_waiting_suppliers": q_tpch_waiting_suppliers,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3099,4 +3158,5 @@ ORACLE_SQL: dict[str, str] = {
     "tpch_min_cost_supplier": SQL_TPCH_MIN_COST_SUPPLIER,
     "tpch_important_parts": SQL_TPCH_IMPORTANT_PARTS,
     "tpch_volume_shipping": SQL_TPCH_VOLUME_SHIPPING,
+    "tpch_waiting_suppliers": SQL_TPCH_WAITING_SUPPLIERS,
 }

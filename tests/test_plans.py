@@ -324,6 +324,7 @@ def test_funnel_and_new_tpch_shapes_never_nested_loop(spark):
         "tpch_large_volume_customer",
         "tpch_min_cost_supplier",
         "tpch_volume_shipping",
+        "tpch_waiting_suppliers",
         "text_lm_fluency",
     ):
         p = plan_of(dq.QUERIES[name](spark, SF))

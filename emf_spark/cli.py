@@ -45,6 +45,7 @@ def datax_main(argv) -> int:
     python -m emf_spark.cli datax dedup-ingest --docs D --store S --out O
     python -m emf_spark.cli datax compact --path P --out O [--target-mb 128]
     python -m emf_spark.cli datax bpe --docs D --out merges.json [--n-merges 1000]
+    python -m emf_spark.cli datax funnel --events E --steps a,b,c --keys user_id --out O
     """
     ap = argparse.ArgumentParser(prog="emf_spark.cli datax")
     sub = ap.add_subparsers(dest="op", required=True)
@@ -90,7 +91,15 @@ def datax_main(argv) -> int:
     bp.add_argument("--docs", required=True)
     bp.add_argument("--out", required=True, help="merges written as JSON")
     bp.add_argument("--n-merges", type=int, default=1000)
-    for p in (d, dc, ts, ab, pi, vo, ig, co, bp):
+    fu = sub.add_parser("funnel", help="ordered event-funnel summary")
+    fu.add_argument("--events", required=True)
+    fu.add_argument("--steps", required=True, help="comma-separated event types, in order")
+    fu.add_argument("--keys", default="user_id", help="comma-separated unit key columns")
+    fu.add_argument("--ts-col", default="ts")
+    fu.add_argument("--type-col", default="event_type")
+    fu.add_argument("--weak", action="store_true", help="allow same-timestamp next step")
+    fu.add_argument("--out", required=True)
+    for p in (d, dc, ts, ab, pi, vo, ig, co, bp, fu):
         p.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args(argv)
     spark = _get_session(args.cpus)
@@ -162,6 +171,21 @@ def datax_main(argv) -> int:
 
         n = compact_parquet(spark, args.path, args.out, target_mb=args.target_mb)
         print(json.dumps({"op": "compact", "files": n}))
+    elif args.op == "funnel":
+        from emf_spark.datax.funnel import funnel_summary, funnel_times
+
+        steps = [s for s in args.steps.split(",") if s]
+        times = funnel_times(
+            spark.read.parquet(args.events),
+            steps,
+            key_cols=[k for k in args.keys.split(",") if k],
+            ts_col=args.ts_col,
+            type_col=args.type_col,
+            strict=not args.weak,
+        )
+        funnel_summary(times, steps).write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"op": "funnel", "steps": steps,
+                          "rows": spark.read.parquet(args.out).count()}))
     elif args.op == "bpe":
         from pathlib import Path
 

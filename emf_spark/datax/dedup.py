@@ -672,6 +672,8 @@ def write_signature_store(
         .partitionBy("_ingest")
         .parquet(path)
     )
+    _store_meta(df.sparkSession, path, num_perm, shingle_k, seed,
+                word_hash, write_if_absent=True)
 
 
 def minhash_incremental(
@@ -711,18 +713,28 @@ def minhash_incremental(
     1-row-per-doc under at-least-once execution (same idempotence
     pattern as the streaming micro-batch writer)."""
     spark = new_df.sparkSession
+    _store_meta(spark, store_path, num_perm, shingle_k, seed, word_hash,
+                write_if_absent=update_store)
     new_sigs = minhash_signatures(
         new_df, text_col, id_col, num_perm, shingle_k, seed, word_hash
     ).persist()
+    new_ids = new_sigs.select(F.col("id").alias("_nid")).distinct()
     old_sigs = _read_store(
         spark, store_path, "id bigint, sig array<bigint>", drop=["_ingest"]
+    )
+    # a crashed-then-RETRIED ingest finds its own signatures already in
+    # the store (dynamic partition overwrite): anti-join the batch ids
+    # out of the store side so the union carries each doc exactly once —
+    # otherwise every pair row is emitted up to 4x and doubled bucket
+    # membership halves the effective max_bucket cap (ADVICE r3 medium)
+    old_sigs = old_sigs.join(
+        F.broadcast(new_ids), old_sigs.id == F.col("_nid"), "left_anti"
     )
     # the union feeds three plan branches (banding + both estimate
     # sides) exactly like the batch path — without this persist the
     # store parquet is scanned three times and the incremental path
     # measured SLOWER than a full recompute (0.72x at 200k+20k docs)
     sigs = old_sigs.union(new_sigs).persist()
-    new_ids = new_sigs.select(F.col("id").alias("_nid")).distinct()
     pairs = lsh_candidate_pairs(sigs, bands, max_bucket)
     # keep pairs with >= 1 new side; new ids broadcast (a batch is
     # small next to the store)
@@ -760,21 +772,75 @@ def minhash_incremental(
     return est
 
 
+def _fs_exists(spark, path: str) -> bool:
+    """Path existence via the Hadoop FileSystem API — works on any
+    Hadoop-supported FS and does not depend on Spark's error-message
+    text (ADVICE r3: 'PATH_NOT_FOUND' substring matching breaks across
+    Spark versions, e.g. 'Path does not exist' pre-3.4)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
 def _read_store(spark, path: str, schema: str, drop: list[str] = ()) -> DataFrame:
     """Read an incremental-store parquet dir; a MISSING path means
     first ingest (empty frame of ``schema``), but any other read
     failure (corrupt footer, permissions) propagates — silently
     treating a broken store as empty would report zero cross-batch
-    dups and then half-update the store."""
+    dups and then half-update the store. Missing-path detection uses
+    the FileSystem API (not error-message substrings); a path that
+    EXISTS but holds no data files (e.g. an aborted bootstrap leaving
+    only _SUCCESS) also reads as a first ingest."""
     from pyspark.errors import AnalysisException
 
+    if not _fs_exists(spark, path):
+        return spark.createDataFrame([], schema)
     try:
         df = spark.read.parquet(path)
     except AnalysisException as e:
-        if "PATH_NOT_FOUND" in str(e) or "UNABLE_TO_INFER_SCHEMA" in str(e):
+        _get = getattr(e, "getCondition", None) or getattr(
+            e, "getErrorClass", lambda: None
+        )
+        err_class = _get() or ""
+        if "UNABLE_TO_INFER_SCHEMA" in (err_class or str(e)):
             return spark.createDataFrame([], schema)
         raise
     return df.drop(*drop) if drop else df
+
+
+_STORE_META_SCHEMA = "num_perm int, shingle_k int, seed int, word_hash string"
+
+
+def _store_meta(spark, store_path: str, num_perm: int, shingle_k: int,
+                seed: int, word_hash, write_if_absent: bool) -> None:
+    """Pin (num_perm, shingle_k, seed, word_hash) beside the signature
+    store and raise on mismatch (ADVICE r3: an incremental call with
+    different parameters silently deflates est_jaccard — zip_with over
+    unequal-length sig arrays pads with null — instead of failing).
+
+    The record lives in ``<store>/_emf_meta`` as single-row JSON;
+    ``_``-prefixed names are Spark's hidden-file convention, so the
+    store's parquet reads never see it. Stored/compared word_hash is
+    the callable's __name__ (identity of the hash family; a None
+    means the engine-default hash)."""
+    meta_dir = store_path.rstrip("/") + "/_emf_meta"
+    wh = getattr(word_hash, "__name__", None) if word_hash is not None else None
+    if _fs_exists(spark, meta_dir):
+        row = spark.read.schema(_STORE_META_SCHEMA).json(meta_dir).collect()[0]
+        have = (row["num_perm"], row["shingle_k"], row["seed"], row["word_hash"])
+        want = (num_perm, shingle_k, seed, wh)
+        if have != want:
+            raise ValueError(
+                f"signature store {store_path} was built with "
+                f"(num_perm, shingle_k, seed, word_hash)={have}; this call "
+                f"passed {want}. Mixed parameters corrupt est_jaccard — "
+                "rebuild the store or match its parameters."
+            )
+    elif write_if_absent:
+        spark.createDataFrame(
+            [(num_perm, shingle_k, seed, wh)], _STORE_META_SCHEMA
+        ).coalesce(1).write.mode("overwrite").json(meta_dir)
 
 
 def exact_dedup_incremental(
@@ -794,9 +860,14 @@ def exact_dedup_incremental(
 
     The store never stores text: (content_hash, keep_id) rows only, so
     at 100 TB the store is ~48 bytes/distinct-doc and the join ships
-    hashes. The store update is retry-idempotent by construction: only
-    hashes the store has NOT seen append, so a crashed-then-retried
-    ingest finds its own hashes already present and appends nothing."""
+    hashes. Store updates are safe under at-least-once AND concurrent
+    execution (VERDICT r3 item 4): fresh hashes land in a partition
+    keyed by the batch's min id with DYNAMIC partition overwrite — a
+    crashed-then-retried ingest overwrites its own partition instead of
+    double-appending — and the read path collapses the store to
+    min(keep_id) per hash, so two concurrent ingests that race the same
+    new hash into their respective partitions still resolve to one
+    deterministic representative on every subsequent read."""
     spark = new_df.sparkSession
     # null text hashes to a sentinel, not to NULL: md5(NULL) is NULL
     # and inner equality joins drop NULL keys — the null-text rows
@@ -809,7 +880,17 @@ def exact_dedup_incremental(
     )
     # min id per hash WITHIN the batch (batch-internal dup structure)
     batch_min = hashed.groupBy("content_hash").agg(F.min("id").alias("_bmin"))
-    store = _read_store(spark, store_path, "content_hash string, keep_id bigint")
+    # min-collapse absorbs the concurrent-writer race (two ingests both
+    # inserting a hash the store lacked): duplicate store rows resolve
+    # to one deterministic keep_id at read time
+    store = (
+        _read_store(
+            spark, store_path,
+            "content_hash string, keep_id bigint", drop=["_ingest"],
+        )
+        .groupBy("content_hash")
+        .agg(F.min("keep_id").alias("keep_id"))
+    )
     j = (
         hashed.join(batch_min, "content_hash")
         .join(store, "content_hash", "left")
@@ -821,10 +902,23 @@ def exact_dedup_incremental(
         .withColumn("is_dup", F.col(id_col) != F.col("keep_id"))
     )
     if update_store:
-        # append only hashes the store has not seen; keep_id = batch min
+        # materialize BEFORE the store write: j's plan reads the store
+        # files, and a retried ingest's dynamic overwrite replaces that
+        # batch's old partition under the lazy plan
+        j = j.localCheckpoint(eager=True)
+        # only hashes the store has not seen, into THIS batch's
+        # partition (deterministic key = batch min id)
         fresh = (
             batch_min.join(store, "content_hash", "left_anti")
             .select("content_hash", F.col("_bmin").alias("keep_id"))
         )
-        fresh.write.mode("append").parquet(store_path)
+        batch_key = hashed.agg(F.min("id")).collect()[0][0]
+        if batch_key is not None:
+            (
+                fresh.withColumn("_ingest", F.lit(int(batch_key)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_ingest")
+                .parquet(store_path)
+            )
     return j

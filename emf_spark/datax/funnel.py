@@ -78,11 +78,22 @@ def funnel_summary(times: DataFrame, steps: Sequence[str]) -> DataFrame:
     counts = times.agg(
         *[F.count(f"t_{i}").alias(f"s{i}") for i in range(1, n + 1)]
     )
-    stack_args = ", ".join(
-        f"CAST({i} AS BIGINT), '{steps[i - 1]}', s{i}" for i in range(1, n + 1)
-    )
-    return counts.selectExpr(
-        f"stack({n}, {stack_args}) AS (step, step_name, units)", "s1"
+    # unpivot via explode(array(struct(...))) rather than interpolating
+    # step names into a stack() selectExpr: names are DATA (lit), so a
+    # quote or SQL fragment in a step name (reachable from the CLI
+    # --steps flag) cannot break or inject into the plan (ADVICE r3)
+    rows = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(i).cast("bigint").alias("step"),
+                F.lit(steps[i - 1]).alias("step_name"),
+                F.col(f"s{i}").alias("units"),
+            )
+            for i in range(1, n + 1)
+        ])
+    ).alias("_r")
+    return counts.select(rows, "s1").select(
+        "_r.step", "_r.step_name", "_r.units", "s1"
     ).select(
         "step",
         "step_name",

@@ -28,15 +28,25 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from tools.dedup_curve import corpus  # noqa: E402
 
-BASE_NS = [int(x) for x in (sys.argv[1] if len(sys.argv) > 1 else "200000,500000").split(",")]
-BATCH_N = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000
+# defaults; overridden from argv inside main() only — parsing at import
+# time would misread the argv of any future tool importing from here
+# (the dedup_curve.py import-safety fix, ADVICE r3)
+BASE_NS = [200_000, 500_000]
+BATCH_N = 20_000
 # real corpora run hundreds of words per document; at the curve tool's
 # 60-word default the O(N+b) banding join dominates and masks the
 # shingling the store exists to amortize
-N_WORDS = int(sys.argv[3]) if len(sys.argv) > 3 else 300
+N_WORDS = 300
 
 
 def main():
+    global BASE_NS, BATCH_N, N_WORDS
+    if len(sys.argv) > 1:
+        BASE_NS = [int(x) for x in sys.argv[1].split(",")]
+    if len(sys.argv) > 2:
+        BATCH_N = int(sys.argv[2])
+    if len(sys.argv) > 3:
+        N_WORDS = int(sys.argv[3])
     from pyspark.sql import functions as F
 
     from emf_spark.datax import dedup as dd

@@ -43,16 +43,38 @@ def kmv_distinct(
     ``exactish=true``. NULL values are excluded (COUNT DISTINCT
     semantics — and a null hash would otherwise rank NULLS FIRST in
     Spark but NULLS LAST in an external SQL engine, breaking the
-    bit-for-bit oracle claim; review finding)."""
+    bit-for-bit oracle claim; review finding).
+
+    Scale shape: grouped mode partitions the rank window by the group
+    key. UNGROUPED mode is two-phase (VERDICT r3): phase 1 keeps the
+    k smallest hashes per ``(hash % m)`` bucket (window partitioned by
+    bucket — parallel), phase 2 ranks globally over the surviving
+    <= m*k rows (single partition by construction, but over a BOUNDED
+    frame — the same justified narrow final window as vocab_topk).
+    min-k of a union == min-k of per-bucket min-k's, so the estimate is
+    bit-identical to the one-window form and the oracle is unchanged."""
     from emf_spark.datax.dedup import portable_hash56
 
     groups = group_cols or []
-    h = (portable_hash56(F.col(value_col).cast("string")) / F.lit(_SPACE)).alias("_h")
+    hi = portable_hash56(F.col(value_col).cast("string"))
     hashes = (
-        df.filter(F.col(value_col).isNotNull()).select(*groups, h).distinct()
+        df.filter(F.col(value_col).isNotNull())
+        .select(*groups, (hi / F.lit(_SPACE)).alias("_h"), (hi % 64).alias("_b"))
+        .distinct()
     )
-    w = Window.partitionBy(*groups).orderBy("_h") if groups else Window.orderBy("_h")
-    ranked = hashes.withColumn("_r", F.row_number().over(w)).filter(F.col("_r") <= k)
+    if groups:
+        w = Window.partitionBy(*groups).orderBy("_h")
+        ranked = hashes.withColumn("_r", F.row_number().over(w))
+    else:
+        pre = Window.partitionBy("_b").orderBy("_h")
+        survivors = (
+            hashes.withColumn("_pr", F.row_number().over(pre))
+            .filter(F.col("_pr") <= k)
+        )
+        ranked = survivors.withColumn(
+            "_r", F.row_number().over(Window.orderBy("_h"))
+        )
+    ranked = ranked.filter(F.col("_r") <= k)
     per = ranked.groupBy(*groups).agg(
         F.max("_r").alias("_n"), F.max("_h").alias("_kth")
     )

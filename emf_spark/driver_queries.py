@@ -3002,6 +3002,351 @@ GROUP BY 1
 """
 
 
+def q_tpch_small_qty_revenue(spark, sf):
+    """TPC-H Q17 shape (correlated average-quantity subquery): revenue
+    lost to small orders — lineitems of one brand whose quantity is
+    below 20% of that PART's average quantity. The correlated
+    ``(SELECT AVG(..) WHERE l2.l_partkey = p_partkey)`` decorrelates to
+    one per-part aggregate joined back on l_partkey: the aggregate side
+    is |parts-of-brand| rows (tiny next to the fact table), so it
+    BROADCASTS and the fact table is scanned exactly twice (once for
+    the averages, once for the probe) — never once per outer row."""
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part").filter(F.col("p_brand") == "Brand#23")
+    lp = li.join(
+        F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey")
+    )
+    avg_q = lp.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("_thresh")
+    ).withColumnRenamed("l_partkey", "_pk")
+    return (
+        lp.join(F.broadcast(avg_q), lp.l_partkey == F.col("_pk"))
+        .filter(F.col("l_quantity") < F.col("_thresh"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("small_lines"),
+        )
+    )
+
+
+SQL_TPCH_SMALL_QTY_REVENUE = """
+SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly,
+       COUNT(*) AS small_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#23'
+  AND l_quantity < (SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+                    WHERE l2.l_partkey = p_partkey)
+"""
+
+
+def q_tpch_potential_promotion(spark, sf):
+    """TPC-H Q20 shape (nested semi-join): suppliers in two nations who
+    shipped an EXCESS of some 'red%' part in 1997 (per-(supplier, part)
+    quantity > 45). Plan: innermost part filter broadcasts into a
+    left-semi on the fact table, the grouped HAVING produces a small
+    supplier id set, and THAT semi-joins the supplier dim — each level
+    of nesting is one semi-join, no correlated re-execution."""
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part").filter(F.col("p_name").like("red%"))
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_8")
+    )
+    excess = (
+        li.filter(F.year("l_shipdate") == 1997)
+        .join(F.broadcast(p.select("p_partkey")),
+              li.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > 45)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(excess, s.s_suppkey == excess.l_suppkey, "left_semi")
+        .select("s_name", F.round("s_acctbal", 2).alias("acctbal"))
+    )
+
+
+SQL_TPCH_POTENTIAL_PROMOTION = """
+SELECT s_name, ROUND(s_acctbal, 2) AS acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name IN ('NATION_3', 'NATION_8')
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      AND YEAR(l_shipdate) = 1997
+    GROUP BY l_suppkey, l_partkey
+    HAVING SUM(l_quantity) > 45)
+"""
+
+
+def q_tpch_market_share(spark, sf):
+    """TPC-H Q8 shape (market share): of all revenue sold to ASIA
+    customers per order-year, the fraction supplied by NATION_2.
+    Conditional share = one pass with SUM(CASE WHEN) over the joined
+    fact — never two scans diffed. Volumes integer-scaled to cents so
+    the share's numerator/denominator are order-independent exact sums
+    (the ratio then rounds identically on any engine). All dims
+    broadcast; the only fact shuffle is the orderkey join."""
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    cust_asia = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select("c_custkey")
+    )
+    sup_nat = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", F.col("n_name").alias("_sn")
+    )
+    vol_c = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust_asia), o.o_custkey == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(sup_nat), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("_sn") == "NATION_2", vol_c).otherwise(F.lit(0))
+                  ).alias("_nat"),
+            F.sum(vol_c).alias("_all"),
+        )
+        .select(
+            "o_year",
+            F.round(F.col("_nat") / F.col("_all"), 6).alias("mkt_share"),
+            F.col("_all").alias("total_volume_c"),
+        )
+    )
+
+
+SQL_TPCH_MARKET_SHARE = """
+WITH v AS (
+  SELECT YEAR(o_orderdate) AS o_year,
+         CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+           AS vol_c,
+         (SELECT n_name FROM nation WHERE n_nationkey = s_nationkey) AS sn
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE o_custkey IN (
+    SELECT c_custkey FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'))
+SELECT o_year,
+       ROUND(SUM(CASE WHEN sn = 'NATION_2' THEN vol_c ELSE 0 END)
+             / CAST(SUM(vol_c) AS DOUBLE), 6) AS mkt_share,
+       CAST(SUM(vol_c) AS BIGINT) AS total_volume_c
+FROM v GROUP BY 1
+"""
+
+
+def q_tpch_top_supplier(spark, sf):
+    """TPC-H Q15 shape (top supplier via aggregate view): per-supplier
+    Q1-1996 revenue, return the supplier(s) hitting the maximum.
+    Revenue is integer cents, so the max and the equality against it
+    are EXACT on every engine (a double-sum max would tie-break
+    differently per summation order). The max is a 1-row broadcast
+    equi-join against the aggregate — the fact table is scanned once."""
+    li = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("bigint")
+            ).alias("rev_c")
+        )
+    )
+    mx = rev.agg(F.max("rev_c").alias("_mx"))
+    return (
+        rev.join(F.broadcast(mx), rev.rev_c == F.col("_mx"))
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select(
+            "s_suppkey", "s_name",
+            F.round(F.col("rev_c") / 100.0, 2).alias("total_revenue"),
+        )
+    )
+
+
+SQL_TPCH_TOP_SUPPLIER = """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+           AS rev_c
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+  GROUP BY 1)
+SELECT s_suppkey, s_name, ROUND(rev_c / 100.0, 2) AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev_c = (SELECT MAX(rev_c) FROM rev)
+"""
+
+
+def q_tpch_supplier_relationship(spark, sf):
+    """TPC-H Q16 shape (count-distinct relationship with NOT IN):
+    distinct supplier count per (brand, type, size) for selected sizes,
+    excluding one brand/type and excluding negative-balance suppliers
+    via an anti-join (the NOT IN). Bad-supplier set and the part dim
+    broadcast; the count-distinct shuffles once on the group key with
+    partial distinct map-side."""
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 13)
+    )
+    bad = _t(spark, sf, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+SQL_TPCH_SUPPLIER_RELATIONSHIP = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 9, 13)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+"""
+
+
+def q_tpch_product_profit(spark, sf):
+    """TPC-H Q9 shape (product-type profit by nation and year). This
+    schema has no partsupp, so supply cost is proxied as
+    0.1 * p_retailprice per unit — the SHAPE under test (5-way join,
+    LIKE-filtered part dim, two-level group) is Q9's. Profit is
+    integer-scaled; part/supplier/nation broadcast, the fact shuffles
+    only for the orderkey join and final group."""
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    p = _t(spark, sf, "part").filter(F.col("p_name").like("%gear%"))
+    profit_c = F.round(
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - F.lit(0.1) * F.col("p_retailprice") * F.col("l_quantity")
+        )
+        * 100
+    ).cast("bigint")
+    return (
+        li.join(F.broadcast(p.select("p_partkey", "p_retailprice")),
+                li.l_partkey == F.col("p_partkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(profit_c).alias("profit_c"),
+             F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+SQL_TPCH_PRODUCT_PROFIT = """
+SELECT n_name AS nation, YEAR(o_orderdate) AS o_year,
+       CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)
+             - 0.1 * p_retailprice * l_quantity) * 100) AS BIGINT))
+         AS BIGINT) AS profit_c,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%gear%'
+GROUP BY 1, 2
+"""
+
+
+def q_tpch_cube_revenue(spark, sf):
+    """CUBE aggregation (all 2^k grouping sets in one pass): revenue and
+    counts by (returnflag, linestatus), each one-dimension margin, and
+    the grand total — the multi-level-rollup companion to
+    tpch_rollup_revenue, exercising Spark's Expand-based grouping-set
+    plan (one scan, one shuffle for all four grouping sets)."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("bigint")
+            ).alias("revenue_c"),
+            F.grouping_id().alias("gid"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
+            "cnt",
+            "revenue_c",
+            "gid",
+        )
+    )
+
+
+SQL_TPCH_CUBE_REVENUE = """
+SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+       COALESCE(l_linestatus, 'ALL') AS status,
+       COUNT(*) AS cnt,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+             AS BIGINT)) AS BIGINT) AS revenue_c,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+         AS gid
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_kmv_global(spark, sf):
+    """Ungrouped (corpus-wide) KMV distinct estimate — exercises the
+    two-phase path (VERDICT r3 item 3): k smallest per (hash % 64)
+    bucket in a PARALLEL bucket-partitioned window, then a final rank
+    over the <= 64*k survivors. Result is bit-identical to a single
+    global window, so the oracle is the straightforward one-window SQL."""
+    from emf_spark.datax import sketches
+
+    ev = _t(spark, sf, "events")
+    return sketches.kmv_distinct(ev, "user_id", None, k=64)
+
+
+SQL_KMV_GLOBAL = """
+WITH h AS (
+  SELECT DISTINCT
+    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 14) AS BIGINT)
+      / 72057594037927936.0 AS hh
+  FROM events WHERE user_id IS NOT NULL),
+ranked AS (SELECT hh, ROW_NUMBER() OVER (ORDER BY hh) AS r FROM h),
+per AS (SELECT MAX(r) AS n, MAX(hh) AS kth FROM ranked WHERE r <= 64)
+SELECT ROUND(CASE WHEN n < 64 THEN CAST(n AS DOUBLE) ELSE 63.0 / kth END, 4)
+         AS kmv_estimate,
+       n < 64 AS exactish
+FROM per
+"""
+
+
 QUERIES: dict[str, Callable] = {
     "emf_dim_hash_group": q_dim_hash_group,
     "emf_value_count_hist": q_value_count_hist,
@@ -3078,6 +3423,14 @@ QUERIES: dict[str, Callable] = {
     "tpch_important_parts": q_tpch_important_parts,
     "tpch_volume_shipping": q_tpch_volume_shipping,
     "tpch_waiting_suppliers": q_tpch_waiting_suppliers,
+    "tpch_small_qty_revenue": q_tpch_small_qty_revenue,
+    "tpch_potential_promotion": q_tpch_potential_promotion,
+    "tpch_market_share": q_tpch_market_share,
+    "tpch_top_supplier": q_tpch_top_supplier,
+    "tpch_supplier_relationship": q_tpch_supplier_relationship,
+    "tpch_product_profit": q_tpch_product_profit,
+    "tpch_cube_revenue": q_tpch_cube_revenue,
+    "emf_kmv_global": q_kmv_global,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3159,4 +3512,12 @@ ORACLE_SQL: dict[str, str] = {
     "tpch_important_parts": SQL_TPCH_IMPORTANT_PARTS,
     "tpch_volume_shipping": SQL_TPCH_VOLUME_SHIPPING,
     "tpch_waiting_suppliers": SQL_TPCH_WAITING_SUPPLIERS,
+    "tpch_small_qty_revenue": SQL_TPCH_SMALL_QTY_REVENUE,
+    "tpch_potential_promotion": SQL_TPCH_POTENTIAL_PROMOTION,
+    "tpch_market_share": SQL_TPCH_MARKET_SHARE,
+    "tpch_top_supplier": SQL_TPCH_TOP_SUPPLIER,
+    "tpch_supplier_relationship": SQL_TPCH_SUPPLIER_RELATIONSHIP,
+    "tpch_product_profit": SQL_TPCH_PRODUCT_PROFIT,
+    "tpch_cube_revenue": SQL_TPCH_CUBE_REVENUE,
+    "emf_kmv_global": SQL_KMV_GLOBAL,
 }

@@ -326,10 +326,49 @@ def test_funnel_and_new_tpch_shapes_never_nested_loop(spark):
         "tpch_volume_shipping",
         "tpch_waiting_suppliers",
         "text_lm_fluency",
+        # round-4 shapes: Q17 decorrelated avg, Q20 nested semi,
+        # Q8 share, Q15 max-equality, Q16 NOT IN, Q9 5-way, CUBE
+        "tpch_small_qty_revenue",
+        "tpch_potential_promotion",
+        "tpch_market_share",
+        "tpch_top_supplier",
+        "tpch_supplier_relationship",
+        "tpch_product_profit",
+        "tpch_cube_revenue",
     ):
         p = plan_of(dq.QUERIES[name](spark, SF))
         assert "CartesianProduct" not in p, name
         assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_kmv_global_two_phase_window(spark):
+    """Ungrouped KMV must NOT funnel the full distinct-hash stream
+    through one window partition (VERDICT r3): phase 1's rank window is
+    partitioned by the (hash % 64) bucket — a parallel exchange — and
+    only the bounded <= 64*k survivors reach the final global rank."""
+    from emf_spark.datax import sketches
+
+    ev = spark.range(0, 10_000).select(
+        (F.col("id") % 997).cast("string").alias("v")
+    )
+    p = plan_of(sketches.kmv_distinct(ev, "v", None, k=64))
+    # phase-1 exchange on the bucket column (parallel rank)
+    assert "hashpartitioning(_b" in p
+    # the final global rank is over <= 64*k survivors; Catalyst further
+    # rewrites row_number<=k over that bounded frame into
+    # TakeOrderedAndProject (per-partition top-k + merge) — either that
+    # or a narrow SinglePartition window is acceptable, a full-stream
+    # global sort is not
+    assert "TakeOrderedAndProject" in p or "SinglePartition" in p
+    # grouped mode keeps its one group-partitioned window (no change)
+    g = plan_of(sketches.kmv_distinct(
+        spark.range(0, 1000).select(
+            (F.col("id") % 3).cast("string").alias("grp"),
+            (F.col("id") % 97).cast("string").alias("v"),
+        ),
+        "v", ["grp"], k=8,
+    ))
+    assert "hashpartitioning(grp" in g and "hashpartitioning(_b" not in g
 
 
 def test_scalar_broadcast_queries_have_one_row_build_side(spark):

@@ -120,6 +120,7 @@ def balanced_sample(
     n_per_class: int,
     id_col: str = "doc_id",
     salt: str = "",
+    est_counts: dict[str, int] | None = None,
 ) -> DataFrame:
     """Deterministic class-balanced downsample: at most ``n_per_class``
     rows per class, chosen by the smallest md5-derived hash fraction of
@@ -129,12 +130,32 @@ def balanced_sample(
     primitive: cap head classes, keep tail classes whole.
 
     Scale shape: one shuffle on ``class_col`` for the rank window. A
-    skewed head class concentrates its rows on one reducer — for a
-    class with billions of rows pre-filter with an approximate
-    per-class threshold first (hash_fraction < n/estimated_count) so
-    the exact window only ranks ~n survivors; below ~1e8 rows/class
-    the plain window is fine."""
+    skewed head class concentrates its rows on one reducer; pass
+    ``est_counts`` (class -> estimated row count, e.g. from a prior
+    KMV/approx pass) and rows of classes estimated LARGER than
+    ``4 * n_per_class`` are pre-filtered to
+    ``hash_fraction < 4 * n / est`` BEFORE the exact rank — a billion-
+    row head class then ranks only ~4n survivors instead of 1e9 rows.
+    Output is row-identical to the plain path provided the estimate is
+    not wildly high: expected survivors are ``4n * true/est``, so any
+    UNDER-estimate is always safe (more survivors), and over-estimates
+    up to ~2x the true count keep >= 2n expected survivors — the
+    chance the true n-th smallest hash exceeds the gate is then
+    exp(-Theta(n)) (Chernoff), negligible for n >= 10. Estimates from
+    a count/approx pass are within a few percent, far inside that
+    envelope. Classes absent from ``est_counts`` take the exact path
+    unchanged."""
     h = hash_fraction(F.col(id_col).cast("string"), salt)
+    if est_counts:
+        gate = None
+        for cls, est in est_counts.items():
+            if est > 4 * n_per_class:
+                cond = (F.col(class_col) == cls) & (
+                    h >= F.lit(4.0 * n_per_class / est)
+                )
+                gate = cond if gate is None else (gate | cond)
+        if gate is not None:
+            df = df.filter(~gate)
     w = Window.partitionBy(class_col).orderBy(h.asc(), F.col(id_col).asc())
     return (
         df.withColumn("_rk", F.row_number().over(w))

@@ -142,44 +142,56 @@ _MAX_DEPTH = 16
 
 
 def _expand(
-    pattern: str, fields: list[tuple[str, str | None]], depth: int
+    pattern: str, fields: list[tuple[str, str | None]], depth: int,
+    library: dict[str, str],
 ) -> str:
-    """Recursively expand %{BASE[:name[:type]]} refs. Named refs open a
-    capture group BEFORE their body expands, so the fields list stays
-    in regex group order even with nested named captures."""
+    """Recursively expand %{BASE[:name[:type]]} refs against
+    ``library``. Named refs open a capture group BEFORE their body
+    expands, so the fields list stays in regex group order even with
+    nested named captures."""
     if depth > _MAX_DEPTH:
         raise KeyError("grok pattern nesting too deep (cycle?)")
     out, pos = [], 0
     for m in _GROK_REF.finditer(pattern):
         out.append(pattern[pos:m.start()])
         base, name, typ = m.group(1), m.group(2), m.group(3)
-        if base not in GROK_PATTERNS:
+        if base not in library:
             raise KeyError(f"unknown grok pattern %{{{base}}}")
         if typ is not None and typ not in _GROK_TYPES:
             raise KeyError(f"unknown grok type suffix :{typ}")
         if name:
             fields.append((name, _GROK_TYPES.get(typ)))
             out.append("(")
-            out.append(_expand(GROK_PATTERNS[base], fields, depth + 1))
+            out.append(_expand(library[base], fields, depth + 1, library))
             out.append(")")
         else:
             out.append("(?:")
-            out.append(_expand(GROK_PATTERNS[base], fields, depth + 1))
+            out.append(_expand(library[base], fields, depth + 1, library))
             out.append(")")
         pos = m.end()
     out.append(pattern[pos:])
     return "".join(out)
 
 
-def compile_grok(pattern: str) -> tuple[str, list[tuple[str, str | None]]]:
+def compile_grok(
+    pattern: str, extra_patterns: dict[str, str] | None = None
+) -> tuple[str, list[tuple[str, str | None]]]:
     """grok pattern -> (regex with one capture group per named field,
     [(field, cast-type-or-None)] in group order). Refs expand
     RECURSIVELY: a library pattern may reference others, and nested
     named captures (e.g. inside %{COMBINEDAPACHELOG}) surface as
     fields, logstash-style. Unnamed refs become non-capturing;
-    ``%{BASE:name:int}`` casts like logstash."""
+    ``%{BASE:name:int}`` casts like logstash.
+
+    ``extra_patterns`` registers user atoms at compile time (the
+    fluentd/logstash ``patterns_dir`` migration path): entries may
+    reference library patterns AND each other, and may OVERRIDE a
+    library name (user wins). Self/mutual recursion is caught by the
+    depth guard (a cycle exceeds _MAX_DEPTH and raises KeyError
+    rather than expanding forever)."""
+    library = {**GROK_PATTERNS, **extra_patterns} if extra_patterns else GROK_PATTERNS
     fields: list[tuple[str, str | None]] = []
-    regex = _expand(pattern, fields, 0)
+    regex = _expand(pattern, fields, 0, library)
     return regex, fields
 
 
@@ -191,7 +203,8 @@ _MS = "\x1e"
 
 
 def grok_extract(
-    df: DataFrame, line_col: str, pattern: str, drop_unmatched: bool = True
+    df: DataFrame, line_col: str, pattern: str, drop_unmatched: bool = True,
+    extra_patterns: dict[str, str] | None = None,
 ) -> DataFrame:
     """Extract one column per named grok field (cast when the field has
     a type suffix); a non-matching line yields empty strings (grok
@@ -204,7 +217,7 @@ def grok_extract(
     patterns like %{COMBINEDAPACHELOG} carry 12 captures, and the naive
     one-regexp_extract-per-field form re-ran the (backtracking) pattern
     13x per row (measured 3x wall on the 1M-line accesslog query)."""
-    regex, fields = compile_grok(pattern)
+    regex, fields = compile_grok(pattern, extra_patterns)
     repl = _MS + _FS.join(f"${i}" for i in range(1, len(fields) + 1))
     # lazy prefix + greedy tail: the whole line rewrites to the field
     # string of the FIRST regex match (regexp_extract semantics)

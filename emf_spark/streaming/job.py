@@ -159,3 +159,54 @@ def run_eventtime_counts(
         .trigger(availableNow=True)
         .start(path=os.path.join(out_dir, "counts"), format="parquet")
     )
+
+
+def run_eventtime_sessions(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    gap: str = "30 seconds",
+    watermark: str = "30 seconds",
+    max_files_per_trigger: int = 2,
+):
+    """Watermarked SESSION windows (VERDICT r3 item 7 — the streaming
+    form of ``operators/sessions.py``): per dim_hash, events separated
+    by more than ``gap`` of event-time inactivity start a new session;
+    Spark's ``session_window`` state merges overlapping in-flight
+    sessions across micro-batches and the watermark closes a session
+    once event time passes last_event + gap + watermark. Append mode
+    emits each closed session exactly once; semantics (inclusive-merge
+    boundary, end = last event + gap) match the batch operator, pinned
+    by the parity test. Scale: state is one (key, open-session) entry
+    per in-flight session — bounded by key cardinality x gap, evicted
+    by the watermark, never by job restarts (checkpointed)."""
+    stream = (
+        spark.readStream.schema(TOKENIZED_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    parsed = parse_op.parse_emf(with_payload(stream))
+    valid = parsed.filter(F.col("valid")).withColumn(
+        "event_time", F.timestamp_millis(F.col("ts"))
+    )
+    sessions = (
+        valid.withWatermark("event_time", watermark)
+        .groupBy(F.session_window("event_time", gap).alias("sw"), "dim_hash")
+        .agg(
+            F.count(F.lit(1)).alias("records"),
+            F.sum(F.size(F.map_keys(F.col("metric_raw")))).alias("metric_values"),
+        )
+        .select(
+            F.unix_millis(F.col("sw.start")).alias("session_start"),
+            F.unix_millis(F.col("sw.end")).alias("session_end"),
+            "dim_hash",
+            "records",
+            "metric_values",
+        )
+    )
+    return (
+        sessions.writeStream.outputMode("append")
+        .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start(path=os.path.join(out_dir, "sessions"), format="parquet")
+    )

@@ -96,3 +96,45 @@ def test_balanced_sample_caps_heads_keeps_tails(spark):
     a = {r["doc_id"] for r in balanced_sample(df.repartition(13), "cls", 10, salt="t").collect()}
     b = {r["doc_id"] for r in balanced_sample(df.coalesce(1), "cls", 10, salt="t").collect()}
     assert a == b and len(a) == 13
+
+
+def test_balanced_sample_est_counts_gate_row_identical(spark):
+    """The head-class hash-gate (VERDICT r3 item 5) must produce output
+    row-identical to the plain exact-rank path — with accurate,
+    over-, and under-estimated class counts — and must appear in the
+    plan as a pre-window filter."""
+    from emf_spark.datax.sampling import balanced_sample
+
+    rows = (
+        [(i, "head") for i in range(5000)]
+        + [(100_000 + i, "mid") for i in range(60)]
+        + [(200_000 + i, "tail") for i in range(3)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "cls"])
+    plain = sorted(
+        (r["doc_id"], r["cls"])
+        for r in balanced_sample(df, "cls", 10, salt="g").collect()
+    )
+    for est in (
+        {"head": 5000, "mid": 60},          # accurate
+        {"head": 10_000},                   # 2x over-estimate (contract edge)
+        {"head": 2000, "tail": 2},          # under-estimate + tiny class
+    ):
+        gated = sorted(
+            (r["doc_id"], r["cls"])
+            for r in balanced_sample(
+                df, "cls", 10, salt="g", est_counts=est
+            ).collect()
+        )
+        assert gated == plain, est
+    # the gate is in the plan: pre-window Filter carrying the 4n/est
+    # threshold (4*10/5000 = 0.008) on the hash fraction
+    gp = balanced_sample(
+        df, "cls", 10, salt="g", est_counts={"head": 5000}
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "0.008" in gp
+    # classes under the 4n threshold never gate (no filter planned)
+    np_ = balanced_sample(
+        df, "cls", 10, salt="g", est_counts={"tail": 3}
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "0.008" not in np_ and "13.3" not in np_

@@ -1,6 +1,10 @@
-"""Dedup scale curve (VERDICT r2 item 10): wall time + pair counts for
-minhash (default capped config) and simhash (new default capped config)
-at 50k / 150k / 500k docs.
+"""Dedup scale curve (VERDICT r2 item 10, extended r4): wall time +
+pair counts for minhash (default capped config) and simhash (capped
+default) at 50k / 150k / 500k / 1M docs, plus the INCREMENTAL leg in
+the same chart (VERDICT r3 stretch): per size, bootstrap a signature
+store on ~90% of the corpus and ingest the remaining ~10% as a batch —
+`ingest_s` is the cost a daily pipeline actually pays, and should stay
+~flat-per-batch-doc while `minhash.seconds` grows with the corpus.
 
 Corpus: fully synthetic, columnar, deterministic — 60-word docs over a
 30k vocab (near-dup probability ~0: the volume floor), plus a planted
@@ -8,7 +12,8 @@ near-dup family of 4 for every 50th base doc (one word changed), so the
 TRUE pair count grows O(n) and any superlinear blowup is the algorithm,
 not the data.
 
-Usage: python tools/dedup_curve.py [sizes_csv]   (default 50000,150000,500000)
+Usage: python tools/dedup_curve.py [sizes_csv]
+       (default 50000,150000,500000,1000000)
 Writes BENCH/DEDUP_CURVE.json and prints it.
 """
 
@@ -68,8 +73,15 @@ def main():
     # re-parsed as a sizes list (review finding)
     sizes = [
         int(x)
-        for x in (sys.argv[1] if len(sys.argv) > 1 else "50000,150000,500000").split(",")
+        for x in (
+            sys.argv[1] if len(sys.argv) > 1 else "50000,150000,500000,1000000"
+        ).split(",")
     ]
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
     for n in sizes:
         df = corpus(spark, n)
         df.write.mode("overwrite").parquet(f"/tmp/dedup_curve_{n}.parquet")
@@ -88,6 +100,32 @@ def main():
         row["simhash"] = {
             "seconds": round(dt, 2), "pairs": sp, "docs_per_s": round(total / dt, 1)
         }
+        # incremental leg: store bootstrapped on ids < 90th percentile
+        # cut, the top ~10% of ids ingested as "today's batch" (the
+        # generator's family ids exceed n, so the batch holds whole
+        # families too — cross-store pairs exist)
+        cutoff = int(n * 0.9)
+        base = df.filter(F.col("doc_id") < cutoff)
+        batch = df.filter(F.col("doc_id") >= cutoff)
+        tmp = tempfile.mkdtemp(prefix=f"dedup_curve_store_{n}_")
+        store = str(Path(tmp) / "sigstore")
+        try:
+            t0 = time.time()
+            dedup.write_signature_store(base, store)
+            boot_s = time.time() - t0
+            t0 = time.time()
+            ip = dedup.minhash_incremental(batch, store).count()
+            ing_s = time.time() - t0
+            b_n = batch.count()
+            row["incremental"] = {
+                "batch_docs": b_n,
+                "bootstrap_s": round(boot_s, 2),
+                "ingest_s": round(ing_s, 2),
+                "pairs": ip,
+                "batch_docs_per_s": round(b_n / ing_s, 1),
+            }
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
         out[str(n)] = row
         print(json.dumps({str(n): row}), flush=True)
         spark.catalog.clearCache()

@@ -137,29 +137,31 @@ def synth_bmp(width: int, height: int, base: int) -> bytes:
 
 def _png_filter_row(filt_type: int, raw: np.ndarray, prior: np.ndarray,
                     bpp: int) -> np.ndarray:
-    """Apply PNG filter ``filt_type`` to one raw scanline (encoder side
-    — used by synth_png so fixtures exercise every filter)."""
+    """Apply PNG filter ``filt_type`` to one raw scanline (encoder
+    side — used by synth_png so fixtures exercise every filter).
+    Fully vectorized: every predictor is a function of the RAW line
+    and the prior line only (no reconstruction recurrence on the
+    encode side)."""
     raw = raw.astype(np.int64)
     pri = prior.astype(np.int64)
-    out = np.empty_like(raw)
-    for x in range(len(raw)):
-        left = raw[x - bpp] if x >= bpp else 0
-        up = pri[x]
-        upleft = pri[x - bpp] if x >= bpp else 0
-        if filt_type == 0:
-            pred = 0
-        elif filt_type == 1:
-            pred = left
-        elif filt_type == 2:
-            pred = up
-        elif filt_type == 3:
-            pred = (left + up) // 2
-        else:  # Paeth
-            p = left + up - upleft
-            pa, pb, pc = abs(p - left), abs(p - up), abs(p - upleft)
-            pred = left if pa <= pb and pa <= pc else (up if pb <= pc else upleft)
-        out[x] = (raw[x] - pred) % 256
-    return out.astype(np.uint8)
+    left = np.concatenate([np.zeros(bpp, dtype=np.int64), raw[:-bpp]]) \
+        if len(raw) > bpp else np.zeros_like(raw)
+    upleft = np.concatenate([np.zeros(bpp, dtype=np.int64), pri[:-bpp]]) \
+        if len(pri) > bpp else np.zeros_like(pri)
+    if filt_type == 0:
+        pred = np.zeros_like(raw)
+    elif filt_type == 1:
+        pred = left
+    elif filt_type == 2:
+        pred = pri
+    elif filt_type == 3:
+        pred = (left + pri) // 2
+    else:  # Paeth
+        p = left + pri - upleft
+        pa, pb, pc = np.abs(p - left), np.abs(p - pri), np.abs(p - upleft)
+        pred = np.where((pa <= pb) & (pa <= pc), left,
+                        np.where(pb <= pc, pri, upleft))
+    return ((raw - pred) % 256).astype(np.uint8)
 
 
 def _png_unfilter_row(filt_type: int, filt: np.ndarray, prior: np.ndarray,
@@ -175,6 +177,14 @@ def _png_unfilter_row(filt_type: int, filt: np.ndarray, prior: np.ndarray,
         return ((filt.astype(np.int64) + prior.astype(np.int64)) % 256).astype(
             np.uint8
         )
+    if filt_type == 1:
+        # Sub's recurrence out[x] = filt[x] + out[x-bpp] decomposes
+        # into bpp independent prefix sums (one per byte lane) —
+        # vectorized as per-lane cumsum mod 256
+        out = filt.astype(np.int64).copy()
+        for lane in range(min(bpp, len(filt))):
+            out[lane::bpp] = np.cumsum(out[lane::bpp]) % 256
+        return out.astype(np.uint8)
     out = np.empty_like(filt)
     fi = filt.astype(np.int64)
     pri = prior.astype(np.int64)

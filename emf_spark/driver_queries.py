@@ -1669,7 +1669,9 @@ def q_multimodal_png_decode(spark, sf):
     decompress -> un-filter loop, not just plumbing."""
     from emf_spark.datax import multimodal
 
-    d = _t(spark, sf, "documents")
+    # single-file scan feeding CPU-heavy Python (zlib + un-filter):
+    # fan out so the mapInPandas stage uses every core, not one
+    d = _fan(spark, _t(spark, sf, "documents"))
     dec = multimodal.decode_media(multimodal.media_png_from_documents(d))
     return dec.groupBy("format").agg(
         F.count(F.lit(1)).alias("n_media"),

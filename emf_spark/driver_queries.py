@@ -1449,6 +1449,67 @@ FROM events GROUP BY 1
 """
 
 
+def q_percentiles_hist(spark, sf):
+    """Histogram-path EXACT percentiles — the 100 TB shape the
+    emf_percentiles docstring prescribes: collapse raw rows to a
+    (group, value) -> count histogram FIRST (one map-side-combining
+    shuffle, output bounded by distinct-value cardinality), then read
+    the interpolated quantile off the cumulative counts. No per-group
+    sort of raw rows ever happens; the rank window runs over histogram
+    rows only. Result is bit-identical to percentile()/quantile_cont
+    (same (n-1)*p order-statistic interpolation), which the oracle
+    checks directly against DuckDB's quantile_cont on the raw table."""
+    ev = _t(spark, sf, "events").filter(F.col("value").isNotNull())
+    hist = ev.groupBy("event_type", "value").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = Window.partitionBy("event_type")
+    hist = (
+        hist.withColumn("cum", F.sum("cnt").over(wcum))
+        .withColumn("n", F.sum("cnt").over(wn))
+    )
+    hist = hist.withColumn("h50", (F.col("n") - 1) * F.lit(0.5)).withColumn(
+        "h95", (F.col("n") - 1) * F.lit(0.95)
+    )
+
+    def at_rank(rank_col):
+        # min value whose cumulative count exceeds the 0-based rank ==
+        # the value covering that order statistic
+        return F.min(F.when(F.col("cum") > rank_col, F.col("value")))
+
+    per = hist.groupBy("event_type").agg(
+        at_rank(F.floor("h50")).alias("lo50"),
+        at_rank(F.ceil("h50")).alias("hi50"),
+        at_rank(F.floor("h95")).alias("lo95"),
+        at_rank(F.ceil("h95")).alias("hi95"),
+        F.first("h50").alias("h50"),
+        F.first("h95").alias("h95"),
+        F.first("n").alias("n"),
+    )
+    interp = lambda lo, hi, h: F.col(lo) + (F.col(h) - F.floor(h)) * (
+        F.col(hi) - F.col(lo)
+    )
+    return per.select(
+        "event_type",
+        F.round(interp("lo50", "hi50", "h50"), 6).alias("p50"),
+        F.round(interp("lo95", "hi95", "h95"), 6).alias("p95"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+
+
+SQL_PERCENTILES_HIST = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.95), 6) AS p95,
+       COUNT(value) AS n
+FROM events WHERE value IS NOT NULL
+GROUP BY 1
+"""
+
+
 def q_pivot_type_by_bucket(spark, sf):
     """PIVOT leg: per user-bucket row, one count column per event_type
     (explicit value list, so the plan is one aggregation — no
@@ -3476,6 +3537,7 @@ QUERIES: dict[str, Callable] = {
     "tpch_cube_revenue": q_tpch_cube_revenue,
     "emf_kmv_global": q_kmv_global,
     "multimodal_png_decode": q_multimodal_png_decode,
+    "emf_percentiles_hist": q_percentiles_hist,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3566,4 +3628,5 @@ ORACLE_SQL: dict[str, str] = {
     "tpch_cube_revenue": SQL_TPCH_CUBE_REVENUE,
     "emf_kmv_global": SQL_KMV_GLOBAL,
     "multimodal_png_decode": SQL_MULTIMODAL_PNG_DECODE,
+    "emf_percentiles_hist": SQL_PERCENTILES_HIST,
 }

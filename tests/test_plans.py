@@ -278,6 +278,21 @@ def test_vocab_topk_windows_after_aggregation(spark):
     assert p.index("Window") < p.index("HashAggregate")  # formatted prints top-down
 
 
+def test_percentiles_hist_windows_above_histogram(spark):
+    """The histogram-path percentile's cumulative/rank windows must sit
+    ABOVE the (group, value)->count aggregate — the plan never sorts
+    raw rows per group, only histogram rows (distinct-value
+    cardinality)."""
+    from emf_spark import driver_queries as dq
+
+    p = plan_of(dq.QUERIES["emf_percentiles_hist"](spark, "/root/testdata/sf0.001"))
+    # formatted prints top-down: the deepest (first-executed) node is
+    # printed last — the histogram HashAggregate must appear BELOW
+    # (after, in print order) every Window
+    assert "Window" in p and "HashAggregate" in p
+    assert p.rindex("HashAggregate") > p.rindex("Window")
+
+
 def test_tpch_forecast_revenue_pushes_all_predicates(spark):
     """Q6 is the pushdown poster child: shipdate range AND quantity
     bound must reach the parquet scan, and the scan must not read

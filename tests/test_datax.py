@@ -810,6 +810,28 @@ def test_png_filter_coverage_and_grayscale():
     assert mm._decode_png(png) == (4, 2, 8, sum(raw))
 
 
+def test_png_roundtrip_fuzz():
+    """Property: for ANY raster bytes and dimensions, synth_png ->
+    _decode_png recovers exact (w, h, n_units, value_sum) — i.e. the
+    five filters and zlib framing are lossless end to end."""
+    from hypothesis import given, settings, strategies as st
+
+    from emf_spark.datax import multimodal as mm
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=40),
+        h=st.integers(min_value=1, max_value=24),
+        base=st.integers(min_value=0, max_value=2**31),
+    )
+    def check(w, h, base):
+        W, H, n, vs = mm._decode_png(mm.synth_png(w, h, base))
+        assert (W, H, n) == (w, h, w * h * 3)
+        assert vs == sum((base + i) % 256 for i in range(w * h * 3))
+
+    check()
+
+
 def test_exact_dedup_incremental_two_ingests(spark, tmp_path):
     from emf_spark.datax import dedup as dd
 

@@ -662,6 +662,22 @@ def write_signature_store(
     partitioned by ``_ingest`` (min id of the frame) — the same layout
     minhash_incremental maintains, so a bootstrap store and
     incrementally-grown stores are interchangeable."""
+    spark = df.sparkSession
+    # full overwrite = store REBUILD: re-pin meta to the new params.
+    # Any mode that can leave EXISTING rows in place (append, or
+    # 'overwrite' under a session-wide dynamic partitionOverwriteMode,
+    # which only replaces touched partitions) must validate BEFORE the
+    # data write — validating after would corrupt the store with
+    # mixed-length signatures and THEN raise (review finding).
+    dynamic = (
+        spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        ).lower() == "dynamic"
+    )
+    rebuild = mode == "overwrite" and not dynamic
+    if not rebuild:
+        _store_meta(spark, path, num_perm, shingle_k, seed, word_hash,
+                    write_if_absent=False)
     sigs = minhash_signatures(
         df, text_col, id_col, num_perm, shingle_k, seed, word_hash
     )
@@ -672,8 +688,8 @@ def write_signature_store(
         .partitionBy("_ingest")
         .parquet(path)
     )
-    _store_meta(df.sparkSession, path, num_perm, shingle_k, seed,
-                word_hash, write_if_absent=True)
+    _store_meta(spark, path, num_perm, shingle_k, seed, word_hash,
+                write_if_absent=True, overwrite=rebuild)
 
 
 def minhash_incremental(
@@ -783,6 +799,30 @@ def _fs_exists(spark, path: str) -> bool:
     return bool(fs.exists(hpath))
 
 
+def _orphaned_flat_files(spark, path: str) -> list[str]:
+    """Data files sitting DIRECTLY in a store dir ALONGSIDE
+    ``_ingest=`` partition dirs — the mixed layout created when a new
+    partitioned write lands on a legacy (round-3 ``mode('append')``)
+    flat store. In that layout Spark's partition discovery returns
+    ONLY the partitioned rows and the flat files silently vanish from
+    reads (review finding), so they are listed explicitly and unioned
+    back in by the caller. A PURE flat store (no partition dirs) reads
+    normally and returns [] here — no double counting."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return []
+    files, has_partition_dirs = [], False
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("_ingest="):
+            has_partition_dirs = True
+        elif st.isFile() and not name.startswith(("_", ".")):
+            files.append(st.getPath().toString())
+    return files if has_partition_dirs else []
+
+
 def _read_store(spark, path: str, schema: str, drop: list[str] = ()) -> DataFrame:
     """Read an incremental-store parquet dir; a MISSING path means
     first ingest (empty frame of ``schema``), but any other read
@@ -813,7 +853,8 @@ _STORE_META_SCHEMA = "num_perm int, shingle_k int, seed int, word_hash string"
 
 
 def _store_meta(spark, store_path: str, num_perm: int, shingle_k: int,
-                seed: int, word_hash, write_if_absent: bool) -> None:
+                seed: int, word_hash, write_if_absent: bool,
+                overwrite: bool = False) -> None:
     """Pin (num_perm, shingle_k, seed, word_hash) beside the signature
     store and raise on mismatch (ADVICE r3: an incremental call with
     different parameters silently deflates est_jaccard — zip_with over
@@ -823,9 +864,21 @@ def _store_meta(spark, store_path: str, num_perm: int, shingle_k: int,
     ``_``-prefixed names are Spark's hidden-file convention, so the
     store's parquet reads never see it. Stored/compared word_hash is
     the callable's __name__ (identity of the hash family; a None
-    means the engine-default hash)."""
+    means the engine-default hash).
+
+    ``overwrite=True`` re-pins the meta unconditionally (a store
+    REBUILD). When the meta file is absent but the store already holds
+    rows (a pre-meta legacy store), ``num_perm`` is cross-checked
+    against the stored signature length before being adopted — adopting
+    the caller's params blind would pin WRONG parameters forever and
+    reject all future correct calls (review finding)."""
     meta_dir = store_path.rstrip("/") + "/_emf_meta"
     wh = getattr(word_hash, "__name__", None) if word_hash is not None else None
+    if overwrite:
+        spark.createDataFrame(
+            [(num_perm, shingle_k, seed, wh)], _STORE_META_SCHEMA
+        ).coalesce(1).write.mode("overwrite").json(meta_dir)
+        return
     if _fs_exists(spark, meta_dir):
         row = spark.read.schema(_STORE_META_SCHEMA).json(meta_dir).collect()[0]
         have = (row["num_perm"], row["shingle_k"], row["seed"], row["word_hash"])
@@ -837,7 +890,25 @@ def _store_meta(spark, store_path: str, num_perm: int, shingle_k: int,
                 f"passed {want}. Mixed parameters corrupt est_jaccard — "
                 "rebuild the store or match its parameters."
             )
-    elif write_if_absent:
+        return
+    # no meta: legacy store — verify num_perm against actual sig length
+    first = None
+    if _fs_exists(spark, store_path):
+        from pyspark.errors import AnalysisException
+
+        try:
+            first = spark.read.parquet(store_path).select(
+                F.size("sig").alias("k")
+            ).first()
+        except AnalysisException:
+            first = None
+    if first is not None and first["k"] != num_perm:
+        raise ValueError(
+            f"signature store {store_path} holds {first['k']}-length "
+            f"signatures but this call passed num_perm={num_perm}; "
+            "match the store's parameters or rebuild it."
+        )
+    if write_if_absent:
         spark.createDataFrame(
             [(num_perm, shingle_k, seed, wh)], _STORE_META_SCHEMA
         ).coalesce(1).write.mode("overwrite").json(meta_dir)
@@ -882,15 +953,20 @@ def exact_dedup_incremental(
     batch_min = hashed.groupBy("content_hash").agg(F.min("id").alias("_bmin"))
     # min-collapse absorbs the concurrent-writer race (two ingests both
     # inserting a hash the store lacked): duplicate store rows resolve
-    # to one deterministic keep_id at read time
-    store = (
-        _read_store(
-            spark, store_path,
-            "content_hash string, keep_id bigint", drop=["_ingest"],
-        )
-        .groupBy("content_hash")
-        .agg(F.min("keep_id").alias("keep_id"))
+    # to one deterministic keep_id at read time. A legacy flat-layout
+    # store (round-3 append mode) keeps working: its directly-placed
+    # files disappear from partition-discovery reads once an _ingest=
+    # dir exists, so they are listed and unioned back explicitly.
+    store = _read_store(
+        spark, store_path,
+        "content_hash string, keep_id bigint", drop=["_ingest"],
     )
+    flat = _orphaned_flat_files(spark, store_path)
+    if flat:
+        store = store.unionByName(
+            spark.read.parquet(*flat).select("content_hash", "keep_id")
+        )
+    store = store.groupBy("content_hash").agg(F.min("keep_id").alias("keep_id"))
     j = (
         hashed.join(batch_min, "content_hash")
         .join(store, "content_hash", "left")
@@ -912,7 +988,10 @@ def exact_dedup_incremental(
             batch_min.join(store, "content_hash", "left_anti")
             .select("content_hash", F.col("_bmin").alias("keep_id"))
         )
-        batch_key = hashed.agg(F.min("id")).collect()[0][0]
+        # min over batch_min's per-hash minima == min over the batch,
+        # from a frame a groupBy has already shrunk (review finding:
+        # re-aggregating `hashed` was a whole redundant pass)
+        batch_key = batch_min.agg(F.min("_bmin")).collect()[0][0]
         if batch_key is not None:
             (
                 fresh.withColumn("_ingest", F.lit(int(batch_key)))

@@ -192,9 +192,7 @@ def _png_unfilter_row(filt_type: int, filt: np.ndarray, prior: np.ndarray,
         left = int(out[x - bpp]) if x >= bpp else 0
         up = int(pri[x])
         upleft = int(pri[x - bpp]) if x >= bpp else 0
-        if filt_type == 1:
-            pred = left
-        elif filt_type == 3:
+        if filt_type == 3:
             pred = (left + up) // 2
         elif filt_type == 4:
             p = left + up - upleft
@@ -282,11 +280,17 @@ def _decode_png(payload: bytes):
         raise ValueError("unsupported PNG color type")
     if not idat:
         raise ValueError("no IDAT")
-    if w <= 0 or h <= 0 or w > (1 << 24) or h > (1 << 24):
-        raise ValueError("bad dimensions")
-    stream = zlib.decompress(bytes(idat))
     rowlen = w * channels
-    if len(stream) != h * (1 + rowlen):
+    expected = h * (1 + rowlen)
+    # bound BEFORE inflating: zlib.decompress with no limit would
+    # materialize a decompression bomb (tiny IDAT -> GBs) and OOM the
+    # executor instead of degrading to the probe (review finding);
+    # 256 MB of raw raster is far beyond any fixture/doc-derived image
+    if w <= 0 or h <= 0 or expected > (1 << 28):
+        raise ValueError("bad dimensions")
+    d = zlib.decompressobj()
+    stream = d.decompress(bytes(idat), expected + 1)
+    if len(stream) != expected:
         raise ValueError("decompressed size mismatch")
     arr = np.frombuffer(stream, dtype=np.uint8).reshape(h, 1 + rowlen)
     prior = np.zeros(rowlen, dtype=np.uint8)

@@ -155,7 +155,10 @@ def balanced_sample(
                 )
                 gate = cond if gate is None else (gate | cond)
         if gate is not None:
-            df = df.filter(~gate)
+            # NULL-safe negation: for a NULL class the equality is NULL,
+            # and filter(~NULL) would silently DROP those rows — the
+            # plain path keeps them as their own window partition
+            df = df.filter(~F.coalesce(gate, F.lit(False)))
     w = Window.partitionBy(class_col).orderBy(h.asc(), F.col(id_col).asc())
     return (
         df.withColumn("_rk", F.row_number().over(w))

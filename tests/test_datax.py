@@ -936,6 +936,141 @@ def test_exact_dedup_incremental_retry_and_concurrent(spark, tmp_path):
     ]
 
 
+def test_signature_store_meta_validates_before_write(spark, tmp_path):
+    """A mismatched-params append must raise BEFORE touching the store
+    (review finding: validate-after-write corrupted the store with
+    mixed-length signatures and then raised)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from emf_spark.datax import dedup as dd
+
+    store = str(tmp_path / "sigstore_order")
+    b = spark.createDataFrame(
+        [(i, f"alpha beta gamma tail{i}") for i in range(4)],
+        ["doc_id", "text"],
+    )
+    dd.write_signature_store(b, store, num_perm=32)
+    with pytest.raises(ValueError):
+        dd.write_signature_store(
+            b.withColumn("doc_id", F.col("doc_id") + 100),
+            store, num_perm=64, mode="append",
+        )
+    # the store is untouched: still 4 rows, all 32-length sigs
+    rows = spark.read.parquet(store).select(F.size("sig").alias("k")).collect()
+    assert len(rows) == 4 and {r["k"] for r in rows} == {32}
+
+
+def test_signature_store_legacy_no_meta_cross_checks_sig_length(spark, tmp_path):
+    """A pre-meta legacy store must not blindly adopt the caller's
+    params: num_perm is cross-checked against the stored signature
+    length (review finding: blind adoption pinned WRONG params and
+    then rejected all future correct calls)."""
+    import shutil
+
+    import pytest
+
+    from emf_spark.datax import dedup as dd
+
+    store = str(tmp_path / "sigstore_legacy")
+    b = spark.createDataFrame(
+        [(i, f"alpha beta gamma tail{i}") for i in range(4)],
+        ["doc_id", "text"],
+    )
+    dd.write_signature_store(b, store, num_perm=32)
+    shutil.rmtree(str(tmp_path / "sigstore_legacy" / "_emf_meta"))  # simulate pre-meta store
+    with pytest.raises(ValueError, match="32-length"):
+        dd.minhash_incremental(b, store, num_perm=64, bands=8)
+    # correct params adopt + write the meta, and keep working
+    dd.minhash_incremental(b, store, num_perm=32, bands=8).collect()
+    dd.minhash_incremental(b, store, num_perm=32, bands=8).collect()
+
+
+def test_exact_dedup_incremental_legacy_flat_store(spark, tmp_path):
+    """A round-3 flat (unpartitioned append) hash store must keep
+    recognizing its hashes after a new-layout ingest lands partition
+    dirs beside the flat files (review finding: partition discovery
+    silently orphaned the flat rows)."""
+    from pyspark.sql import functions as F
+
+    from emf_spark.datax import dedup as dd
+
+    store = str(tmp_path / "hashstore_flat")
+    # legacy layout: flat files, no _ingest partition, holding the REAL
+    # hash of "legacy doc" with keeper id 7 (what a round-3 ingest of
+    # (7, "legacy doc") persisted)
+    legacy_hash = spark.createDataFrame(
+        [("legacy doc",)], "text string"
+    ).select(
+        F.md5(dd.normalized(F.col("text"))).alias("h")
+    ).collect()[0]["h"]
+    spark.createDataFrame(
+        [(legacy_hash, 7)], "content_hash string, keep_id bigint"
+    ).write.mode("append").parquet(store)
+    # pure-flat store reads fine (no double counting):
+    r0 = dd.exact_dedup_incremental(
+        spark.createDataFrame([(50, "legacy doc")], ["doc_id", "text"]),
+        store, update_store=False,
+    ).collect()[0]
+    assert (r0["is_dup"], r0["keep_id"]) == (True, 7)
+    # new-layout ingest writes an _ingest partition beside the flat file
+    b1 = spark.createDataFrame([(10, "new doc")], ["doc_id", "text"])
+    dd.exact_dedup_incremental(b1, store).collect()
+    flat = dd._orphaned_flat_files(spark, store)
+    assert flat, "flat legacy files should coexist with partition dirs"
+    # the legacy hash must STILL be recognized through the engine's
+    # read path (partition discovery alone would orphan it)
+    r1 = dd.exact_dedup_incremental(
+        spark.createDataFrame([(60, "legacy doc")], ["doc_id", "text"]),
+        store, update_store=False,
+    ).collect()[0]
+    assert (r1["is_dup"], r1["keep_id"]) == (True, 7)
+    # and the partitioned row works too
+    r2 = dd.exact_dedup_incremental(
+        spark.createDataFrame([(61, "new doc")], ["doc_id", "text"]),
+        store, update_store=False,
+    ).collect()[0]
+    assert (r2["is_dup"], r2["keep_id"]) == (True, 10)
+
+
+def test_png_decompression_bomb_degrades(spark):
+    """A PNG whose IDAT inflates far beyond the header's raster size
+    must degrade to the probe (bounded inflate), not OOM (review
+    finding); an absurd header raster size is rejected outright."""
+    import struct
+    import zlib
+
+    from emf_spark.datax import multimodal as mm
+
+    def chunk(t, b):
+        return (struct.pack(">I", len(b)) + t + b
+                + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF))
+
+    # header says 2x2 RGB (expected 2*(1+6)=14 bytes) but IDAT holds 10MB
+    bomb = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 10_000_000))
+            + chunk(b"IEND", b""))
+    # huge declared dims (raster > 256MB) reject before any inflate
+    huge = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 1 << 20, 1 << 20, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 100))
+            + chunk(b"IEND", b""))
+    import pytest
+
+    for payload in (bomb, huge):
+        with pytest.raises(ValueError):
+            mm._decode_png(payload)
+    # and through decode_media both degrade to the png probe row
+    media = spark.createDataFrame(
+        [("bomb", "image", bomb), ("huge", "image", huge)],
+        "media_id string, kind string, payload binary",
+    )
+    got = {r["media_id"]: r for r in mm.decode_media(media).collect()}
+    assert got["bomb"]["format"] == "png" and got["bomb"]["n_units"] is None
+    assert got["huge"]["format"] == "png" and got["huge"]["n_units"] is None
+
+
 def test_funnel_summary_quote_in_step_name(spark):
     """Step names are data, not SQL: a single quote must not break or
     inject into the unpivot (ADVICE r3)."""

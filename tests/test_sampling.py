@@ -138,3 +138,28 @@ def test_balanced_sample_est_counts_gate_row_identical(spark):
         df, "cls", 10, salt="g", est_counts={"tail": 3}
     )._jdf.queryExecution().executedPlan().toString()
     assert "0.008" not in np_ and "13.3" not in np_
+
+
+def test_balanced_sample_gate_keeps_null_class_rows(spark):
+    """Gate predicate must be NULL-safe: rows whose class is NULL are
+    their own window partition in the plain path and must survive the
+    est_counts pre-filter identically (review finding: ~NULL filter
+    silently dropped them)."""
+    from emf_spark.datax.sampling import balanced_sample
+
+    rows = [(i, "head") for i in range(300)] + [
+        (10_000 + i, None) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, cls string")
+    plain = sorted(
+        (r["doc_id"], r["cls"])
+        for r in balanced_sample(df, "cls", 10, salt="n").collect()
+    )
+    gated = sorted(
+        (r["doc_id"], r["cls"])
+        for r in balanced_sample(
+            df, "cls", 10, salt="n", est_counts={"head": 300}
+        ).collect()
+    )
+    assert gated == plain
+    assert sum(1 for _, c in gated if c is None) == 5

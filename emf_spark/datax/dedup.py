@@ -42,13 +42,35 @@ def portable_word_hash(col: F.Column) -> F.Column:
 
 
 def xxhash_word(col: F.Column) -> F.Column:
-    """Engine-default word hash (fast JVM xxhash64, mod P)."""
-    return F.abs(F.xxhash64(col)) % F.lit(_P)
+    """Engine-default word hash (fast JVM xxhash64, mod P).
+
+    pmod, not abs(...) % P: abs(Long.MIN_VALUE) throws
+    ARITHMETIC_OVERFLOW under the session's default ANSI mode — a
+    2^-64-per-word latent whole-job crash at scale (review finding).
+    Note: this changed signature values vs round <= 3; a signature
+    store bootstrapped before the change must be rebuilt (the store's
+    _emf_meta cannot capture engine-internal hash revisions)."""
+    return F.pmod(F.xxhash64(col), F.lit(_P))
 
 
 def normalized(text: F.Column) -> F.Column:
     """Lowercase, collapse whitespace — the usual pre-dedup canon."""
     return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def _collapse_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One representative (min id, its text) per distinct NORMALIZED
+    text — the shared pre-LSH collapse of minhash_near_duplicates and
+    simhash_near_duplicates (review finding: the block was duplicated;
+    a tiebreak/hash change must land exactly once)."""
+    return (
+        df.groupBy(F.md5(normalized(F.col(text_col))).alias("_h"))
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.min_by(text_col, F.col(id_col)).alias(text_col),
+        )
+        .drop("_h")
+    )
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -271,14 +293,7 @@ def minhash_near_duplicates(
     exact_dedup(); the near-dup pairs reported here relate cluster
     representatives (min id per distinct text)."""
     if pre_dedupe_exact:
-        df = (
-            df.groupBy(F.md5(normalized(F.col(text_col))).alias("_h"))
-            .agg(
-                F.min(id_col).alias(id_col),
-                F.min_by(text_col, F.col(id_col)).alias(text_col),
-            )
-            .drop("_h")
-        )
+        df = _collapse_exact(df, text_col, id_col)
     # sigs feeds three plan branches (banding + both verify-join sides);
     # a lazy persist dedups the signature aggregation across them when
     # the caller's action runs (callers running many dedup passes in one
@@ -483,9 +498,9 @@ def simhash_near_duplicates(
     max_bucket: int | None = 200,
     pre_dedupe_exact: bool = True,
 ) -> DataFrame:
-    """SimHash near-dup pairs: band the n_bits into 4 keys (pigeonhole:
-    hamming <= 3 implies at least one identical band), bucket-join,
-    verify with bit_count(xor) <= max_hamming.
+    """SimHash near-dup pairs: band the n_bits into ``max_hamming + 1``
+    keys (pigeonhole: hamming <= h implies at least one identical band
+    among h+1), bucket-join, verify with bit_count(xor) <= max_hamming.
 
     Scale-safe BY DEFAULT (VERDICT r2 item 1): ``max_bucket=200`` caps
     degenerate band buckets like lsh_candidate_pairs — a band key
@@ -502,16 +517,18 @@ def simhash_near_duplicates(
     modes are deterministic (row_number by id), so either is
     ANSI-SQL-oracle-checkable."""
     if pre_dedupe_exact:
-        df = (
-            df.groupBy(F.md5(normalized(F.col(text_col))).alias("_h"))
-            .agg(
-                F.min(id_col).alias(id_col),
-                F.min_by(text_col, F.col(id_col)).alias(text_col),
-            )
-            .drop("_h")
-        )
-    band_w = n_bits // 4
-    band_mask = (1 << band_w) - 1
+        df = _collapse_exact(df, text_col, id_col)
+    # pigeonhole: hamming <= h implies >= 1 identical band only when
+    # there are h+1 bands — the former fixed 4-band split silently
+    # MISSED pairs for max_hamming >= 4 (4 differing bits can land in 4
+    # distinct bands; review finding). Bands are contiguous chunks with
+    # widths differing by <= 1, so any n_bands <= n_bits works.
+    n_bands = max_hamming + 1
+    if n_bands > n_bits:
+        raise ValueError(f"max_hamming={max_hamming} needs more bands than bits")
+    base_w, extra = divmod(n_bits, n_bands)
+    widths = [base_w + (1 if b < extra else 0) for b in range(n_bands)]
+    offsets = [sum(widths[:b]) for b in range(n_bands)]
     sh = simhash_fingerprints(df, text_col, id_col, n_bits, word_hash)
     banded = sh.select(
         "id",
@@ -521,11 +538,11 @@ def simhash_near_duplicates(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright(F.col("sim"), b * band_w)
-                        .bitwiseAND(F.lit(band_mask))
+                        F.shiftright(F.col("sim"), offsets[b])
+                        .bitwiseAND(F.lit((1 << widths[b]) - 1))
                         .alias("key"),
                     )
-                    for b in range(4)
+                    for b in range(n_bands)
                 ]
             )
         ).alias("bk"),
@@ -589,10 +606,18 @@ def ngram_jaccard_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
-                6,
+            # two docs both shorter than shingle_k words have EMPTY
+            # shingle sets; under ANSI 0/0 throws, so define their
+            # Jaccard as 1.0 (identical empty sets — they only meet
+            # here when a candidate generator already bucketed them)
+            F.when(
+                F.size(F.array_union("sh_a", "sh_b")) == 0, F.lit(1.0)
+            ).otherwise(
+                F.round(
+                    F.size(F.array_intersect("sh_a", "sh_b"))
+                    / F.size(F.array_union("sh_a", "sh_b")),
+                    6,
+                )
             ).alias("jaccard"),
         )
     )
@@ -678,16 +703,22 @@ def write_signature_store(
     if not rebuild:
         _store_meta(spark, path, num_perm, shingle_k, seed, word_hash,
                     write_if_absent=False)
+    # persist: the min-id collect AND the write otherwise each run the
+    # full shingle+permutation aggregation — ~all of minhash's cost,
+    # paid twice per bootstrap (review finding)
     sigs = minhash_signatures(
         df, text_col, id_col, num_perm, shingle_k, seed, word_hash
-    )
-    key = sigs.agg(F.min("id")).collect()[0][0]
-    (
-        sigs.withColumn("_ingest", F.lit(int(key if key is not None else 0)))
-        .write.mode(mode)
-        .partitionBy("_ingest")
-        .parquet(path)
-    )
+    ).persist()
+    try:
+        key = sigs.agg(F.min("id")).collect()[0][0]
+        (
+            sigs.withColumn("_ingest", F.lit(int(key if key is not None else 0)))
+            .write.mode(mode)
+            .partitionBy("_ingest")
+            .parquet(path)
+        )
+    finally:
+        sigs.unpersist()
     _store_meta(spark, path, num_perm, shingle_k, seed, word_hash,
                 write_if_absent=True, overwrite=rebuild)
 
@@ -967,6 +998,13 @@ def exact_dedup_incremental(
             spark.read.parquet(*flat).select("content_hash", "keep_id")
         )
     store = store.groupBy("content_hash").agg(F.min("keep_id").alias("keep_id"))
+    if update_store:
+        # the collapsed store feeds BOTH j's checkpoint and fresh's
+        # anti-join during the write — at scale the store scan +
+        # min-collapse is the dominant input; persist it for the call
+        # (review finding). The update_store=False path returns a lazy
+        # frame and must not leave a cache behind.
+        store = store.persist()
     j = (
         hashed.join(batch_min, "content_hash")
         .join(store, "content_hash", "left")
@@ -1000,4 +1038,5 @@ def exact_dedup_incremental(
                 .partitionBy("_ingest")
                 .parquet(store_path)
             )
+        store.unpersist()
     return j

@@ -98,5 +98,7 @@ def funnel_summary(times: DataFrame, steps: Sequence[str]) -> DataFrame:
         "step",
         "step_name",
         "units",
-        F.round(F.col("units") / F.col("s1"), 6).alias("conv_rate"),
+        # try_divide: when NO unit reached step 1 (s1=0) the rate is
+        # null instead of an ANSI DIVIDE_BY_ZERO crash (review finding)
+        F.round(F.try_divide(F.col("units"), F.col("s1")), 6).alias("conv_rate"),
     )

@@ -44,13 +44,19 @@ def _dot_cols(a, b) -> F.Column:
 
 
 def _norm(vec_col: F.Column) -> F.Column:
-    return F.sqrt(
+    """L2 norm with a zero guard: an all-zero embedding (a common real
+    artifact) otherwise makes every cosine 0/0, which THROWS under the
+    session's default ANSI mode and kills the whole job (review
+    finding). Mapping norm 0 -> 1 yields cosine 0 for such rows — they
+    rank last / match nothing instead of crashing."""
+    n = F.sqrt(
         F.aggregate(
             F.transform(vec_col, lambda a: a.cast("double") * a.cast("double")),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
     )
+    return F.when(n == 0.0, F.lit(1.0)).otherwise(n)
 
 
 def cosine_topk(
@@ -61,7 +67,7 @@ def cosine_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact brute-force cosine top-k against one query vector."""
-    qn = math.sqrt(sum(float(x) * float(x) for x in qvec))
+    qn = math.sqrt(sum(float(x) * float(x) for x in qvec)) or 1.0
     sim = _dot_lit(F.col(vec_col), qvec) / (_norm(F.col(vec_col)) * F.lit(qn))
     return (
         df.select(F.col(id_col).alias("id"), F.round(sim, 6).alias("cosine"))
@@ -100,19 +106,26 @@ def _query_bucket(qvec: list[float], planes: list[list[float]]) -> int:
     return qbits
 
 
-def _hamming_ball(center: int, n_planes: int, radius: int) -> list[int]:
-    """All bucket ids within ``radius`` bit flips of ``center``
-    (sum_{i<=radius} C(n_planes, i) values)."""
+def _hamming_masks(n_planes: int, radius: int) -> list[int]:
+    """XOR masks for every bucket within ``radius`` bit flips (incl. 0
+    — the identity mask), sum_{i<=radius} C(n_planes, i) values. The
+    single home of the combinations loop (review finding: it was
+    copy-pasted in three places)."""
     import itertools
 
-    out = [center]
+    masks = [0]
     for h in range(1, radius + 1):
         for bits in itertools.combinations(range(n_planes), h):
             m = 0
             for j in bits:
                 m |= 1 << j
-            out.append(center ^ m)
-    return out
+            masks.append(m)
+    return masks
+
+
+def _hamming_ball(center: int, n_planes: int, radius: int) -> list[int]:
+    """All bucket ids within ``radius`` bit flips of ``center``."""
+    return [center ^ m for m in _hamming_masks(n_planes, radius)]
 
 
 def materialize_buckets(
@@ -296,8 +309,6 @@ def embedding_near_duplicates(
     disable (e.g. when the input is already well-partitioned and the
     build side is too big to broadcast — then the join shuffles by
     bucket anyway and a pre-shuffle would be pure overhead)."""
-    import itertools
-
     planes = _hyperplanes(dim, n_planes, seed)
     if probe_partitions is None:
         target = df.sparkSession.sparkContext.defaultParallelism
@@ -307,13 +318,7 @@ def embedding_near_duplicates(
         F.col(vec_col).alias("v"),
         rp_lsh_bucket(F.col(vec_col), planes).alias("bucket"),
     )
-    masks = [0]
-    for h in range(1, probe_hamming + 1):
-        for bits in itertools.combinations(range(n_planes), h):
-            m = 0
-            for j in bits:
-                m |= 1 << j
-            masks.append(m)
+    masks = _hamming_masks(n_planes, probe_hamming)
     probes = b.select(
         F.col("id").alias("id_a"),
         F.col("v").alias("v_a"),
@@ -391,8 +396,6 @@ def lsh_topk_batch(
     for the whole batch instead of one scan per query.
 
     Returns (query_id, id, cosine, rank)."""
-    import itertools
-
     dim = len(df.select(vec_col).first()[0])
     planes = _hyperplanes(dim, n_planes, seed)
     b = df.select(
@@ -400,13 +403,7 @@ def lsh_topk_batch(
         F.col(vec_col).alias("v"),
         rp_lsh_bucket(F.col(vec_col), planes).alias("bucket"),
     )
-    masks = [0]
-    for h in range(1, probe_hamming + 1):
-        for bits in itertools.combinations(range(n_planes), h):
-            m = 0
-            for j in bits:
-                m |= 1 << j
-            masks.append(m)
+    masks = _hamming_masks(n_planes, probe_hamming)
     q = queries.select(
         F.col(q_id_col).alias("query_id"),
         F.col(q_vec_col).alias("qv"),

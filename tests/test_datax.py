@@ -1071,6 +1071,98 @@ def test_png_decompression_bomb_degrades(spark):
     assert got["huge"]["format"] == "png" and got["huge"]["n_units"] is None
 
 
+def test_cosine_paths_survive_zero_vectors(spark):
+    """An all-zero embedding (or zero query) must rank last / match
+    nothing — not crash the job with ANSI DIVIDE_BY_ZERO (review
+    finding)."""
+    rows = [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.6, 0.8])]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    got = similarity.cosine_topk(df, [1.0, 0.0], k=3).collect()
+    assert [r["id"] for r in got] == [1, 3, 2]
+    assert got[-1]["cosine"] == 0.0  # zero vector scores 0, ranks last
+    # zero QUERY vector: all cosines 0, deterministic id order
+    got = similarity.cosine_topk(df, [0.0, 0.0], k=3).collect()
+    assert [r["cosine"] for r in got] == [0.0, 0.0, 0.0]
+    # pairwise path with a zero vector present
+    pairs = similarity.embedding_near_duplicates(df, dim=2, threshold=0.99)
+    assert {tuple(sorted((r["id_a"], r["id_b"]))) for r in pairs.collect()} == set()
+
+
+def test_funnel_summary_zero_step1_units(spark):
+    """No unit reaching step 1 yields null conv_rates, not an ANSI
+    DIVIDE_BY_ZERO crash (review finding)."""
+    from emf_spark.datax.funnel import funnel_summary, funnel_times
+
+    ev = spark.createDataFrame(
+        [(1, "other", 10)], ["user_id", "event_type", "ts"]
+    )
+    t = funnel_times(ev, ["view", "buy"], ["user_id"])
+    got = funnel_summary(t, ["view", "buy"]).collect()
+    assert [(r["units"], r["conv_rate"]) for r in got] == [
+        (0, None), (0, None)
+    ]
+
+
+def test_ngram_jaccard_empty_shingle_pair(spark):
+    """Two docs shorter than shingle_k words have empty shingle sets;
+    their Jaccard is defined 1.0 (identical empty sets), not an ANSI
+    0/0 crash (review finding)."""
+    docs = spark.createDataFrame(
+        [(1, "hi there"), (2, "hi there"), (3, "a b c d")],
+        ["doc_id", "text"],
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], ["id_a", "id_b"])
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           dedup.ngram_jaccard_pairs(docs, pairs, shingle_k=3).collect()}
+    assert got[(1, 2)] == 1.0
+    assert got[(1, 3)] == 0.0
+
+
+def test_simhash_bands_scale_with_max_hamming(spark):
+    """max_hamming >= 4 must still find pairs whose differing bits land
+    in 4 distinct 16-bit quarters (the fixed 4-band split silently
+    missed them — review finding). Construct such a pair via the
+    engine's own fingerprints and assert the banding recalls it."""
+    import pytest
+
+    from emf_spark.datax.dedup import simhash_fingerprints
+
+    # search a small corpus for two docs with hamming in [4, 5] whose
+    # differing bits span all four 16-bit quarters
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta w{i} v{i % 7} u{i % 3}") for i in range(60)],
+        ["doc_id", "text"],
+    )
+    fps = {r["id"]: r["sim"] for r in
+           simhash_fingerprints(docs, "text", "doc_id").collect()}
+    target = None
+    ids = sorted(fps)
+    for i in ids:
+        for j in ids:
+            if i >= j:
+                continue
+            x = fps[i] ^ fps[j]
+            hb = bin(x & (2**64 - 1)).count("1")
+            quarters = {q for q in range(4)
+                        if (x >> (q * 16)) & 0xFFFF}
+            if 4 <= hb <= 5 and len(quarters) == 4:
+                target = (i, j, hb)
+                break
+        if target:
+            break
+    if target is None:
+        pytest.skip("no 4-quarter-spanning pair in this corpus")
+    i, j, hb = target
+    got = dedup.simhash_near_duplicates(
+        docs, max_hamming=hb, pre_dedupe_exact=False, max_bucket=None
+    )
+    found = {tuple(sorted((r["id_a"], r["id_b"]))) for r in got.collect()}
+    assert (i, j) in found
+    # and an impossible band count still raises loudly
+    with pytest.raises(ValueError, match="bands"):
+        dedup.simhash_near_duplicates(docs, max_hamming=64)
+
+
 def test_funnel_summary_quote_in_step_name(spark):
     """Step names are data, not SQL: a single quote must not break or
     inject into the unpivot (ADVICE r3)."""

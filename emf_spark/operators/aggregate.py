@@ -206,9 +206,20 @@ def aggregate_metadata(df: DataFrame, key_by_namespace: bool = False) -> DataFra
     if key_by_namespace:
         # replicate record metadata under each DISTINCT namespace it
         # projects to (two projections sharing a namespace must not
-        # double-count the record)
+        # double-count the record). A record with ZERO valid
+        # projections keys under the empty namespace instead of
+        # vanishing from explode — both modes then agree that such
+        # records still flush (and count toward records/bytes_in),
+        # matching the non-keyed path's coalesce-to-empty group
+        # (review finding: the modes disagreed on input accounting)
+        ns_list = F.array_distinct(F.col("cwm.Namespace"))
         df = df.withColumn(
-            "namespace", F.explode(F.array_distinct(F.col("cwm.Namespace")))
+            "namespace",
+            F.explode(
+                F.when(F.size(ns_list) > 0, ns_list).otherwise(
+                    F.array(F.lit(""))
+                )
+            ),
         )
     keys = group_keys(df, key_by_namespace)
 

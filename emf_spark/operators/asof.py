@@ -53,7 +53,11 @@ def asof_join(
             "pass a prefix"
         )
     rv_t = right.select(F.struct(*value_cols).alias("_rv")).schema["_rv"].dataType
-    r = right.select(
+    # a NULL right timestamp can match no `right_ts <= left_ts`
+    # predicate, but Spark sorts it NULLS FIRST — it would become the
+    # fill value for every otherwise-unmatched left row (the DuckDB
+    # oracle's l.ts >= r.ts yields NULL columns there; review finding)
+    r = right.filter(F.col(right_ts).isNotNull()).select(
         F.col(key).alias("_k"),
         F.col(right_ts).cast("double").alias("_t"),
         F.struct(*value_cols).alias("_rv"),

@@ -192,6 +192,21 @@ def compile_grok(
     library = {**GROK_PATTERNS, **extra_patterns} if extra_patterns else GROK_PATTERNS
     fields: list[tuple[str, str | None]] = []
     regex = _expand(pattern, fields, 0, library)
+    # group-count validation: a raw capturing '(' inside a user (or
+    # library) pattern body silently shifts every later $n reference,
+    # mapping fields to the WRONG captures (review finding). The
+    # compiler owns all intended groups (one per named field), so the
+    # compiled regex must have exactly len(fields) groups.
+    try:
+        n_groups = re.compile(regex).groups
+    except re.error:
+        n_groups = None  # Java-only syntax — cannot validate, pass through
+    if n_groups is not None and n_groups != len(fields):
+        raise ValueError(
+            f"pattern expands to {n_groups} regex groups for "
+            f"{len(fields)} named fields — a pattern body contains a raw "
+            "capturing '('; use '(?:...)' for grouping inside patterns"
+        )
     return regex, fields
 
 

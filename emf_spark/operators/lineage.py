@@ -130,7 +130,19 @@ def write_events_resumable(
     if n:
         written = todo.filter(~F.col("dropped_oversize"))
         written_n = written.count()
-        written.write.mode("append").partitionBy("sink").parquet(path)
+        # dynamic overwrite of the CELL partitions, not append: the
+        # manifest row lands AFTER this write, so a crash between the
+        # two re-runs these cells on resume — an append would then
+        # duplicate every row of the partially-recorded cells, while
+        # re-overwriting the same (sink, window_start) partitions is
+        # idempotent (review finding; same pattern as the streaming
+        # micro-batch and dedup-store writers)
+        (
+            written.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("sink", "window_start")
+            .parquet(path)
+        )
         record_cells(
             todo, manifest, stage, run_id, started,
             written_mask="dropped_oversize",

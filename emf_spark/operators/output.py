@@ -153,7 +153,18 @@ def plan_cw_batches(
         raise ValueError("max_event_bytes must be smaller than max_batch_bytes")
     denom = byte_budget * max_batch_events
     order_cols = order_cols or ["window_start", "dim_hash"]
-    w = Window.partitionBy(sink_col).orderBy(*order_cols)
+    # ROWS frame + a bytes tiebreak: the default window frame is RANGE,
+    # under which all rows TIED on the order keys share one cumulative
+    # value — n tied events (namespace-keyed events tie on
+    # (window_start, dim_hash)) would all land in one batch and bust
+    # both limits the docstring proves (review finding). The ROWS frame
+    # restores per-row accumulation; the extra order key keeps the
+    # split deterministic for rows the caller's keys don't distinguish.
+    w = (
+        Window.partitionBy(sink_col)
+        .orderBy(*order_cols, F.col(bytes_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     unit = F.greatest(
         F.col(bytes_col).cast("bigint") * F.lit(max_batch_events),
         F.lit(byte_budget).cast("bigint"),

@@ -73,8 +73,15 @@ def _aggregate_batch(
     ).withColumn(
         "batch_id", F.lit(batch_id)
     )
+    # ALL partials are persisted, including oversize-flagged ones: the
+    # events dir is the MERGE's input store, not the final sink. The
+    # oversize policy applies to the MERGED final event (compact_events
+    # re-renders the JSON and filters there) — silently dropping a
+    # partial here made the merged final event undercount where the
+    # one-shot batch run would have dropped the whole group (review
+    # finding, merge.py's streaming==batch contract).
     (
-        events.filter(~F.col("dropped_oversize"))
+        events
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id", "sink")
@@ -119,8 +126,11 @@ def run_eventtime_counts(
     slide: str | None = None,
 ):
     """Cross-batch stateful windowed counts with a watermark (W2): per
-    (sink-agnostic) dim_hash and event-time window, total observation
-    count and record count; late rows beyond the watermark are dropped
+    (sink-agnostic) dim_hash and event-time window, the record count and
+    the count of DECLARED METRIC KEYS across records (``metric_keys`` —
+    not post-parse observation counts, which would need the full value
+    normalization this lightweight surface skips); late rows beyond
+    the watermark are dropped
     by Spark's state eviction. Append mode emits a window once the
     watermark passes its end — windows still open when a bounded input
     drains stay in state (use update mode or a final flush for those).
@@ -144,13 +154,13 @@ def run_eventtime_counts(
         )
         .agg(
             F.count(F.lit(1)).alias("records"),
-            F.sum(F.size(F.map_keys(F.col("metric_raw")))).alias("metric_values"),
+            F.sum(F.size(F.map_keys(F.col("metric_raw")))).alias("metric_keys"),
         )
         .select(
             F.unix_millis(F.col("w.start")).alias("window_start"),
             "dim_hash",
             "records",
-            "metric_values",
+            "metric_keys",
         )
     )
     return (
@@ -194,14 +204,14 @@ def run_eventtime_sessions(
         .groupBy(F.session_window("event_time", gap).alias("sw"), "dim_hash")
         .agg(
             F.count(F.lit(1)).alias("records"),
-            F.sum(F.size(F.map_keys(F.col("metric_raw")))).alias("metric_values"),
+            F.sum(F.size(F.map_keys(F.col("metric_raw")))).alias("metric_keys"),
         )
         .select(
             F.unix_millis(F.col("sw.start")).alias("session_start"),
             F.unix_millis(F.col("sw.end")).alias("session_end"),
             "dim_hash",
             "records",
-            "metric_values",
+            "metric_keys",
         )
     )
     return (

@@ -29,23 +29,45 @@ def tokenize_bytes(s: str | bytes) -> list[int]:
 
 
 def detokenize_bytes(tokens) -> str:
-    """Pure-python inverse, for tests/oracle."""
+    """Pure-python inverse, for tests/oracle. A NULL element makes the
+    whole payload empty (the malformed-record marker) — same contract
+    as _detok_batch."""
+    if any(t is None for t in tokens):
+        return ""
     return bytes(int(t) & 0xFF for t in tokens).decode("utf-8", errors="replace")
 
 
 def _detok_batch(series: pd.Series) -> pd.Series:
-    """Vectorized batch detokenize: pandas Series of int arrays -> str."""
+    """Vectorized batch detokenize: pandas Series of int arrays -> str.
+
+    A row whose token ARRAY contains a null element decodes to the
+    empty string — a deterministic malformed-record marker that the
+    parse stage rejects into the errors side-output. (Without the
+    guard, Arrow converts int-with-null to float64 NaN and
+    astype(uint8) of NaN is UNDEFINED — silent platform-dependent
+    payload corruption; review finding.)"""
     arr = pa.array(series, type=pa.list_(pa.int32()))
     if isinstance(arr, pa.ChunkedArray):  # pragma: no cover
         arr = arr.combine_chunks()
-    # Null-free fast path: flatten once, slice by offsets.
     offsets = arr.offsets.to_numpy(zero_copy_only=False)
-    flat = arr.values.to_numpy(zero_copy_only=False).astype(np.uint8)
+    vals = arr.values
+    elem_valid = None
+    if vals.null_count:
+        elem_valid = vals.is_valid().to_numpy(zero_copy_only=False)
+        vals = vals.fill_null(0)
+    # Null-free fast path: flatten once, slice by offsets.
+    flat = vals.to_numpy(zero_copy_only=False).astype(np.uint8)
     buf = flat.tobytes()
     out = [
         buf[offsets[i] : offsets[i + 1]].decode("utf-8", errors="replace")
         for i in range(len(arr))
     ]
+    if elem_valid is not None:
+        bad_cum = np.concatenate(([0], np.cumsum(~elem_valid)))
+        out = [
+            "" if bad_cum[offsets[i + 1]] > bad_cum[offsets[i]] else out[i]
+            for i in range(len(arr))
+        ]
     if arr.null_count:
         valid = arr.is_valid().to_numpy(zero_copy_only=False)
         out = [o if v else None for o, v in zip(out, valid)]

@@ -217,7 +217,10 @@ def aggregate(records, window_ms: int = WINDOW_MS, key_by_namespace: bool = Fals
         dh = dim_hash(dims)
         if key_by_namespace:
             namespaces = list(dict.fromkeys(p["Namespace"] for p in cwm))
-            record_keys = [(sink, w, ns, dh) for ns in namespaces]
+            # zero valid projections -> the empty namespace: the record
+            # still flushes and counts, matching both the non-keyed
+            # mode and the engine (aggregate.py review fix)
+            record_keys = [(sink, w, ns, dh) for ns in (namespaces or [""])]
         else:
             record_keys = [(sink, w, dh)]
         for key in record_keys:

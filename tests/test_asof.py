@@ -84,3 +84,17 @@ def test_asof_collision_guard(spark):
     # prefix resolves it
     out = asof_join(left, right, key="k", prefix="r_").collect()
     assert out[0]["rate"] == 2.0 and out[0]["r_rate"] == 3.0
+
+
+def test_asof_null_right_timestamp_never_matches(spark):
+    """A right row with NULL ts sorts NULLS FIRST and used to become
+    the fill value for unmatched left rows (review finding); the
+    oracle semantics (l.ts >= r.ts) say no match."""
+    from emf_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("k", 5)], "key string, ts bigint")
+    right = spark.createDataFrame(
+        [("k", None, 99.0)], "key string, ts bigint, px double"
+    )
+    got = asof_join(left, right, "key").collect()
+    assert got[0]["px"] is None

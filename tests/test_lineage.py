@@ -48,6 +48,23 @@ def test_resume_completes_remaining_cells(spark, events, tmp_path):
     assert dup == 0
 
 
+def test_crash_between_write_and_manifest_does_not_duplicate(spark, events, tmp_path):
+    """Crash window: events written but the manifest row never landed.
+    The resume re-runs those cells; the cell-partitioned dynamic
+    overwrite makes that idempotent instead of append-duplicating
+    (review finding)."""
+    import shutil
+
+    out = str(tmp_path / "crashwin")
+    lineage.write_events_resumable(spark, events, out)
+    n1 = spark.read.parquet(f"{out}/events").count()
+    # simulate the crash: the event write survived, the manifest didn't
+    shutil.rmtree(f"{out}/_manifest")
+    r = lineage.write_events_resumable(spark, events, out)
+    assert r["written_rows"] == events.filter(~F.col("dropped_oversize")).count()
+    assert spark.read.parquet(f"{out}/events").count() == n1  # no dupes
+
+
 def test_second_resume_is_noop(spark, events, tmp_path):
     out = str(tmp_path / "noop")
     lineage.write_events_resumable(spark, events, out)

@@ -114,3 +114,34 @@ def test_property_random_sizes_respect_both_limits(spark):
             assert n <= MAX_BATCH_EVENTS and b <= MAX_BATCH_BYTES, (sizes, stats)
 
     check()
+
+
+def test_tied_order_keys_still_respect_limits(spark):
+    """Rows tied on every order key (namespace-keyed events tie on
+    (window_start, dim_hash)) must still split into limit-respecting
+    batches — the default RANGE window frame gave all peers one
+    cumulative value and packed them into a single giant batch
+    (review finding)."""
+    from pyspark.sql import functions as F
+
+    from emf_spark.operators.output import plan_cw_batches
+
+    n = 500
+    ev = spark.createDataFrame(
+        [("s", 0, "same", 50) for _ in range(n)],
+        "sink string, window_start bigint, dim_hash string, sz bigint",
+    )
+    planned = plan_cw_batches(
+        ev,
+        order_cols=["window_start", "dim_hash"],
+        max_batch_bytes=4096,
+        max_batch_events=100,
+        max_event_bytes=1024,
+        bytes_col="sz",
+    )
+    per = planned.groupBy("batch_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("sz").alias("b")
+    ).collect()
+    assert sum(r["n"] for r in per) == n
+    for r in per:
+        assert r["n"] <= 100 and r["b"] <= 4096, r

@@ -412,7 +412,7 @@ def test_eventtime_counts_sliding(spark, stream_input, tmp_path):
 def test_eventtime_sessions_parity(spark, stream_input, tmp_path):
     """Watermarked streaming session windows (W-family, VERDICT r3
     item 7): every session the watermark closes must be IDENTICAL —
-    same (start, end, records, metric_values) — to the batch
+    same (start, end, records, metric_keys) — to the batch
     session_window over the same parsed input with the same gap."""
     import glob
     import os
@@ -455,7 +455,7 @@ def test_eventtime_sessions_parity(spark, stream_input, tmp_path):
     for r in got:
         key = (r["session_start"], r["dim_hash"])
         assert bmap[key] == (
-            r["session_end"], r["records"], r["metric_values"]
+            r["session_end"], r["records"], r["metric_keys"]
         ), r
     # no closed session emitted twice
     keys = [(r["session_start"], r["dim_hash"]) for r in got]

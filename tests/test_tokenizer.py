@@ -38,3 +38,28 @@ def test_fixture_corpus_tokens_invert(corpus_path, spark):
         js = detokenize_bytes(r["tokens"])
         json.loads(js)  # every payload is valid JSON text
         assert r["n_tok"] == len(r["tokens"])
+
+
+def test_null_token_element_yields_empty_payload(spark):
+    """A token array containing a NULL element decodes to '' (the
+    malformed marker the parse stage rejects), never platform-dependent
+    NaN->uint8 garbage (review finding); pure-python oracle agrees."""
+    from emf_spark.operators import parse as parse_op
+    from emf_spark.tokenizer import with_payload
+
+    rows = [
+        ("good", tokenize_bytes('{"x": 1}')),
+        ("holed", [72, None, 105]),
+        ("nullarr", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    out = {r["doc_id"]: r["payload"] for r in with_payload(df).collect()}
+    assert out["good"] == '{"x": 1}'
+    assert out["holed"] == ""
+    assert out["nullarr"] is None
+    assert detokenize_bytes([72, None, 105]) == ""
+    # and the parse stage routes the holed row to the errors side
+    parsed = parse_op.parse_emf(
+        with_payload(df.filter("doc_id = 'holed'"))
+    ).collect()[0]
+    assert parsed["valid"] is False

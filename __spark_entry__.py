@@ -55,9 +55,14 @@ def _events_as_tokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("user_id") % 4 + 1).cast("int"),
     )
     df = ev.select(
-        F.concat(F.lit("doc_"), F.lpad(F.col("event_id").cast("string"), 12, "0")).alias(
-            "doc_id"
-        ),
+        F.concat(
+            F.lit("doc_"),
+            # format_string, not lpad: lpad TRUNCATES strings longer
+            # than the pad width, colliding doc_ids once event_id
+            # reaches 1e12 — the advertised sequence scale (review
+            # finding); %012d only ever widens
+            F.format_string("%012d", F.col("event_id")),
+        ).alias("doc_id"),
         payload.alias("payload"),
         source.alias("source"),
     )

@@ -113,12 +113,31 @@ def datax_main(argv) -> int:
         elif args.method == "minhash":
             res = dd.minhash_near_duplicates(docs, threshold=args.threshold)
         else:
+            # simhash verifies by hamming distance, not jaccard — a
+            # --threshold here would otherwise be SILENTLY ignored
+            # (review finding)
+            if args.threshold != 0.7:  # non-default => the user meant it
+                print(
+                    "warning: --threshold is a jaccard bound (minhash); "
+                    "simhash uses --max-hamming semantics and ignores it",
+                    file=sys.stderr,
+                )
             res = dd.simhash_near_duplicates(docs)
         res.write.mode("overwrite").parquet(args.out)
         n = spark.read.parquet(args.out).count()
         if args.clusters and args.method != "exact":
             labels = dd.dedup_clusters(spark.read.parquet(args.out))
             labels.write.mode("overwrite").parquet(args.out + "_clusters")
+        elif args.clusters:
+            # exact groups ARE clusters (keep_id = label) — no pair
+            # table exists to run connected components over; say so
+            # instead of silently writing nothing (review finding)
+            print(
+                "warning: --clusters is a no-op for --method exact "
+                "(each content_hash row already carries keep_id as "
+                "its cluster label)",
+                file=sys.stderr,
+            )
         print(json.dumps({"op": "dedup", "method": args.method, "rows": n}))
     elif args.op == "decontaminate":
         from emf_spark.datax import dedup as dd
@@ -225,15 +244,7 @@ def main(argv=None) -> int:
                     help="local-mode cores (ignored under spark-submit)")
     args = ap.parse_args(argv)
 
-    from pyspark.sql import SparkSession
-
-    active = SparkSession.getActiveSession()
-    if active is not None:
-        spark = active
-    else:
-        from emf_spark.session import get_spark
-
-        spark = get_spark("emf_spark_cli", cpus=args.cpus)
+    spark = _get_session(args.cpus)
 
     from emf_spark import pipeline
     from emf_spark.operators import lineage

@@ -17,7 +17,7 @@ contains every slice at a fixed fraction:
   else the 4-type event mix; 30% of those forced onto one hot
        dimension set (skew slice, north rule)
 
-Timestamps strictly increase from ``base_ts`` spanning >= 3 tumbling
+Timestamps are non-decreasing from ``base_ts`` (duplicates occur once n exceeds the window span in ms) spanning >= 3 tumbling
 windows. Tokenization: UTF-8 bytes (tokenizer.py).
 """
 
@@ -93,8 +93,14 @@ SYSTEM_METRIC_DEFS = [
 
 
 def _event_record(rng, ts: int, hot: bool) -> dict:
-    """One record from the 4-type mix (index.ts:52-131 shapes)."""
-    etype = int(rng.integers(0, 4))
+    """One record from the 4-type mix (index.ts:52-131 shapes).
+
+    ``hot`` pins the record to the payment type AND the single hot
+    dimension set — the etype draw would otherwise scatter 3/4 of the
+    hot slice across branches that ignore the flag, leaving ~9% real
+    skew where the fixture documents 30% (review finding: skew tests
+    were exercising a 3-4x weaker hot key than claimed)."""
+    etype = 2 if hot else int(rng.integers(0, 4))
     dims = dict(BASE_DIMS)
     if etype == 0:  # user_session
         dims["DeviceType"] = DEVICE_TYPES[int(rng.integers(0, 3))]

@@ -1,7 +1,8 @@
 """Local stand-in for the driver's correctness gate: run each
 ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB over the
 same sf dir, compare row count, column names, and order-insensitive
-values (doubles to 1e-9 rel / 1e-8 abs).
+values (EXACT equality, incl. floats — the compare was deliberately
+zero-tolerance'd; the driver's own hash compare is just as strict).
 
 Usage: python tools/check_contract.py [sf_dir] [query ...]
 """
@@ -58,9 +59,11 @@ def main():
 
     qs, sqls = ent.queries(), ent.oracle_sql()
     failures = []
+    ran, skipped = 0, 0
     for name, fn in qs.items():
         if ONLY and name not in ONLY:
             continue
+        ran += 1
         try:
             sdf = fn(spark, SF).toPandas()
         except Exception as e:  # noqa: BLE001
@@ -68,6 +71,7 @@ def main():
             print(f"FAIL {name}: spark error: {e}")
             continue
         if name not in sqls:
+            skipped += 1
             print(f"SKIP-ORACLE {name}: rows={len(sdf)}")
             continue
         try:
@@ -103,7 +107,12 @@ def main():
             print(f"FAIL {name}: {failures[-1][1]}")
         else:
             print(f"OK   {name}: rows={len(sdf)}")
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} queries match")
+    # tally only what actually RAN: the old "N/N" line counted
+    # filtered-out and oracle-less queries as matches (review finding)
+    compared = ran - skipped
+    extra = f" ({skipped} rows-only, no oracle)" if skipped else ""
+    sel = "" if not ONLY else f" of {len(qs)} registered"
+    print(f"\n{compared - len(failures)}/{compared} compared queries match{sel}{extra}")
     if failures:
         sys.exit(1)
 

@@ -129,7 +129,7 @@ def main():
         out[str(n)] = row
         print(json.dumps({str(n): row}), flush=True)
         spark.catalog.clearCache()
-    Path("BENCH/DEDUP_CURVE.json").write_text(json.dumps(out, indent=2))
+    (Path(__file__).resolve().parent.parent / "BENCH/DEDUP_CURVE.json").write_text(json.dumps(out, indent=2))
     spark.stop()
 
 

@@ -57,7 +57,7 @@ def main():
     results = []
     for base_n in BASE_NS:
         results.append(one_size(spark, base_n, kw))
-    Path("BENCH/INGEST.json").write_text(json.dumps(
+    (Path(__file__).resolve().parent.parent / "BENCH/INGEST.json").write_text(json.dumps(
         {"runs": results,
          "note": "incremental reports only >=1-new-side pairs (old-old "
                  "pairs belong to the ingest that introduced them), so "

@@ -46,6 +46,8 @@ def datax_main(argv) -> int:
     python -m emf_spark.cli datax compact --path P --out O [--target-mb 128]
     python -m emf_spark.cli datax bpe --docs D --out merges.json [--n-merges 1000]
     python -m emf_spark.cli datax funnel --events E --steps a,b,c --keys user_id --out O
+    python -m emf_spark.cli datax sample --docs D --class-col cls --n 1000 --out O
+    python -m emf_spark.cli datax sessionize --events E --keys user_id --gap "30 minutes" --out O
     """
     ap = argparse.ArgumentParser(prog="emf_spark.cli datax")
     sub = ap.add_subparsers(dest="op", required=True)
@@ -99,7 +101,20 @@ def datax_main(argv) -> int:
     fu.add_argument("--type-col", default="event_type")
     fu.add_argument("--weak", action="store_true", help="allow same-timestamp next step")
     fu.add_argument("--out", required=True)
-    for p in (d, dc, ts, ab, pi, vo, ig, co, bp, fu):
+    sa = sub.add_parser("sample", help="deterministic class-balanced downsample")
+    sa.add_argument("--docs", required=True)
+    sa.add_argument("--class-col", required=True)
+    sa.add_argument("--n", type=int, required=True, help="max rows per class")
+    sa.add_argument("--id-col", default="doc_id")
+    sa.add_argument("--salt", default="")
+    sa.add_argument("--out", required=True)
+    se = sub.add_parser("sessionize", help="gap-based sessionization per key")
+    se.add_argument("--events", required=True)
+    se.add_argument("--keys", required=True, help="comma-separated key columns")
+    se.add_argument("--gap", default="30 minutes")
+    se.add_argument("--ts-col", default="ts")
+    se.add_argument("--out", required=True)
+    for p in (d, dc, ts, ab, pi, vo, ig, co, bp, fu, sa, se):
         p.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args(argv)
     spark = _get_session(args.cpus)
@@ -205,6 +220,26 @@ def datax_main(argv) -> int:
         funnel_summary(times, steps).write.mode("overwrite").parquet(args.out)
         print(json.dumps({"op": "funnel", "steps": steps,
                           "rows": spark.read.parquet(args.out).count()}))
+    elif args.op == "sample":
+        from emf_spark.datax.sampling import balanced_sample
+
+        res = balanced_sample(
+            spark.read.parquet(args.docs), args.class_col, args.n,
+            id_col=args.id_col, salt=args.salt,
+        )
+        res.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"op": "sample", "n_per_class": args.n,
+                          "rows": spark.read.parquet(args.out).count()}))
+    elif args.op == "sessionize":
+        from emf_spark.operators.sessions import sessionize
+
+        res = sessionize(
+            spark.read.parquet(args.events), gap=args.gap,
+            ts_col=args.ts_col, keys=[k for k in args.keys.split(",") if k],
+        )
+        res.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"op": "sessionize", "gap": args.gap,
+                          "sessions": spark.read.parquet(args.out).count()}))
     elif args.op == "bpe":
         from pathlib import Path
 

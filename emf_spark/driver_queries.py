@@ -1763,6 +1763,32 @@ FROM per
 """
 
 
+def q_multimodal_jpeg_decode(spark, sf):
+    """REAL baseline-JPEG pixel decode: full entropy-coded grayscale
+    JPEGs (8x8 DCT, flat quantization, canonical-Huffman scan with
+    byte stuffing) synthesized from documents, then decode_media
+    Huffman-decodes, dequantizes, and IDCTs them back to pixels — pure
+    numpy + stdlib, no imaging libs. Decoded pixel sums are NOT
+    closed-form in SQL (DCT round trip), so this query is registered
+    WITHOUT an oracle (driver rows-only check); the exact decoded
+    value contract is pinned by
+    tests/test_datax.py::test_jpeg_decode_matches_independent_reference,
+    which replicates the quantization round trip in independent numpy
+    and matches value sums bit-for-bit."""
+    from emf_spark.datax import multimodal
+
+    d = _fan(spark, _t(spark, sf, "documents"))
+    dec = multimodal.decode_media(multimodal.media_jpeg_from_documents(d))
+    return dec.groupBy("format").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("width").alias("sum_w"),
+        F.sum("height").alias("sum_h"),
+        F.sum("n_units").alias("units"),
+        F.sum("value_sum").alias("value_total"),
+        F.round(F.sum("value_sum") / F.sum("n_units"), 6).alias("mean_value"),
+    )
+
+
 def q_multimodal_meta(spark, sf):
     """Compressed-container dimension probe: real PNG/GIF/JPEG byte
     streams synthesized from documents (the JPEG walks APP0+DQT to the
@@ -3538,6 +3564,7 @@ QUERIES: dict[str, Callable] = {
     "emf_kmv_global": q_kmv_global,
     "multimodal_png_decode": q_multimodal_png_decode,
     "emf_percentiles_hist": q_percentiles_hist,
+    "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
 }
 
 ORACLE_SQL: dict[str, str] = {

@@ -1071,6 +1071,87 @@ def test_png_decompression_bomb_degrades(spark):
     assert got["huge"]["format"] == "png" and got["huge"]["n_units"] is None
 
 
+def _jpeg_reference_roundtrip(width, height, base):
+    """Independent numpy replication of encode->quantize->decode (no
+    shared code with the entropy codec under test beyond the DCT basis
+    and quant table constants)."""
+    px = ((np.arange(width * height, dtype=np.int64) + base) % 256).reshape(
+        height, width
+    )
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    padded = np.pad(px, ((0, bh * 8 - height), (0, bw * 8 - width)), "edge")
+    out = np.empty((bh * 8, bw * 8), dtype=np.int64)
+    for by in range(bh):
+        for bx in range(bw):
+            block = padded[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] - 128
+            coef = multimodal._DCT_C @ block.astype(np.float64) @ multimodal._DCT_C.T
+            qc = np.round(coef.reshape(64) / multimodal._JPEG_QTABLE)
+            rec = (qc * multimodal._JPEG_QTABLE).reshape(8, 8)
+            spatial = multimodal._DCT_C.T @ rec @ multimodal._DCT_C
+            out[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = np.clip(
+                np.round(spatial) + 128, 0, 255
+            )
+    return out[:height, :width]
+
+
+def test_jpeg_decode_matches_independent_reference():
+    """Full baseline-JPEG codec: Huffman scan + dequant + IDCT decode
+    equals the independent numpy quantization round trip bit-for-bit —
+    so the ENTROPY CODING layer (categories, amplitude bits, ZRL/EOB
+    runs, byte stuffing, canonical tables read back from DHT) is
+    proven lossless, and the DCT layer deterministic."""
+    for w, h, base in [(8, 8, 0), (5, 3, 12), (17, 11, 255),
+                       (24, 16, 12345), (1, 1, 9), (32, 9, 4)]:
+        p = multimodal.synth_jpeg(w, h, base)
+        W, H, n, vs = multimodal._decode_jpeg(p)
+        ref = _jpeg_reference_roundtrip(w, h, base)
+        assert (W, H, n) == (w, h, w * h)
+        assert vs == int(ref.sum()), (w, h, base)
+
+
+def test_jpeg_decode_fuzz():
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=40),
+        h=st.integers(min_value=1, max_value=24),
+        base=st.integers(min_value=0, max_value=2**31),
+    )
+    def check(w, h, base):
+        W, H, n, vs = multimodal._decode_jpeg(multimodal.synth_jpeg(w, h, base))
+        assert (W, H, n) == (w, h, w * h)
+        assert vs == int(_jpeg_reference_roundtrip(w, h, base).sum())
+
+    check()
+
+
+def test_jpeg_decode_media_and_fallbacks(spark):
+    """decode_media: real scans decode with stats; the header-only
+    JPEG fixtures (no SOS) and progressive markers degrade to the
+    dimension probe with null stats."""
+    import struct
+
+    full = multimodal.synth_jpeg(10, 7, 42)
+    # progressive SOF2 header (probe-able dims, undecodable profile)
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof2 = (b"\xff\xc2" + struct.pack(">H", 11) + b"\x08"
+            + struct.pack(">HH", 6, 9) + b"\x01\x01\x11\x00")
+    prog = b"\xff\xd8" + app0 + sof2 + b"\xff\xd9"
+    media = spark.createDataFrame(
+        [("full", "image", full), ("prog", "image", prog)],
+        "media_id string, kind string, payload binary",
+    )
+    got = {r["media_id"]: r for r in multimodal.decode_media(media).collect()}
+    ref = _jpeg_reference_roundtrip(10, 7, 42)
+    r = got["full"]
+    assert (r["format"], r["width"], r["height"]) == ("jpeg", 10, 7)
+    assert (r["n_units"], r["value_sum"]) == (70, int(ref.sum()))
+    r = got["prog"]
+    assert (r["format"], r["width"], r["height"]) == ("jpeg", 9, 6)
+    assert r["n_units"] is None and r["value_sum"] is None
+
+
 def test_cosine_paths_survive_zero_vectors(spark):
     """An all-zero embedding (or zero query) must rank last / match
     nothing — not crash the job with ANSI DIVIDE_BY_ZERO (review

@@ -19,9 +19,12 @@ Two decode tiers (VERDICT r2 item 4):
   rows-only driver query). Unsupported profiles (progressive JPEG,
   palette/Adam7 PNG, chroma-subsampled color) degrade to the
   header-only dimension probe (``probe_compressed_meta``) — enough for
-  the dimension/aspect filters a pipeline actually gates on. Audio/
-  video entropy decode (MP3, H.264) still needs ffmpeg — not in this
-  container; that is the remaining honest boundary.
+  the dimension/aspect filters a pipeline actually gates on. Compressed
+  AUDIO decodes too: IMA ADPCM in WAV containers (format tag 0x11 —
+  block header + 4-bit nibble reconstruction via the public step
+  tables, ``_decode_adpcm``), pinned by an independent-reference
+  parity pytest. The remaining honest boundary is PERCEPTUAL codecs
+  (MP3, AAC, H.264) — they need ffmpeg, absent in this container.
 - ``decode_mode='fake'`` produces deterministic hash-derived features
   so the Spark-side plumbing — schema, batch iteration, partition
   sizing, UDF signatures — is testable on arbitrary opaque bytes.
@@ -752,15 +755,17 @@ def _decode_ppm(payload: bytes):
 
 
 def _wav_chunks(payload: bytes):
-    """(rate, data_bytes) via the RIFF chunk walk — the ONLY correct way
-    to locate PCM data (searching for b'data' in the byte stream can hit
-    sample bytes that spell 'data'). Raises ValueError on any malformed
-    shape, including truncated fmt chunks and rate=0."""
+    """(fmt_tag, rate, block_align, data_bytes) via the RIFF chunk
+    walk — the ONLY correct way to locate the data (searching for
+    b'data' in the byte stream can hit sample bytes that spell 'data').
+    Raises ValueError on any malformed shape, including truncated fmt
+    chunks and rate=0. Supported tags: 1 (PCM-16 mono) and 0x11
+    (IMA ADPCM mono)."""
     import struct
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE container")
-    pos, rate, bits, channels, data = 12, None, None, None, None
+    pos, tag, rate, bits, channels, align, data = 12, None, None, None, None, None, None
     while pos + 8 <= len(payload):
         cid = payload[pos:pos + 4]
         (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
@@ -768,28 +773,171 @@ def _wav_chunks(payload: bytes):
         if cid == b"fmt ":
             if len(body) < 16:
                 raise ValueError("truncated fmt chunk")
-            _, channels, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            tag, channels, rate, _, align, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if rate is None or data is None:
         raise ValueError("missing fmt/data chunk")
-    if bits != 16 or channels != 1:
-        raise ValueError("only PCM-16 mono supported")
+    if channels != 1:
+        raise ValueError("only mono supported")
+    if tag == 1:
+        if bits != 16:
+            raise ValueError("only PCM-16 supported")
+    elif tag == 0x11:
+        if bits != 4:
+            raise ValueError("IMA ADPCM must be 4-bit")
+    else:
+        raise ValueError("unsupported WAV format tag")
     if rate <= 0:
         raise ValueError("invalid sample rate")
-    if len(data) % 2:
+    if tag == 1 and len(data) % 2:
         data = data[:-1]  # odd trailing byte cannot be a 16-bit sample
-    return rate, data
+    return tag, rate, align, data
+
+
+# IMA ADPCM (DVI) reference tables — public spec constants.
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+], dtype=np.int64)
+_IMA_INDEX_ADJ = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64)
+
+
+def _ima_step(predictor: int, index: int, nibble: int) -> tuple[int, int]:
+    """One IMA ADPCM reconstruction step (shared by encoder state
+    tracking and decoder): returns (new_predictor, new_index)."""
+    step = int(_IMA_STEPS[index])
+    diffq = step >> 3
+    if nibble & 4:
+        diffq += step
+    if nibble & 2:
+        diffq += step >> 1
+    if nibble & 1:
+        diffq += step >> 2
+    predictor = predictor - diffq if nibble & 8 else predictor + diffq
+    predictor = max(-32768, min(32767, predictor))
+    index = max(0, min(88, index + int(_IMA_INDEX_ADJ[nibble & 7])))
+    return predictor, index
+
+
+def synth_adpcm_wav(n_samples: int, rate: int, base: int,
+                    block_bytes: int = 256) -> bytes:
+    """Deterministic RIFF/WAV **IMA ADPCM** mono (format tag 0x11):
+    source sample i = ((base*7 + i*13) %% 2001) - 1000 (the PCM synth's
+    formula), 4-bit-encoded in standard blocks (4-byte header carrying
+    the block's first sample + step index, then low-nibble-first data).
+    The encoder tracks the DECODER's reconstruction, so decode is
+    deterministic and a pure-python reference reproduces it exactly."""
+    import struct
+
+    src = (((np.int64(base) * 7 + np.arange(n_samples, dtype=np.int64) * 13)
+            % 2001) - 1000).tolist()
+    samples_per_block = 1 + (block_bytes - 4) * 2
+    blocks = bytearray()
+    i = 0
+    while i < n_samples:
+        chunk = src[i:i + samples_per_block]
+        predictor, index = int(chunk[0]), 0
+        blocks += struct.pack("<hBB", predictor, index, 0)
+        nibbles = []
+        for s in chunk[1:]:
+            step = int(_IMA_STEPS[index])
+            diff = int(s) - predictor
+            nib = 8 if diff < 0 else 0
+            diff = abs(diff)
+            if diff >= step:
+                nib |= 4
+                diff -= step
+            if diff >= step >> 1:
+                nib |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                nib |= 1
+            nibbles.append(nib)
+            predictor, index = _ima_step(predictor, index, nib)
+        # pad the final partial block with repeated zero nibbles
+        nibbles += [0] * ((block_bytes - 4) * 2 - len(nibbles))
+        for j in range(0, len(nibbles), 2):
+            blocks.append(nibbles[j] | (nibbles[j + 1] << 4))
+        i += samples_per_block
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, 1, rate, rate * block_bytes // samples_per_block,
+        block_bytes, 4, 2, samples_per_block,
+    )
+    # fact chunk carries the TRUE sample count (trailing pad nibbles in
+    # the last block are not samples)
+    fact = struct.pack("<I", n_samples)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(fact) + 8 + len(blocks))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(blocks)) + blocks
+    )
+
+
+def _decode_adpcm(data: bytes, block_align: int, n_samples: int | None):
+    """IMA ADPCM block stream -> int16 samples (list). ``n_samples``
+    (from the fact chunk) crops trailing pad nibbles; None decodes
+    everything."""
+    out = []
+    import struct
+
+    for off in range(0, len(data), block_align):
+        block = data[off:off + block_align]
+        if len(block) < 4:
+            break
+        predictor, index, _ = struct.unpack("<hBB", block[:4])
+        index = max(0, min(88, index))
+        out.append(predictor)
+        for b in block[4:]:
+            for nib in (b & 0x0F, b >> 4):
+                predictor, index = _ima_step(predictor, index, nib)
+                out.append(predictor)
+    if n_samples is not None:
+        out = out[:n_samples]
+    return out
+
+
+def _wav_fact(payload: bytes):
+    """Sample count from the optional fact chunk (None if absent)."""
+    import struct
+
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        if cid == b"fact" and size >= 4:
+            return struct.unpack("<I", payload[pos + 8:pos + 12])[0]
+        pos += 8 + size + (size & 1)
+    return None
 
 
 def _decode_wav(payload: bytes):
-    """(rate, n_samples, duration_ms, sum_abs) from RIFF/WAV PCM-16."""
-    rate, data = _wav_chunks(payload)
-    s = np.frombuffer(data, dtype="<i2")
-    return rate, len(s), int(len(s) * 1000 // rate), int(
-        np.abs(s.astype(np.int64)).sum()
-    )
+    """(fmt, rate, n_samples, duration_ms, sum_abs) from RIFF/WAV —
+    fmt 'wav' for PCM-16 or 'adpcm' for IMA ADPCM mono (tag 0x11: real
+    compressed-sample decode, block header + 4-bit nibble
+    reconstruction via the public step tables)."""
+    tag, rate, align, data = _wav_chunks(payload)
+    if tag == 1:
+        s = np.frombuffer(data, dtype="<i2").astype(np.int64)
+    else:
+        if not align or align < 5:
+            raise ValueError("bad ADPCM block align")
+        s = np.array(
+            _decode_adpcm(data, align, _wav_fact(payload)), dtype=np.int64
+        )
+    fmt = "wav" if tag == 1 else "adpcm"
+    return fmt, rate, len(s), int(len(s) * 1000 // rate), int(np.abs(s).sum())
 
 
 def decode_media(df: DataFrame) -> DataFrame:
@@ -815,9 +963,9 @@ def decode_media(df: DataFrame) -> DataFrame:
                         w, h, n, vs = _decode_bmp(p)
                         rows.append((media_id, kind, "bmp", w, h, None, n, vs, len(p)))
                     elif p[:4] == b"RIFF":
-                        _, ns, dur, sa = _decode_wav(p)
+                        wfmt, _, ns, dur, sa = _decode_wav(p)
                         rows.append(
-                            (media_id, kind, "wav", None, None, dur, ns, sa, len(p))
+                            (media_id, kind, wfmt, None, None, dur, ns, sa, len(p))
                         )
                     elif p[:2] == b"\xff\xd8":
                         # REAL baseline-JPEG pixel decode (Huffman +
@@ -919,8 +1067,13 @@ def _real_feature(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
         )
         hist, _ = np.histogram(vals, bins=dim, range=(0, 256))
     elif p[:4] == b"RIFF":
-        _, data = _wav_chunks(p)
-        vals = np.frombuffer(data, dtype="<i2").astype(np.float64)
+        tag, _rate, align, data = _wav_chunks(p)
+        if tag == 1:
+            vals = np.frombuffer(data, dtype="<i2").astype(np.float64)
+        else:  # IMA ADPCM: histogram over the DECODED samples
+            vals = np.array(
+                _decode_adpcm(data, align, _wav_fact(p)), dtype=np.float64
+            )
         hist, _ = np.histogram(vals, bins=dim, range=(-32768, 32768))
     else:
         raise ValueError(

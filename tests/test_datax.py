@@ -369,7 +369,7 @@ def test_ppm_wav_decode_roundtrip():
     commented = b"P6\n# a comment\n5 4\n255\n" + p[-60:]
     assert multimodal._decode_ppm(commented) == (w, h, n, vs)
     r = multimodal.synth_wav(120, 8000, base=7)
-    rate, ns, dur, sa = multimodal._decode_wav(r)
+    _wfmt, rate, ns, dur, sa = multimodal._decode_wav(r)
     assert (rate, ns, dur) == (8000, 120, 15)
     assert sa == sum(abs((7 * 7 + i * 13) % 2001 - 1000) for i in range(120))
     import pytest as _pt
@@ -649,7 +649,7 @@ def test_real_feature_wav_with_data_bytes_in_samples():
     wav = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
            + b"data" + struct.pack("<I", len(data)) + data)
-    rate, ns, dur, sa = multimodal._decode_wav(wav)
+    _wfmt, rate, ns, dur, sa = multimodal._decode_wav(wav)
     assert ns == 6 and sa == int(np.abs(s.astype(np.int64)).sum())
     v = multimodal._real_feature(wav)
     assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-5
@@ -1069,6 +1069,61 @@ def test_png_decompression_bomb_degrades(spark):
     got = {r["media_id"]: r for r in mm.decode_media(media).collect()}
     assert got["bomb"]["format"] == "png" and got["bomb"]["n_units"] is None
     assert got["huge"]["format"] == "png" and got["huge"]["n_units"] is None
+
+
+def test_adpcm_decode_matches_independent_reference(spark):
+    """IMA ADPCM (WAV tag 0x11) compressed-sample decode: block-header
+    + 4-bit nibble reconstruction equals an independent pure-python
+    replication exactly, across block boundaries and the fact-chunk
+    crop; decode_media labels the rows 'adpcm'."""
+
+    def reference(n_samples, base, block_bytes=256):
+        src = [int(((base * 7 + i * 13) % 2001) - 1000)
+               for i in range(n_samples)]
+        spb = 1 + (block_bytes - 4) * 2
+        out, i = [], 0
+        while i < n_samples:
+            chunk = src[i:i + spb]
+            pred, idx = chunk[0], 0
+            out.append(pred)
+            for s in chunk[1:]:
+                step = int(multimodal._IMA_STEPS[idx])
+                diff = s - pred
+                nib = 8 if diff < 0 else 0
+                d = abs(diff)
+                if d >= step:
+                    nib |= 4
+                    d -= step
+                if d >= step >> 1:
+                    nib |= 2
+                    d -= step >> 1
+                if d >= step >> 2:
+                    nib |= 1
+                pred, idx = multimodal._ima_step(pred, idx, nib)
+                out.append(pred)
+            i += spb
+        return out[:n_samples]
+
+    for n, rate, base in [(50, 8000, 3), (505, 8000, 77), (506, 16000, 1),
+                          (1200, 8000, 999), (1, 8000, 0)]:
+        p = multimodal.synth_adpcm_wav(n, rate, base)
+        fmt, r, ns, dur, sa = multimodal._decode_wav(p)
+        ref = reference(n, base)
+        assert fmt == "adpcm" and (r, ns) == (rate, n)
+        assert sa == sum(abs(x) for x in ref), (n, base)
+        assert dur == n * 1000 // rate
+    media = spark.createDataFrame(
+        [("a", "audio", multimodal.synth_adpcm_wav(300, 8000, 5)),
+         ("p", "audio", multimodal.synth_wav(300, 8000, 5))],
+        "media_id string, kind string, payload binary",
+    )
+    got = {r["media_id"]: r for r in multimodal.decode_media(media).collect()}
+    assert got["a"]["format"] == "adpcm" and got["a"]["n_units"] == 300
+    assert got["p"]["format"] == "wav" and got["p"]["n_units"] == 300
+    # the PCM and ADPCM streams describe the same source; decoded sums
+    # are close (lossy codec) but not equal
+    assert got["a"]["value_sum"] != got["p"]["value_sum"]
+    assert abs(got["a"]["value_sum"] - got["p"]["value_sum"]) < 0.02 * got["p"]["value_sum"]
 
 
 def _jpeg_reference_roundtrip(width, height, base):

@@ -251,17 +251,19 @@ def _decode_png(payload: bytes):
     """(width, height, n_units, value_sum) by REALLY decoding a PNG:
     chunk walk -> concatenated-IDAT zlib inflate -> per-scanline
     un-filter (types 0-4 incl. Paeth) -> integer sum of raw samples.
-    Supports the non-interlaced 8-bit grayscale (1ch) and truecolor
-    (3ch) profiles; anything else (palette, alpha, 16-bit, Adam7)
-    raises so the caller can fall back to the header-only probe —
-    stdlib zlib + numpy only (VERDICT r3 item 2: no PIL needed for
-    this tier)."""
+    Supports every non-interlaced 8-bit profile: grayscale (1ch),
+    truecolor (3ch), gray+alpha (2ch), RGBA (4ch), and PALETTE
+    (type 3: 1-byte indices un-filtered then expanded through the PLTE
+    table — n_units/value_sum count the EXPANDED RGB bytes, matching
+    what a viewer renders). 16-bit depth and Adam7 interlace raise so
+    the caller can fall back to the header-only probe — stdlib zlib +
+    numpy only (VERDICT r3 item 2: no PIL needed for this tier)."""
     import struct
     import zlib
 
     if payload[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG")
-    pos, ihdr, idat = 8, None, bytearray()
+    pos, ihdr, idat, plte = 8, None, bytearray(), None
     while pos + 8 <= len(payload):
         (length,) = struct.unpack(">I", payload[pos:pos + 4])
         ctype = payload[pos + 4:pos + 8]
@@ -272,6 +274,8 @@ def _decode_png(payload: bytes):
             ihdr = body
         elif ctype == b"IDAT":
             idat += body
+        elif ctype == b"PLTE":
+            plte = body
         elif ctype == b"IEND":
             break
         pos += 12 + length  # length + type + body + crc
@@ -282,9 +286,15 @@ def _decode_png(payload: bytes):
     )
     if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
         raise ValueError("unsupported PNG profile")
-    channels = {0: 1, 2: 3}.get(ctype_v)
+    # stream channels per color type (palette streams carry 1-byte
+    # indices; gray+alpha 2; RGBA 4)
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype_v)
     if channels is None:
         raise ValueError("unsupported PNG color type")
+    if ctype_v == 3:
+        if plte is None or len(plte) % 3 or not plte:
+            raise ValueError("palette PNG without valid PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3).astype(np.int64)
     if not idat:
         raise ValueError("no IDAT")
     rowlen = w * channels
@@ -304,9 +314,16 @@ def _decode_png(payload: bytes):
     total = 0
     for r in range(h):
         row = _png_unfilter_row(int(arr[r, 0]), arr[r, 1:], prior, channels)
-        total += int(row.astype(np.int64).sum())
+        if ctype_v == 3:
+            idx = row.astype(np.int64)
+            if int(idx.max(initial=0)) >= len(pal):
+                raise ValueError("palette index out of range")
+            total += int(pal[idx].sum())
+        else:
+            total += int(row.astype(np.int64).sum())
         prior = row
-    return int(w), int(h), int(w) * int(h) * channels, total
+    out_ch = 3 if ctype_v == 3 else channels
+    return int(w), int(h), int(w) * int(h) * out_ch, total
 
 
 # ---------------------------------------------------------------------------

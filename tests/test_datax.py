@@ -810,6 +810,47 @@ def test_png_filter_coverage_and_grayscale():
     assert mm._decode_png(png) == (4, 2, 8, sum(raw))
 
 
+def test_png_alpha_and_palette_profiles():
+    """8-bit gray+alpha / RGBA / palette PNGs decode for real (palette
+    indices un-filter then expand through PLTE, counting rendered RGB
+    bytes); a palette stream without PLTE or with an out-of-range
+    index raises (probe fallback)."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from emf_spark.datax import multimodal as mm
+
+    def chunk(t, b):
+        return (struct.pack(">I", len(b)) + t + b
+                + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF))
+
+    def build(ctype, w, h, raw, plte=None):
+        ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+        scan = b"".join(
+            b"\x00" + raw[r * w * ch:(r + 1) * w * ch] for r in range(h)
+        )
+        body = (b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)))
+        if plte is not None:
+            body += chunk(b"PLTE", plte)
+        return body + chunk(b"IDAT", zlib.compress(scan)) + chunk(b"IEND", b"")
+
+    raw = bytes((i * 7) % 256 for i in range(4 * 3 * 4))
+    assert mm._decode_png(build(6, 4, 3, raw)) == (4, 3, 48, sum(raw))
+    raw = bytes((i * 5) % 256 for i in range(5 * 2 * 2))
+    assert mm._decode_png(build(4, 5, 2, raw)) == (5, 2, 20, sum(raw))
+    plte = bytes((j * 3) % 256 for j in range(4 * 3))
+    idx = bytes(i % 4 for i in range(6 * 2))
+    exp = sum(sum(plte[3 * i:3 * i + 3]) for i in idx)
+    assert mm._decode_png(build(3, 6, 2, idx, plte)) == (6, 2, 36, exp)
+    with pytest.raises(ValueError, match="PLTE"):
+        mm._decode_png(build(3, 6, 2, idx))
+    with pytest.raises(ValueError, match="out of range"):
+        mm._decode_png(build(3, 2, 1, bytes([0, 9]), plte))
+
+
 def test_png_roundtrip_fuzz():
     """Property: for ANY raster bytes and dimensions, synth_png ->
     _decode_png recovers exact (w, h, n_units, value_sum) — i.e. the

@@ -28,6 +28,26 @@ def _get_session(cpus=None):
     active = SparkSession.getActiveSession()
     if active is not None:
         return active
+    import os
+
+    if os.environ.get("PYSPARK_GATEWAY_PORT"):
+        # Launched by spark-submit: the already-running JVM gateway
+        # carries the submitted --master/--conf. Forcing
+        # .master(local[cpus]) here would silently override the
+        # cluster's master, so fill in our tuning defaults ONLY where
+        # the submitter didn't specify, and never touch spark.master.
+        from pyspark import SparkConf
+
+        from emf_spark.session import DEFAULT_CONF
+
+        submitted = dict(SparkConf().getAll())
+        builder = SparkSession.builder.appName("emf_spark_cli")
+        for k, v in DEFAULT_CONF.items():
+            # driver memory is fixed once the JVM exists — only
+            # spark-submit's --driver-memory can set it
+            if k != "spark.driver.memory" and k not in submitted:
+                builder = builder.config(k, v)
+        return builder.getOrCreate()
     from emf_spark.session import get_spark
 
     return get_spark("emf_spark_cli", cpus=cpus)

@@ -683,6 +683,229 @@ def _decode_bmp(payload: bytes):
     return w, h_abs, n, int(rows.astype(np.int64).sum())
 
 
+# ---------------------------------------------------------------------------
+# GIF: real LZW pixel decode (plus a real LZW encoder for fixtures).
+# The GIF-variant LZW spec points: variable code width starting at
+# min_code_size+1, LSB-first bit packing, CLEAR/EOI codes, dictionary
+# capped at 4096 entries (12-bit codes), and the KwKwK case where the
+# decoder sees the code it is ABOUT to define. Width-bump alignment
+# (the classic off-by-one): the decoder grows width when its next free
+# code reaches 2^width; the encoder is one table entry ahead at each
+# emission, so it grows when (next_code - 1) reaches 2^width. Pinned by
+# tests/test_datax.py::test_gif_lzw_independent_reference against the
+# published GIF89a worked example's exact compressed bytes.
+
+_GIF_MAX_CODE = 4096
+
+
+def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """GIF LZW encode of an index stream (fixture side of the codec)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    bitbuf = nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal bitbuf, nbits
+        bitbuf |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            nbits -= 8
+
+    def fresh():
+        return {bytes([i]): i for i in range(clear)}, eoi + 1, min_code_size + 1
+
+    table, next_code, width = fresh()
+    emit(clear, width)
+    cur = b""
+    for b in indices:
+        nxt = cur + bytes([b])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur], width)
+        table[nxt] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        if next_code == _GIF_MAX_CODE:
+            emit(clear, width)
+            table, next_code, width = fresh()
+        cur = bytes([b])
+    if cur:
+        emit(table[cur], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(bitbuf & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int, expected: int) -> bytes:
+    """GIF LZW decode to exactly ``expected`` indices; raises ValueError
+    on any malformed stream (bad code, missing pixels, overrun)."""
+    if not 2 <= min_code_size <= 8:
+        raise ValueError("bad LZW minimum code size")
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    pos = bitbuf = nbits = 0
+
+    def read(width: int) -> int:
+        nonlocal pos, bitbuf, nbits
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated LZW stream")
+            bitbuf |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = bitbuf & ((1 << width) - 1)
+        bitbuf >>= width
+        nbits -= width
+        return code
+
+    table = [bytes([i]) for i in range(clear)] + [b"", b""]
+    next_code, width = eoi + 1, min_code_size + 1
+    prev = None
+    while len(out) < expected:
+        code = read(width)
+        if code == clear:
+            del table[eoi + 1:]
+            next_code, width, prev = eoi + 1, min_code_size + 1, None
+            continue
+        if code == eoi:
+            raise ValueError("EOI before all pixels decoded")
+        if prev is None:
+            if code >= clear:
+                raise ValueError("first code after clear must be literal")
+            entry = table[code]
+        else:
+            if code < next_code:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + prev[:1]  # KwKwK
+            else:
+                raise ValueError("LZW code out of range")
+            if next_code < _GIF_MAX_CODE:
+                table.append(prev + entry[:1])
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+        out += entry
+        prev = entry
+    if len(out) != expected:
+        raise ValueError("LZW produced too many pixels")
+    return bytes(out)
+
+
+def _gif_subblocks(body: bytes) -> bytes:
+    """Chunk raw bytes into <=255-byte GIF data sub-blocks + terminator."""
+    out = bytearray()
+    for i in range(0, len(body), 255):
+        part = body[i:i + 255]
+        out.append(len(part))
+        out += part
+    out.append(0)
+    return bytes(out)
+
+
+def synth_gif(width: int, height: int, base: int) -> bytes:
+    """Deterministic REAL GIF89a: 256-entry grayscale global color
+    table (color j = (j,j,j)), a Graphic Control Extension the decoder
+    must skip, and one image block whose pixel indices
+    i -> (base + i) % 256 are genuinely LZW-compressed — so the decoded
+    RGB value_sum 3*sum((base+i)%256) is closed-form for a SQL oracle
+    even though the wire bytes are dictionary-coded."""
+    import struct
+
+    n = width * height
+    indices = bytes((base + i) % 256 for i in range(n))
+    gct = bytes(v for j in range(256) for v in (j, j, j))
+    return (
+        b"GIF89a"
+        + struct.pack("<HH", width, height)
+        + bytes([0xF7, 0, 0])  # GCT present, 8-bit, 256 entries
+        + gct
+        + b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # GCE (no transparency)
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+        + bytes([8])  # LZW minimum code size
+        + _gif_subblocks(_lzw_encode(indices, 8))
+        + b"\x3b"
+    )
+
+
+def _decode_gif(payload: bytes):
+    """(width, height, n_units, value_sum) by REALLY decoding a GIF:
+    logical-screen walk -> global/local color table -> extension-block
+    skip -> sub-block reassembly -> variable-width LZW decode ->
+    palette expansion (n_units/value_sum count the EXPANDED RGB bytes,
+    like palette PNG). Interlaced frames, frames whose geometry differs
+    from the logical screen, multi-frame animations, and missing color
+    tables raise so the caller falls back to the header-only probe."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    w, h = struct.unpack("<HH", payload[6:10])
+    if not (0 < w and 0 < h):
+        raise ValueError("bad dimensions")
+    if w * h > (1 << 28):
+        raise ValueError("implausibly large raster")  # decode bomb guard
+    flags = payload[10]
+    pos, gct = 13, None
+    if flags & 0x80:
+        n_colors = 2 << (flags & 0x07)
+        gct = np.frombuffer(
+            payload, dtype=np.uint8, count=3 * n_colors, offset=pos
+        ).reshape(-1, 3).astype(np.int64)
+        pos += 3 * n_colors
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x21:  # extension: label byte + data sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            left, top, fw, fh = struct.unpack("<HHHH", payload[pos + 1:pos + 9])
+            iflags = payload[pos + 9]
+            pos += 10
+            if iflags & 0x40:
+                raise ValueError("interlaced GIF unsupported")
+            if (left, top, fw, fh) != (0, 0, w, h):
+                raise ValueError("frame geometry differs from screen")
+            table = gct
+            if iflags & 0x80:  # local color table overrides
+                n_local = 2 << (iflags & 0x07)
+                table = np.frombuffer(
+                    payload, dtype=np.uint8, count=3 * n_local, offset=pos
+                ).reshape(-1, 3).astype(np.int64)
+                pos += 3 * n_local
+            if table is None:
+                raise ValueError("no color table")
+            mcs = payload[pos]
+            pos += 1
+            body = bytearray()
+            while pos < len(payload) and payload[pos]:
+                ln = payload[pos]
+                body += payload[pos + 1:pos + 1 + ln]
+                pos += 1 + ln
+            idx = np.frombuffer(
+                _lzw_decode(bytes(body), mcs, w * h), dtype=np.uint8
+            ).astype(np.int64)
+            if int(idx.max(initial=0)) >= len(table):
+                raise ValueError("palette index out of range")
+            return int(w), int(h), int(w) * int(h) * 3, int(table[idx].sum())
+        elif block == 0x3B:
+            break
+        else:
+            raise ValueError("bad GIF block")
+    raise ValueError("no image block before trailer")
+
+
 def probe_compressed_meta(payload: bytes):
     """(format, width, height) for COMPRESSED image containers whose
     dimensions live in plain header fields — PNG (IHDR), JPEG (SOF
@@ -1015,6 +1238,21 @@ def decode_media(df: DataFrame) -> DataFrame:
                             rows.append(
                                 (media_id, kind, fmt, w, h, None, None, None, len(p))
                             )
+                    elif p[:6] in (b"GIF87a", b"GIF89a"):
+                        # REAL pixel decode (variable-width LZW +
+                        # palette expansion); interlaced/multi-frame/
+                        # header-only fixtures degrade to the
+                        # dimension probe with null pixel stats
+                        try:
+                            w, h, n, vs = _decode_gif(p)
+                            rows.append(
+                                (media_id, kind, "gif", w, h, None, n, vs, len(p))
+                            )
+                        except Exception:
+                            fmt, w, h = probe_compressed_meta(p)
+                            rows.append(
+                                (media_id, kind, fmt, w, h, None, None, None, len(p))
+                            )
                     else:
                         # compressed containers: header-only dimension
                         # probe (no pixel decode — n_units/value_sum
@@ -1279,6 +1517,33 @@ def media_jpeg_from_documents(docs: DataFrame) -> DataFrame:
                 rows.append(
                     (f"doc-{d}", "image", payload,
                      (n % 24 + 8, n % 16 + 8, None, "image/jpeg"))
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "meta"]
+            )
+
+    return docs.select("doc_id", "n_chars").mapInPandas(run, MEDIA_SCHEMA)
+
+
+def media_gif_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL GIFs derived from the documents table — full
+    LZW-compressed image blocks (plus a GCE extension the walker must
+    skip) decode_media must dictionary-decode and palette-expand.
+    Closed-form in (doc_id, n_chars): w = n_chars % 22 + 2,
+    h = n_chars % 14 + 2, pixel index i = (doc_id + i) % 256 through a
+    grayscale palette, so decoded value_sum = 3 * sum((doc_id+i)%256)
+    is SQL-oracle-checkable even though the wire bytes are
+    dictionary-coded."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                d, n = int(doc_id), int(n_chars)
+                payload = synth_gif(n % 22 + 2, n % 14 + 2, d)
+                rows.append(
+                    (f"doc-{d}", "image", payload,
+                     (n % 22 + 2, n % 14 + 2, None, "image/gif"))
                 )
             yield pd.DataFrame(
                 rows, columns=["media_id", "kind", "payload", "meta"]

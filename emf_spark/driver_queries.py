@@ -1763,6 +1763,49 @@ FROM per
 """
 
 
+def q_multimodal_gif_decode(spark, sf):
+    """REAL GIF pixel decode: full LZW-compressed image blocks (plus a
+    GCE extension the block walker must skip) are synthesized from
+    documents, then decode_media reassembles the data sub-blocks,
+    variable-width-LZW-decodes them (clear/EOI, KwKwK, width growth —
+    the decoder is pinned bit-for-bit against the published GIF89a
+    worked example), and expands indices through the grayscale palette.
+    The decoded integer value_sum is closed-form in (doc_id, n_chars),
+    so the oracle verifies the full dictionary-coding loop, not just
+    plumbing."""
+    from emf_spark.datax import multimodal
+
+    d = _fan(spark, _t(spark, sf, "documents"))
+    dec = multimodal.decode_media(multimodal.media_gif_from_documents(d))
+    return dec.groupBy("format").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("width").alias("sum_w"),
+        F.sum("height").alias("sum_h"),
+        F.sum("n_units").alias("units"),
+        F.sum("value_sum").alias("value_total"),
+        F.round(F.sum("value_sum") / F.sum("n_units"), 6).alias("mean_value"),
+    )
+
+
+SQL_MULTIMODAL_GIF_DECODE = """
+WITH m AS (
+  SELECT doc_id, n_chars % 22 + 2 AS w, n_chars % 14 + 2 AS h
+  FROM documents),
+e AS (SELECT doc_id, w, h, UNNEST(range(0, w*h)) AS i FROM m),
+per AS (SELECT doc_id, w, h, w*h*3 AS n_units,
+               3 * SUM((doc_id + i) % 256) AS vs
+        FROM e GROUP BY 1, 2, 3, 4)
+SELECT 'gif' AS format, COUNT(*) AS n_media,
+  CAST(SUM(w) AS BIGINT) AS sum_w,
+  CAST(SUM(h) AS BIGINT) AS sum_h,
+  CAST(SUM(n_units) AS BIGINT) AS units,
+  CAST(SUM(vs) AS BIGINT) AS value_total,
+  ROUND(CAST(SUM(vs) AS DOUBLE) / CAST(SUM(n_units) AS DOUBLE), 6)
+    AS mean_value
+FROM per
+"""
+
+
 def q_multimodal_jpeg_decode(spark, sf):
     """REAL baseline-JPEG pixel decode: full entropy-coded grayscale
     JPEGs (8x8 DCT, flat quantization, canonical-Huffman scan with
@@ -3565,6 +3608,7 @@ QUERIES: dict[str, Callable] = {
     "multimodal_png_decode": q_multimodal_png_decode,
     "emf_percentiles_hist": q_percentiles_hist,
     "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
+    "multimodal_gif_decode": q_multimodal_gif_decode,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3656,4 +3700,5 @@ ORACLE_SQL: dict[str, str] = {
     "emf_kmv_global": SQL_KMV_GLOBAL,
     "multimodal_png_decode": SQL_MULTIMODAL_PNG_DECODE,
     "emf_percentiles_hist": SQL_PERCENTILES_HIST,
+    "multimodal_gif_decode": SQL_MULTIMODAL_GIF_DECODE,
 }

@@ -873,6 +873,122 @@ def test_png_roundtrip_fuzz():
     check()
 
 
+def test_gif_lzw_independent_reference():
+    """The decoder is pinned against the published GIF89a worked
+    example (the 10x10 4-color sample image whose exact LZW bytes
+    appear in the spec-companion tutorial) — an INDEPENDENT anchor, so
+    a matched encoder/decoder off-by-one in the variable-width rules
+    cannot round-trip its way past this test."""
+    from emf_spark.datax import multimodal as mm
+
+    data = bytes([0x8C, 0x2D, 0x99, 0x87, 0x2A, 0x1C, 0xDC, 0x33, 0xA0,
+                  0x02, 0x75, 0xEC, 0x95, 0xFA, 0xA8, 0xDE, 0x60, 0x8C,
+                  0x04, 0x91, 0x4C, 0x01])
+    exp = bytes([1, 1, 1, 1, 1, 2, 2, 2, 2, 2,
+                 1, 1, 1, 1, 1, 2, 2, 2, 2, 2,
+                 1, 1, 1, 1, 1, 2, 2, 2, 2, 2,
+                 1, 1, 1, 0, 0, 0, 0, 2, 2, 2,
+                 1, 1, 1, 0, 0, 0, 0, 2, 2, 2,
+                 2, 2, 2, 0, 0, 0, 0, 1, 1, 1,
+                 2, 2, 2, 0, 0, 0, 0, 1, 1, 1,
+                 2, 2, 2, 2, 2, 1, 1, 1, 1, 1,
+                 2, 2, 2, 2, 2, 1, 1, 1, 1, 1,
+                 2, 2, 2, 2, 2, 1, 1, 1, 1, 1])
+    assert mm._lzw_decode(data, 2, 100) == exp
+
+
+def test_gif_lzw_roundtrip_fuzz():
+    """Property: encode -> decode is identity for arbitrary index
+    streams, including ones long/random enough to force code-width
+    growth to 12 bits and a mid-stream dictionary reset (CLEAR), and
+    low-entropy ones that hit the KwKwK code==next_code case."""
+    from hypothesis import given, settings, strategies as st
+
+    from emf_spark.datax import multimodal as mm
+
+    @settings(max_examples=30, deadline=None)
+    @given(idx=st.binary(min_size=1, max_size=600),
+           mcs=st.integers(min_value=2, max_value=8))
+    def check(idx, mcs):
+        idx = bytes(b % (1 << mcs) for b in idx)
+        assert mm._lzw_decode(mm._lzw_encode(idx, mcs), mcs, len(idx)) == idx
+
+    check()
+    import random
+
+    rng = random.Random(99)
+    big = bytes(rng.randrange(256) for _ in range(9000))  # dict reset
+    assert mm._lzw_decode(mm._lzw_encode(big, 8), 8, 9000) == big
+    kwk = bytes([7]) * 500  # immediate KwKwK chains
+    assert mm._lzw_decode(mm._lzw_encode(kwk, 8), 8, 500) == kwk
+
+
+def test_gif_decode_profiles_and_fallbacks():
+    """_decode_gif really decodes (closed-form stats), honors a LOCAL
+    color table, and raises (probe fallback) on interlace, missing
+    color table, frame/screen geometry mismatch, and out-of-palette
+    indices."""
+    import struct
+
+    import pytest
+
+    from emf_spark.datax import multimodal as mm
+
+    g = mm.synth_gif(9, 7, 123)
+    assert mm._decode_gif(g) == (9, 7, 189, 3 * sum((123 + i) % 256
+                                                    for i in range(63)))
+
+    def build(w, h, idx, iflags, local=None, gct=True, lsd_wh=None):
+        lw, lh = lsd_wh or (w, h)
+        out = b"GIF89a" + struct.pack("<HH", lw, lh)
+        out += bytes([0xF7 if gct else 0x77, 0, 0])
+        if gct:
+            out += bytes(v for j in range(256) for v in (j, j, j))
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + bytes([iflags])
+        if local is not None:
+            out += local
+        out += bytes([8]) + mm._gif_subblocks(mm._lzw_encode(idx, 8)) + b"\x3b"
+        return out
+
+    idx = bytes(i % 4 for i in range(6 * 2))
+    # local color table (2 << (flags&7) entries) overrides the global
+    local = bytes(v for j in range(4) for v in (10 * j, 0, j))
+    w_, h_, n, vs = mm._decode_gif(build(6, 2, idx, 0x81, local=local))
+    assert (w_, h_, n) == (6, 2, 36)
+    assert vs == sum(10 * i + 0 + i for i in idx)
+    with pytest.raises(ValueError, match="interlaced"):
+        mm._decode_gif(build(6, 2, idx, 0x40))
+    with pytest.raises(ValueError, match="color table"):
+        mm._decode_gif(build(6, 2, idx, 0x00, gct=False))
+    with pytest.raises(ValueError, match="geometry"):
+        mm._decode_gif(build(6, 2, idx, 0x00, lsd_wh=(7, 2)))
+    with pytest.raises(ValueError, match="out of range"):
+        mm._decode_gif(build(2, 1, bytes([0, 3]), 0x80,
+                             local=bytes(6)))  # 2-entry local table
+
+
+def test_gif_decode_media_and_fallbacks(spark):
+    """decode_media: real LZW scans decode with stats; header-only GIF
+    fixtures (GCT flag set but no table/image data) degrade to the
+    dimension probe with null stats."""
+    import struct
+
+    full = multimodal.synth_gif(8, 5, 77)
+    probe_only = b"GIF89a" + struct.pack("<HH", 33, 21) + b"\xf7\x00\x00"
+    media = spark.createDataFrame(
+        [("full", "image", full), ("hdr", "image", probe_only)],
+        "media_id string, kind string, payload binary",
+    )
+    got = {r["media_id"]: r for r in multimodal.decode_media(media).collect()}
+    r = got["full"]
+    assert (r["format"], r["width"], r["height"]) == ("gif", 8, 5)
+    assert (r["n_units"], r["value_sum"]) == (
+        120, 3 * sum((77 + i) % 256 for i in range(40)))
+    r = got["hdr"]
+    assert (r["format"], r["width"], r["height"]) == ("gif", 33, 21)
+    assert r["n_units"] is None and r["value_sum"] is None
+
+
 def test_exact_dedup_incremental_two_ingests(spark, tmp_path):
     from emf_spark.datax import dedup as dd
 

@@ -142,6 +142,16 @@ def synth_bmp(width: int, height: int, base: int) -> bytes:
     return hdr + dib + raster
 
 
+# Adam7 pass grid: (x0, y0, dx, dy) per pass. Each pass is an
+# independent sub-image with its own filter bytes and its own prior
+# row; passes partition the pixel grid, so pass-wise sample sums add
+# up to the raster sum.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
 def _png_filter_row(filt_type: int, raw: np.ndarray, prior: np.ndarray,
                     bpp: int) -> np.ndarray:
     """Apply PNG filter ``filt_type`` to one raw scanline (encoder
@@ -211,39 +221,91 @@ def _png_unfilter_row(filt_type: int, filt: np.ndarray, prior: np.ndarray,
     return out
 
 
-def synth_png(width: int, height: int, base: int) -> bytes:
-    """Deterministic REAL PNG (8-bit RGB, non-interlaced): raw pixel
-    byte i (raster order) = (base + i) % 256, scanline r filtered with
-    type (base + r) % 5 then zlib-compressed — a decoder must walk the
-    chunks, inflate, and invert all five filter types to get the raw
-    bytes back. CRCs are real (zlib.crc32)."""
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body)) + ctype + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def synth_png(width: int, height: int, base: int,
+              interlaced: bool = False) -> bytes:
+    """Deterministic REAL PNG (8-bit RGB): raw pixel byte i (raster
+    order) = (base + i) % 256, scanlines filtered with cycling types
+    then zlib-compressed — a decoder must walk the chunks, inflate,
+    and invert all five filter types to get the raw bytes back. CRCs
+    are real (zlib.crc32). With ``interlaced=True`` the stream is
+    Adam7: seven pass sub-images, each independently filtered — the
+    same logical image, so the closed-form stats only hold if the
+    decoder really walks the pass structure."""
     import struct
     import zlib
 
     bpp = 3
-    raw = (
+    px = (
         (np.arange(width * height * bpp, dtype=np.int64) + base) % 256
-    ).astype(np.uint8).reshape(height, width * bpp)
+    ).astype(np.uint8).reshape(height, width, bpp)
     stream = bytearray()
-    prior = np.zeros(width * bpp, dtype=np.uint8)
+    if not interlaced:
+        raw = px.reshape(height, width * bpp)
+        prior = np.zeros(width * bpp, dtype=np.uint8)
+        for r in range(height):
+            ft = (base + r) % 5
+            stream.append(ft)
+            stream += _png_filter_row(ft, raw[r], prior, bpp).tobytes()
+            prior = raw[r]
+    else:
+        for p, (x0, y0, dx, dy) in enumerate(_ADAM7):
+            sub = px[y0::dy, x0::dx, :]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue  # empty pass carries no filter bytes
+            rows = sub.reshape(sub.shape[0], -1)
+            prior = np.zeros(rows.shape[1], dtype=np.uint8)
+            for r in range(rows.shape[0]):
+                ft = (base + p + r) % 5
+                stream.append(ft)
+                stream += _png_filter_row(ft, rows[r], prior, bpp).tobytes()
+                prior = rows[r]
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0,
+                       1 if interlaced else 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(stream)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def synth_png16_gray(width: int, height: int, base: int) -> bytes:
+    """Deterministic REAL 16-bit grayscale PNG: sample i (raster
+    order) = (base + 257*i) % 65536 stored big-endian, scanlines
+    filtered with cycling types over 2-byte pixels — closed-form
+    value_sum = sum of the 16-bit sample values."""
+    import struct
+    import zlib
+
+    samples = (np.arange(width * height, dtype=np.int64) * 257 + base) % 65536
+    raw = np.zeros((height, width * 2), dtype=np.uint8)
+    grid = samples.reshape(height, width)
+    raw[:, 0::2] = (grid >> 8).astype(np.uint8)
+    raw[:, 1::2] = (grid & 0xFF).astype(np.uint8)
+    stream = bytearray()
+    prior = np.zeros(width * 2, dtype=np.uint8)
     for r in range(height):
         ft = (base + r) % 5
         stream.append(ft)
-        stream += _png_filter_row(ft, raw[r], prior, bpp).tobytes()
+        stream += _png_filter_row(ft, raw[r], prior, 2).tobytes()
         prior = raw[r]
-
-    def chunk(ctype: bytes, body: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(body)) + ctype + body
-            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
-        )
-
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", width, height, 16, 0, 0, 0, 0)
     return (
         b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(stream)))
-        + chunk(b"IEND", b"")
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(stream)))
+        + _png_chunk(b"IEND", b"")
     )
 
 
@@ -251,13 +313,16 @@ def _decode_png(payload: bytes):
     """(width, height, n_units, value_sum) by REALLY decoding a PNG:
     chunk walk -> concatenated-IDAT zlib inflate -> per-scanline
     un-filter (types 0-4 incl. Paeth) -> integer sum of raw samples.
-    Supports every non-interlaced 8-bit profile: grayscale (1ch),
-    truecolor (3ch), gray+alpha (2ch), RGBA (4ch), and PALETTE
-    (type 3: 1-byte indices un-filtered then expanded through the PLTE
-    table — n_units/value_sum count the EXPANDED RGB bytes, matching
-    what a viewer renders). 16-bit depth and Adam7 interlace raise so
-    the caller can fall back to the header-only probe — stdlib zlib +
-    numpy only (VERDICT r3 item 2: no PIL needed for this tier)."""
+    Supports every 8-bit profile: grayscale (1ch), truecolor (3ch),
+    gray+alpha (2ch), RGBA (4ch), and PALETTE (type 3: 1-byte indices
+    un-filtered then expanded through the PLTE table — n_units/
+    value_sum count the EXPANDED RGB bytes, matching what a viewer
+    renders); 16-bit depth for the non-palette types (n_units counts
+    SAMPLES, value_sum sums big-endian 16-bit sample VALUES); and
+    Adam7 interlace (each of the 7 passes is an independent sub-image
+    with its own filter bytes/prior row; passes partition the pixels,
+    so pass sums add up to the raster sum). Stdlib zlib + numpy only
+    (VERDICT r3 item 2: no PIL needed for this tier)."""
     import struct
     import zlib
 
@@ -284,21 +349,32 @@ def _decode_png(payload: bytes):
     w, h, depth, ctype_v, comp, filt, interlace = struct.unpack(
         ">IIBBBBB", ihdr[:13]
     )
-    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+    if depth not in (8, 16) or comp != 0 or filt != 0 \
+            or interlace not in (0, 1):
         raise ValueError("unsupported PNG profile")
     # stream channels per color type (palette streams carry 1-byte
     # indices; gray+alpha 2; RGBA 4)
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype_v)
     if channels is None:
         raise ValueError("unsupported PNG color type")
+    if depth == 16 and ctype_v == 3:
+        raise ValueError("16-bit palette is not a legal PNG profile")
     if ctype_v == 3:
         if plte is None or len(plte) % 3 or not plte:
             raise ValueError("palette PNG without valid PLTE")
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3).astype(np.int64)
     if not idat:
         raise ValueError("no IDAT")
-    rowlen = w * channels
-    expected = h * (1 + rowlen)
+    bpp = channels * (depth // 8)  # filter neighbour distance in BYTES
+    if interlace == 0:
+        subimages = [(w, h)]
+    else:  # Adam7: pass p covers columns x0::dx of rows y0::dy
+        subimages = [
+            ((w - x0 + dx - 1) // dx, (h - y0 + dy - 1) // dy)
+            for x0, y0, dx, dy in _ADAM7
+        ]
+        subimages = [(pw, ph) for pw, ph in subimages if pw and ph]
+    expected = sum(ph * (1 + pw * bpp) for pw, ph in subimages)
     # bound BEFORE inflating: zlib.decompress with no limit would
     # materialize a decompression bomb (tiny IDAT -> GBs) and OOM the
     # executor instead of degrading to the probe (review finding);
@@ -309,19 +385,27 @@ def _decode_png(payload: bytes):
     stream = d.decompress(bytes(idat), expected + 1)
     if len(stream) != expected:
         raise ValueError("decompressed size mismatch")
-    arr = np.frombuffer(stream, dtype=np.uint8).reshape(h, 1 + rowlen)
-    prior = np.zeros(rowlen, dtype=np.uint8)
+    buf = np.frombuffer(stream, dtype=np.uint8)
     total = 0
-    for r in range(h):
-        row = _png_unfilter_row(int(arr[r, 0]), arr[r, 1:], prior, channels)
-        if ctype_v == 3:
-            idx = row.astype(np.int64)
-            if int(idx.max(initial=0)) >= len(pal):
-                raise ValueError("palette index out of range")
-            total += int(pal[idx].sum())
-        else:
-            total += int(row.astype(np.int64).sum())
-        prior = row
+    off = 0
+    for pw, ph in subimages:
+        rowlen = pw * bpp
+        arr = buf[off:off + ph * (1 + rowlen)].reshape(ph, 1 + rowlen)
+        off += ph * (1 + rowlen)
+        prior = np.zeros(rowlen, dtype=np.uint8)
+        for r in range(ph):
+            row = _png_unfilter_row(int(arr[r, 0]), arr[r, 1:], prior, bpp)
+            if ctype_v == 3:
+                idx = row.astype(np.int64)
+                if int(idx.max(initial=0)) >= len(pal):
+                    raise ValueError("palette index out of range")
+                total += int(pal[idx].sum())
+            elif depth == 16:  # big-endian byte pairs -> sample values
+                s = row.astype(np.int64)
+                total += int((s[0::2] * 256 + s[1::2]).sum())
+            else:
+                total += int(row.astype(np.int64).sum())
+            prior = row
     out_ch = 3 if ctype_v == 3 else channels
     return int(w), int(h), int(w) * int(h) * out_ch, total
 
@@ -810,17 +894,36 @@ def _gif_subblocks(body: bytes) -> bytes:
     return bytes(out)
 
 
-def synth_gif(width: int, height: int, base: int) -> bytes:
+def _gif_interlace_rows(height: int) -> np.ndarray:
+    """Logical row index of each STORED scanline of an interlaced GIF:
+    four passes starting at rows 0/4/2/1 with steps 8/8/4/2 (GIF89a
+    appendix E)."""
+    return np.concatenate(
+        [np.arange(start, height, step)
+         for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))]
+    )
+
+
+def synth_gif(width: int, height: int, base: int,
+              interlaced: bool = False) -> bytes:
     """Deterministic REAL GIF89a: 256-entry grayscale global color
     table (color j = (j,j,j)), a Graphic Control Extension the decoder
     must skip, and one image block whose pixel indices
     i -> (base + i) % 256 are genuinely LZW-compressed — so the decoded
     RGB value_sum 3*sum((base+i)%256) is closed-form for a SQL oracle
-    even though the wire bytes are dictionary-coded."""
+    even though the wire bytes are dictionary-coded. With
+    ``interlaced=True`` the scanlines are stored in four-pass interlace
+    order (same logical image, so the same closed form holds — but only
+    if the decoder really de-interlaces)."""
     import struct
 
     n = width * height
     indices = bytes((base + i) % 256 for i in range(n))
+    iflags = 0x00
+    if interlaced:
+        rows = np.frombuffer(indices, dtype=np.uint8).reshape(height, width)
+        indices = rows[_gif_interlace_rows(height)].tobytes()
+        iflags = 0x40
     gct = bytes(v for j in range(256) for v in (j, j, j))
     return (
         b"GIF89a"
@@ -828,21 +931,24 @@ def synth_gif(width: int, height: int, base: int) -> bytes:
         + bytes([0xF7, 0, 0])  # GCT present, 8-bit, 256 entries
         + gct
         + b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # GCE (no transparency)
-        + b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, width, height)
+        + bytes([iflags])
         + bytes([8])  # LZW minimum code size
         + _gif_subblocks(_lzw_encode(indices, 8))
         + b"\x3b"
     )
 
 
-def _decode_gif(payload: bytes):
-    """(width, height, n_units, value_sum) by REALLY decoding a GIF:
-    logical-screen walk -> global/local color table -> extension-block
-    skip -> sub-block reassembly -> variable-width LZW decode ->
-    palette expansion (n_units/value_sum count the EXPANDED RGB bytes,
-    like palette PNG). Interlaced frames, frames whose geometry differs
-    from the logical screen, multi-frame animations, and missing color
-    tables raise so the caller falls back to the header-only probe."""
+def _decode_gif_pixels(payload: bytes):
+    """(width, height, raster) by REALLY decoding a GIF: logical-screen
+    walk -> global/local color table -> extension-block skip ->
+    sub-block reassembly -> variable-width LZW decode -> four-pass
+    de-interlace when the image descriptor sets the interlace flag ->
+    palette expansion to an (h, w, 3) int64 RGB raster in natural row
+    order. Animations decode their FIRST frame (the poster frame).
+    Frames whose geometry differs from the logical screen and missing
+    color tables raise so the caller falls back to the header-only
+    probe."""
     import struct
 
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
@@ -873,8 +979,6 @@ def _decode_gif(payload: bytes):
             left, top, fw, fh = struct.unpack("<HHHH", payload[pos + 1:pos + 9])
             iflags = payload[pos + 9]
             pos += 10
-            if iflags & 0x40:
-                raise ValueError("interlaced GIF unsupported")
             if (left, top, fw, fh) != (0, 0, w, h):
                 raise ValueError("frame geometry differs from screen")
             table = gct
@@ -895,15 +999,27 @@ def _decode_gif(payload: bytes):
                 pos += 1 + ln
             idx = np.frombuffer(
                 _lzw_decode(bytes(body), mcs, w * h), dtype=np.uint8
-            ).astype(np.int64)
+            ).astype(np.int64).reshape(h, w)
+            if iflags & 0x40:  # stored row k is logical row order[k]
+                natural = np.empty_like(idx)
+                natural[_gif_interlace_rows(h)] = idx
+                idx = natural
             if int(idx.max(initial=0)) >= len(table):
                 raise ValueError("palette index out of range")
-            return int(w), int(h), int(w) * int(h) * 3, int(table[idx].sum())
+            return int(w), int(h), table[idx]
         elif block == 0x3B:
             break
         else:
             raise ValueError("bad GIF block")
     raise ValueError("no image block before trailer")
+
+
+def _decode_gif(payload: bytes):
+    """(width, height, n_units, value_sum) off the decoded RGB raster
+    (n_units/value_sum count the EXPANDED RGB bytes, like palette
+    PNG); see _decode_gif_pixels for the actual decode."""
+    w, h, raster = _decode_gif_pixels(payload)
+    return w, h, w * h * 3, int(raster.sum())
 
 
 def probe_compressed_meta(payload: bytes):
@@ -1240,9 +1356,9 @@ def decode_media(df: DataFrame) -> DataFrame:
                             )
                     elif p[:6] in (b"GIF87a", b"GIF89a"):
                         # REAL pixel decode (variable-width LZW +
-                        # palette expansion); interlaced/multi-frame/
-                        # header-only fixtures degrade to the
-                        # dimension probe with null pixel stats
+                        # de-interlace + palette expansion);
+                        # header-only / malformed fixtures degrade to
+                        # the dimension probe with null pixel stats
                         try:
                             w, h, n, vs = _decode_gif(p)
                             rows.append(
@@ -1479,14 +1595,17 @@ def media_png_from_documents(docs: DataFrame) -> DataFrame:
     (doc_id, n_chars): w = n_chars % 24 + 2, h = n_chars % 16 + 2,
     raw pixel byte i = (doc_id + i) % 256 — the decoded value_sum is
     therefore SQL-oracle-checkable even though the wire bytes are
-    compressed."""
+    compressed. Every third doc is Adam7-interlaced — same closed
+    form, but only if the decoder really walks the pass structure (a
+    probe fallback would null the stats and break the oracle)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
                 d, n = int(doc_id), int(n_chars)
-                payload = synth_png(n % 24 + 2, n % 16 + 2, d)
+                payload = synth_png(n % 24 + 2, n % 16 + 2, d,
+                                    interlaced=(d % 3 == 0))
                 rows.append(
                     (f"doc-{d}", "image", payload,
                      (n % 24 + 2, n % 16 + 2, None, "image/png"))
@@ -1533,14 +1652,18 @@ def media_gif_from_documents(docs: DataFrame) -> DataFrame:
     h = n_chars % 14 + 2, pixel index i = (doc_id + i) % 256 through a
     grayscale palette, so decoded value_sum = 3 * sum((doc_id+i)%256)
     is SQL-oracle-checkable even though the wire bytes are
-    dictionary-coded."""
+    dictionary-coded. Every third doc stores its scanlines in four-pass
+    interlace order — the same closed form only holds if decode really
+    de-interlaces (a probe fallback would null the stats and break the
+    oracle)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
                 d, n = int(doc_id), int(n_chars)
-                payload = synth_gif(n % 22 + 2, n % 14 + 2, d)
+                payload = synth_gif(n % 22 + 2, n % 14 + 2, d,
+                                    interlaced=(d % 3 == 0))
                 rows.append(
                     (f"doc-{d}", "image", payload,
                      (n % 22 + 2, n % 14 + 2, None, "image/gif"))

@@ -851,6 +851,52 @@ def test_png_alpha_and_palette_profiles():
         mm._decode_png(build(3, 2, 1, bytes([0, 9]), plte))
 
 
+def test_png_adam7_interlace_decode():
+    """Adam7 streams decode to the same stats as the progressive
+    encoding of the same logical image, across sizes that exercise
+    empty passes (w or h < 5 kills passes 2/3/4...), single-pixel
+    images (only pass 1 non-empty), and filter variety; a spec-derived
+    closed form (stats are invariant under interlacing) anchors it
+    independently of the encoder."""
+    from emf_spark.datax import multimodal as mm
+
+    for w, h, base in [(1, 1, 9), (2, 3, 77), (5, 5, 0), (8, 8, 123),
+                       (13, 7, 200), (3, 16, 41), (24, 17, 255)]:
+        flat = mm._decode_png(mm.synth_png(w, h, base))
+        inter = mm._decode_png(mm.synth_png(w, h, base, interlaced=True))
+        assert inter == flat
+        assert inter == (w, h, w * h * 3,
+                         sum((base + i) % 256 for i in range(w * h * 3)))
+    # the interlaced wire bytes really differ (flag isn't a no-op)
+    assert mm.synth_png(8, 8, 1) != mm.synth_png(8, 8, 1, interlaced=True)
+
+
+def test_png_16bit_gray_decode():
+    """16-bit grayscale: filters run over 2-byte pixels (bpp=2), and
+    value_sum sums big-endian 16-bit SAMPLE values (not bytes) —
+    closed-form in (w, h, base). 16-bit palette stays rejected (not a
+    legal PNG profile)."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from emf_spark.datax import multimodal as mm
+
+    for w, h, base in [(1, 1, 0), (6, 4, 300), (11, 9, 65000)]:
+        got = mm._decode_png(mm.synth_png16_gray(w, h, base))
+        assert got == (w, h, w * h,
+                       sum((base + 257 * i) % 65536 for i in range(w * h)))
+
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 16, 3, 0, 0, 0)
+    bad = (b"\x89PNG\r\n\x1a\n" + mm._png_chunk(b"IHDR", ihdr)
+           + mm._png_chunk(b"PLTE", bytes(6))
+           + mm._png_chunk(b"IDAT", zlib.compress(bytes(5)))
+           + mm._png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="not a legal PNG profile"):
+        mm._decode_png(bad)
+
+
 def test_png_roundtrip_fuzz():
     """Property: for ANY raster bytes and dimensions, synth_png ->
     _decode_png recovers exact (w, h, n_units, value_sum) — i.e. the
@@ -956,8 +1002,6 @@ def test_gif_decode_profiles_and_fallbacks():
     w_, h_, n, vs = mm._decode_gif(build(6, 2, idx, 0x81, local=local))
     assert (w_, h_, n) == (6, 2, 36)
     assert vs == sum(10 * i + 0 + i for i in idx)
-    with pytest.raises(ValueError, match="interlaced"):
-        mm._decode_gif(build(6, 2, idx, 0x40))
     with pytest.raises(ValueError, match="color table"):
         mm._decode_gif(build(6, 2, idx, 0x00, gct=False))
     with pytest.raises(ValueError, match="geometry"):
@@ -965,6 +1009,43 @@ def test_gif_decode_profiles_and_fallbacks():
     with pytest.raises(ValueError, match="out of range"):
         mm._decode_gif(build(2, 1, bytes([0, 3]), 0x80,
                              local=bytes(6)))  # 2-entry local table
+
+
+def test_gif_interlace_decode():
+    """Four-pass GIF de-interlace, anchored two independent ways:
+    (a) a hand-built interlaced GIF whose stored scanline k is the
+    constant row value STORED_ORDER[k] — the spec's pass order for
+    h=10 written out BY HAND, not via the helper, so an
+    encoder/decoder order bug cannot cancel — must place row value r
+    at logical row r; (b) interlaced and progressive synth_gif of the
+    same logical image decode to identical rasters."""
+    import struct
+
+    import numpy as np
+
+    from emf_spark.datax import multimodal as mm
+
+    stored_order = [0, 8, 4, 2, 6, 1, 3, 5, 7, 9]  # GIF89a app. E, h=10
+    w, h = 3, 10
+    stored = bytes(v for v in stored_order for _ in range(w))
+    gif = (
+        b"GIF89a" + struct.pack("<HH", w, h)
+        + bytes([0xF7, 0, 0])
+        + bytes(v for j in range(256) for v in (j, j, j))
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + bytes([0x40])
+        + bytes([8]) + mm._gif_subblocks(mm._lzw_encode(stored, 8)) + b"\x3b"
+    )
+    W, H, raster = mm._decode_gif_pixels(gif)
+    assert (W, H) == (w, h)
+    for r in range(h):
+        assert (raster[r] == r).all(), f"logical row {r} misplaced"
+
+    flat = mm._decode_gif_pixels(mm.synth_gif(13, 11, 42))
+    inter = mm._decode_gif_pixels(mm.synth_gif(13, 11, 42, interlaced=True))
+    assert np.array_equal(flat[2], inter[2])
+    # and the stored stream really was permuted (the flag isn't a no-op)
+    assert mm.synth_gif(13, 11, 42) != mm.synth_gif(13, 11, 42,
+                                                    interlaced=True)
 
 
 def test_gif_decode_media_and_fallbacks(spark):

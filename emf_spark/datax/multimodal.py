@@ -122,6 +122,27 @@ def synth_wav(n_samples: int, rate: int, base: int) -> bytes:
     )
 
 
+def synth_g711_wav(n_samples: int, rate: int, base: int,
+                   law: str = "ulaw") -> bytes:
+    """Deterministic RIFF/WAV G.711 mono (format tag 7 mu-law / 6
+    A-law, 8-bit): code byte i = (base + i) % 256 — the decoder must
+    expand codes through the companding table, so decoded sums are
+    closed-form over the public table values."""
+    import struct
+
+    tag = 7 if law == "ulaw" else 6
+    data = bytes((base + i) % 256 for i in range(n_samples))
+    fmt = struct.pack("<HHIIHH", tag, 1, rate, rate, 1, 8)
+    pad = b"\x00" if len(data) % 2 else b""  # chunks are word-aligned
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data) + len(pad))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data + pad
+    )
+
+
 def synth_bmp(width: int, height: int, base: int) -> bytes:
     """Deterministic 24bpp BI_RGB bottom-up BMP: pixel byte i (in raster
     order, padding excluded) = (base + i) % 256."""
@@ -1115,8 +1136,8 @@ def _wav_chunks(payload: bytes):
     walk — the ONLY correct way to locate the data (searching for
     b'data' in the byte stream can hit sample bytes that spell 'data').
     Raises ValueError on any malformed shape, including truncated fmt
-    chunks and rate=0. Supported tags: 1 (PCM-16 mono) and 0x11
-    (IMA ADPCM mono)."""
+    chunks and rate=0. Supported tags: 1 (PCM-16 mono), 6/7 (G.711
+    A-law / mu-law, 8-bit) and 0x11 (IMA ADPCM mono)."""
     import struct
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -1142,6 +1163,9 @@ def _wav_chunks(payload: bytes):
     if tag == 1:
         if bits != 16:
             raise ValueError("only PCM-16 supported")
+    elif tag in (6, 7):
+        if bits != 8:
+            raise ValueError("G.711 must be 8-bit")
     elif tag == 0x11:
         if bits != 4:
             raise ValueError("IMA ADPCM must be 4-bit")
@@ -1278,21 +1302,65 @@ def _wav_fact(payload: bytes):
     return None
 
 
-def _decode_wav(payload: bytes):
-    """(fmt, rate, n_samples, duration_ms, sum_abs) from RIFF/WAV —
-    fmt 'wav' for PCM-16 or 'adpcm' for IMA ADPCM mono (tag 0x11: real
-    compressed-sample decode, block header + 4-bit nibble
-    reconstruction via the public step tables)."""
+# G.711 companding (public ITU spec, the classic Sun ulaw/alaw
+# construction): 8-bit code -> 16-bit linear sample, precomputed as
+# 256-entry lookup tables so the per-payload decode is one vectorized
+# numpy index.
+
+def _g711_ulaw_table() -> np.ndarray:
+    out = np.empty(256, dtype=np.int64)
+    for code in range(256):
+        u = ~code & 0xFF
+        t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+        out[code] = (0x84 - t) if (u & 0x80) else (t - 0x84)
+    return out
+
+
+def _g711_alaw_table() -> np.ndarray:
+    out = np.empty(256, dtype=np.int64)
+    for code in range(256):
+        a = code ^ 0x55
+        t = (a & 0x0F) << 4
+        seg = (a & 0x70) >> 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        out[code] = t if (a & 0x80) else -t
+    return out
+
+
+_G711_ULAW = _g711_ulaw_table()
+_G711_ALAW = _g711_alaw_table()
+
+
+def _wav_samples(payload: bytes):
+    """(fmt_label, rate, samples int64) — the shared decoded-sample
+    path for every supported WAV encoding: PCM-16 (tag 1), A-law
+    (tag 6), mu-law (tag 7), IMA ADPCM (tag 0x11)."""
     tag, rate, align, data = _wav_chunks(payload)
     if tag == 1:
-        s = np.frombuffer(data, dtype="<i2").astype(np.int64)
-    else:
-        if not align or align < 5:
-            raise ValueError("bad ADPCM block align")
-        s = np.array(
-            _decode_adpcm(data, align, _wav_fact(payload)), dtype=np.int64
-        )
-    fmt = "wav" if tag == 1 else "adpcm"
+        return "wav", rate, np.frombuffer(data, dtype="<i2").astype(np.int64)
+    if tag == 6:
+        return "alaw", rate, _G711_ALAW[np.frombuffer(data, dtype=np.uint8)]
+    if tag == 7:
+        return "ulaw", rate, _G711_ULAW[np.frombuffer(data, dtype=np.uint8)]
+    if not align or align < 5:
+        raise ValueError("bad ADPCM block align")
+    return "adpcm", rate, np.array(
+        _decode_adpcm(data, align, _wav_fact(payload)), dtype=np.int64
+    )
+
+
+def _decode_wav(payload: bytes):
+    """(fmt, rate, n_samples, duration_ms, sum_abs) from RIFF/WAV —
+    fmt 'wav' for PCM-16, 'alaw'/'ulaw' for G.711 companded bytes
+    (real table expansion to 16-bit linear), or 'adpcm' for IMA ADPCM
+    mono (tag 0x11: real compressed-sample decode, block header +
+    4-bit nibble reconstruction via the public step tables)."""
+    fmt, rate, s = _wav_samples(payload)
     return fmt, rate, len(s), int(len(s) * 1000 // rate), int(np.abs(s).sum())
 
 
@@ -1438,14 +1506,11 @@ def _real_feature(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
         )
         hist, _ = np.histogram(vals, bins=dim, range=(0, 256))
     elif p[:4] == b"RIFF":
-        tag, _rate, align, data = _wav_chunks(p)
-        if tag == 1:
-            vals = np.frombuffer(data, dtype="<i2").astype(np.float64)
-        else:  # IMA ADPCM: histogram over the DECODED samples
-            vals = np.array(
-                _decode_adpcm(data, align, _wav_fact(p)), dtype=np.float64
-            )
-        hist, _ = np.histogram(vals, bins=dim, range=(-32768, 32768))
+        # histogram over the DECODED linear samples for every
+        # supported encoding (PCM-16 / A-law / mu-law / IMA ADPCM)
+        _fmt, _rate, s = _wav_samples(p)
+        hist, _ = np.histogram(s.astype(np.float64), bins=dim,
+                               range=(-32768, 32768))
     else:
         raise ValueError(
             "real media decode supports only P6 PPM / RIFF WAV here; "
@@ -1667,6 +1732,32 @@ def media_gif_from_documents(docs: DataFrame) -> DataFrame:
                 rows.append(
                     (f"doc-{d}", "image", payload,
                      (n % 22 + 2, n % 14 + 2, None, "image/gif"))
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "meta"]
+            )
+
+    return docs.select("doc_id", "n_chars").mapInPandas(run, MEDIA_SCHEMA)
+
+
+def media_g711_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL G.711 companded WAVs derived from the
+    documents table — code byte i = (doc_id + i) % 256, mu-law for odd
+    doc_ids and A-law for even ones. The companding expansion is
+    closed-form in the code byte (the ITU segment/mantissa formulas),
+    so a SQL oracle can recompute the decoded |sample| sums exactly."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                d, n = int(doc_id), int(n_chars)
+                law = "ulaw" if d % 2 else "alaw"
+                payload = synth_g711_wav(n % 97 + 16, 8000, d, law=law)
+                rows.append(
+                    (f"doc-{d}", "audio", payload,
+                     (None, None, (n % 97 + 16) * 1000 // 8000,
+                      "audio/wav"))
                 )
             yield pd.DataFrame(
                 rows, columns=["media_id", "kind", "payload", "meta"]

@@ -1806,6 +1806,61 @@ FROM per
 """
 
 
+def q_multimodal_g711_decode(spark, sf):
+    """REAL G.711 companded-audio decode: mu-law (odd doc_ids) and
+    A-law (even) WAVs synthesized from documents, then decode_media
+    expands every 8-bit code through the ITU companding tables to
+    16-bit linear samples. The segment/mantissa expansion is
+    closed-form in the code byte, so the oracle recomputes the decoded
+    |sample| sums exactly in SQL — verifying the table construction,
+    not just plumbing. Parity with reference posture: every emitted
+    value independently validated (mock-cloudwatch-server/main.go:142)."""
+    from emf_spark.datax import multimodal
+
+    d = _fan(spark, _t(spark, sf, "documents"))
+    dec = multimodal.decode_media(multimodal.media_g711_from_documents(d))
+    return dec.groupBy("format").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("duration_ms").alias("dur_ms"),
+        F.sum("n_units").alias("units"),
+        F.sum("value_sum").alias("value_total"),
+        F.round(F.sum("value_sum") / F.sum("n_units"), 6).alias("mean_value"),
+    ).orderBy("format")
+
+
+SQL_MULTIMODAL_G711_DECODE = """
+WITH m AS (
+  SELECT doc_id, n_chars % 97 + 16 AS ns,
+         CASE WHEN doc_id % 2 = 1 THEN 'ulaw' ELSE 'alaw' END AS fmt
+  FROM documents),
+e AS (SELECT doc_id, ns, fmt, UNNEST(range(0, ns)) AS i FROM m),
+c AS (SELECT doc_id, ns, fmt,
+             CAST((doc_id + i) % 256 AS BIGINT) AS code FROM e),
+v AS (SELECT doc_id, ns, fmt,
+        CASE WHEN fmt = 'ulaw' THEN
+          (((255 - code) % 16) * 8 + 132)
+            * (1 << (((255 - code) // 16) % 8)) - 132
+        WHEN (xor(code, 85) // 16) % 8 = 0 THEN
+          (xor(code, 85) % 16) * 16 + 8
+        WHEN (xor(code, 85) // 16) % 8 = 1 THEN
+          (xor(code, 85) % 16) * 16 + 264
+        ELSE
+          ((xor(code, 85) % 16) * 16 + 264)
+            * (1 << ((xor(code, 85) // 16) % 8 - 1))
+        END AS av
+      FROM c),
+per AS (SELECT doc_id, fmt, ns, ns * 1000 // 8000 AS dur, SUM(av) AS vs
+        FROM v GROUP BY 1, 2, 3, 4)
+SELECT fmt AS format, COUNT(*) AS n_media,
+  CAST(SUM(dur) AS BIGINT) AS dur_ms,
+  CAST(SUM(ns) AS BIGINT) AS units,
+  CAST(SUM(vs) AS BIGINT) AS value_total,
+  ROUND(CAST(SUM(vs) AS DOUBLE) / CAST(SUM(ns) AS DOUBLE), 6)
+    AS mean_value
+FROM per GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_multimodal_jpeg_decode(spark, sf):
     """REAL baseline-JPEG pixel decode: full entropy-coded grayscale
     JPEGs (8x8 DCT, flat quantization, canonical-Huffman scan with
@@ -3609,6 +3664,7 @@ QUERIES: dict[str, Callable] = {
     "emf_percentiles_hist": q_percentiles_hist,
     "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
     "multimodal_gif_decode": q_multimodal_gif_decode,
+    "multimodal_g711_decode": q_multimodal_g711_decode,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3701,4 +3757,5 @@ ORACLE_SQL: dict[str, str] = {
     "multimodal_png_decode": SQL_MULTIMODAL_PNG_DECODE,
     "emf_percentiles_hist": SQL_PERCENTILES_HIST,
     "multimodal_gif_decode": SQL_MULTIMODAL_GIF_DECODE,
+    "multimodal_g711_decode": SQL_MULTIMODAL_G711_DECODE,
 }

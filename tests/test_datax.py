@@ -1309,6 +1309,50 @@ def test_png_decompression_bomb_degrades(spark):
     assert got["huge"]["format"] == "png" and got["huge"]["n_units"] is None
 
 
+def test_g711_decode_tables_and_media(spark):
+    """G.711 companded WAV (tags 6/7) expands through the public
+    mu-law/A-law tables: pinned by the spec's published extreme/zero
+    code values (independent anchors, not a round trip), full-table
+    sign symmetry, per-branch monotonicity, and an end-to-end
+    decode_media row off a synthesized companded WAV."""
+    import numpy as np
+
+    from emf_spark.datax import multimodal as mm
+
+    # published table anchors: mu-law 0x00/-32124, 0x80/+32124, both
+    # zeros (0x7F, 0xFF); A-law +-8 at 0xD5/0x55, +-32256 at 0xAA/0x2A
+    assert mm._G711_ULAW[0x00] == -32124 and mm._G711_ULAW[0x80] == 32124
+    assert mm._G711_ULAW[0x7F] == 0 and mm._G711_ULAW[0xFF] == 0
+    assert mm._G711_ALAW[0x55] == -8 and mm._G711_ALAW[0xD5] == 8
+    assert mm._G711_ALAW[0x2A] == -32256 and mm._G711_ALAW[0xAA] == 32256
+    codes = np.arange(256)
+    assert (mm._G711_ULAW[codes] == -mm._G711_ULAW[codes ^ 0x80]).all()
+    assert (mm._G711_ALAW[codes] == -mm._G711_ALAW[codes ^ 0x80]).all()
+    # positive mu-law branch decodes strictly monotonically (0x80 max
+    # down to 0xFF zero); A-law positive branch is monotone in segment
+    # order after the XOR-0x55 toggle, so just check min/max placement
+    assert (np.diff(mm._G711_ULAW[128:]) < 0).all()
+    assert mm._G711_ALAW.max() == 32256 and mm._G711_ALAW.min() == -32256
+
+    for law, tag_label in (("ulaw", "ulaw"), ("alaw", "alaw")):
+        wav = mm.synth_g711_wav(301, 8000, 17, law=law)
+        fmt, rate, n, dur, sa = mm._decode_wav(wav)
+        table = mm._G711_ULAW if law == "ulaw" else mm._G711_ALAW
+        exp = sum(abs(int(table[(17 + i) % 256])) for i in range(301))
+        assert (fmt, rate, n, dur, sa) == (tag_label, 8000, 301, 37, exp)
+        feat = mm._real_feature(wav)
+        assert abs(float(np.linalg.norm(feat)) - 1.0) < 1e-5
+
+    media = spark.createDataFrame(
+        [("a", "audio", mm.synth_g711_wav(64, 16000, 3, law="alaw"))],
+        "media_id string, kind string, payload binary",
+    )
+    r = multimodal.decode_media(media).collect()[0]
+    assert (r["format"], r["duration_ms"], r["n_units"]) == ("alaw", 4, 64)
+    assert r["value_sum"] == sum(
+        abs(int(mm._G711_ALAW[(3 + i) % 256])) for i in range(64))
+
+
 def test_adpcm_decode_matches_independent_reference(spark):
     """IMA ADPCM (WAV tag 0x11) compressed-sample decode: block-header
     + 4-bit nibble reconstruction equals an independent pure-python

@@ -960,13 +960,52 @@ def synth_gif(width: int, height: int, base: int,
     )
 
 
-def _decode_gif_pixels(payload: bytes):
-    """(width, height, raster) by REALLY decoding a GIF: logical-screen
-    walk -> global/local color table -> extension-block skip ->
-    sub-block reassembly -> variable-width LZW decode -> four-pass
-    de-interlace when the image descriptor sets the interlace flag ->
-    palette expansion to an (h, w, 3) int64 RGB raster in natural row
-    order. Animations decode their FIRST frame (the poster frame).
+def synth_gif_animated(width: int, height: int, base: int,
+                       n_frames: int) -> bytes:
+    """Deterministic REAL animated GIF89a: NETSCAPE2.0 loop extension,
+    then ``n_frames`` full-screen image blocks, each preceded by its
+    own Graphic Control Extension (frame delay 4/100 s). Frame f pixel
+    indices are i -> (base + 7*f + i) % 256 over the grayscale global
+    color table (color j = (j,j,j)), all genuinely LZW-compressed — so
+    frame f's rendered RGB value_sum 3*sum((base + 7f + i) % 256) is
+    closed-form for a SQL oracle even though every frame is
+    dictionary-coded on the wire."""
+    import struct
+
+    n = width * height
+    gct = bytes(v for j in range(256) for v in (j, j, j))
+    out = bytearray(
+        b"GIF89a"
+        + struct.pack("<HH", width, height)
+        + bytes([0xF7, 0, 0])
+        + gct
+        # NETSCAPE2.0 application extension (loop forever) — a decoder
+        # must skip unknown app extensions via the sub-block chain
+        + b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    )
+    for f in range(n_frames):
+        indices = bytes((base + 7 * f + i) % 256 for i in range(n))
+        out += (
+            b"\x21\xf9\x04\x00\x04\x00\x00\x00"  # GCE: 4cs delay
+            + b"\x2c" + struct.pack("<HHHH", 0, 0, width, height)
+            + bytes([0x00, 8])
+            + _gif_subblocks(_lzw_encode(indices, 8))
+        )
+    out += b"\x3b"
+    return bytes(out)
+
+
+def _gif_frames(payload: bytes, max_frames: int | None = None):
+    """(width, height, [raster, ...]) by REALLY decoding a GIF:
+    logical-screen walk -> global/local color table -> extension-block
+    skip -> sub-block reassembly -> variable-width LZW decode ->
+    four-pass de-interlace when the image descriptor sets the interlace
+    flag -> palette expansion to (h, w, 3) int64 RGB rasters in natural
+    row order, one per image block (animations yield EVERY frame, in
+    stream order). ``max_frames`` stops the walk early — the poster
+    frame never pays for the rest of the animation. Stride sampling
+    must still LZW-decode the frames it drops (GIF has no frame index;
+    blocks can't be skipped without decoding their sub-block chain).
     Frames whose geometry differs from the logical screen and missing
     color tables raise so the caller falls back to the header-only
     probe."""
@@ -983,6 +1022,7 @@ def _decode_gif_pixels(payload: bytes):
         raise ValueError("implausibly large raster")  # decode bomb guard
     flags = payload[10]
     pos, gct = 13, None
+    frames: list[np.ndarray] = []
     if flags & 0x80:
         n_colors = 2 << (flags & 0x07)
         gct = np.frombuffer(
@@ -1018,6 +1058,7 @@ def _decode_gif_pixels(payload: bytes):
                 ln = payload[pos]
                 body += payload[pos + 1:pos + 1 + ln]
                 pos += 1 + ln
+            pos += 1  # sub-block terminator
             idx = np.frombuffer(
                 _lzw_decode(bytes(body), mcs, w * h), dtype=np.uint8
             ).astype(np.int64).reshape(h, w)
@@ -1027,12 +1068,23 @@ def _decode_gif_pixels(payload: bytes):
                 idx = natural
             if int(idx.max(initial=0)) >= len(table):
                 raise ValueError("palette index out of range")
-            return int(w), int(h), table[idx]
+            frames.append(table[idx])
+            if max_frames is not None and len(frames) >= max_frames:
+                return int(w), int(h), frames
         elif block == 0x3B:
             break
         else:
             raise ValueError("bad GIF block")
-    raise ValueError("no image block before trailer")
+    if not frames:
+        raise ValueError("no image block before trailer")
+    return int(w), int(h), frames
+
+
+def _decode_gif_pixels(payload: bytes):
+    """(width, height, raster) — the FIRST frame (poster frame) of the
+    GIF; see _gif_frames for the actual decode."""
+    w, h, frames = _gif_frames(payload, max_frames=1)
+    return w, h, frames[0]
 
 
 def _decode_gif(payload: bytes):
@@ -1041,6 +1093,293 @@ def _decode_gif(payload: bytes):
     PNG); see _decode_gif_pixels for the actual decode."""
     w, h, raster = _decode_gif_pixels(payload)
     return w, h, w * h * 3, int(raster.sum())
+
+
+# ---------------------------------------------------------------------------
+# Raster recovery + resize: the "transform" half of the multimodal
+# pipeline (decode -> RESIZE -> feature). Pure numpy — nearest uses the
+# exact integer half-pixel-center mapping sx = ((2x+1)*sw) // (2*tw),
+# which a SQL oracle reproduces verbatim, so the full decode -> resample
+# -> re-encode loop is exact-oracle-checkable; bilinear is pinned by a
+# pytest parity against an independent per-pixel reference instead.
+
+
+def _png_raster_rgb(payload: bytes):
+    """(w, h, (h,w,3) uint8 RGB raster) for the 8-bit gray/RGB
+    NON-interlaced PNG profiles (gray replicated across channels —
+    what a renderer does). Stats-only decode of the full profile set
+    (palette/alpha/16-bit/Adam7) lives in _decode_png; raster recovery
+    deliberately supports the narrower set resize actually meets, and
+    raises so the caller degrades honestly."""
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        ctype = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + length]
+        if len(body) < length:
+            raise ValueError("truncated chunk")
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or len(ihdr) < 13:
+        raise ValueError("missing IHDR")
+    w, h, depth, ctype_v, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr[:13]
+    )
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0 \
+            or ctype_v not in (0, 2):
+        raise ValueError("raster recovery supports 8-bit gray/RGB only")
+    channels = 1 if ctype_v == 0 else 3
+    if not idat:
+        raise ValueError("no IDAT")
+    expected = h * (1 + w * channels)
+    if w <= 0 or h <= 0 or expected > (1 << 28):
+        raise ValueError("bad dimensions")
+    d = zlib.decompressobj()
+    stream = d.decompress(bytes(idat), expected + 1)
+    if len(stream) != expected:
+        raise ValueError("decompressed size mismatch")
+    arr = np.frombuffer(stream, dtype=np.uint8).reshape(h, 1 + w * channels)
+    rows = np.empty((h, w * channels), dtype=np.uint8)
+    prior = np.zeros(w * channels, dtype=np.uint8)
+    for r in range(h):
+        prior = _png_unfilter_row(int(arr[r, 0]), arr[r, 1:], prior, channels)
+        rows[r] = prior
+    raster = rows.reshape(h, w, channels)
+    if channels == 1:
+        raster = np.repeat(raster, 3, axis=2)
+    return int(w), int(h), raster
+
+
+def _payload_raster_rgb(payload: bytes):
+    """(format, w, h, (h,w,3) uint8 RGB raster) for every container a
+    raster (not just stats) can be recovered from: P6 PPM, 24bpp BMP
+    (bottom-up rows flipped to natural order, BGR -> RGB), 8-bit
+    gray/RGB non-interlaced PNG, and GIF (palette-expanded poster
+    frame). Raises ValueError for everything else."""
+    import struct
+
+    p = payload
+    if p.startswith(b"P6"):
+        w, h, n, pos = _ppm_raster(p)
+        px = np.frombuffer(p, dtype=np.uint8, count=n, offset=pos)
+        return "ppm", w, h, px.reshape(h, w, 3)
+    if p[:2] == b"BM":
+        if len(p) < 54:
+            raise ValueError("not a BMP")
+        (off,) = struct.unpack("<I", p[10:14])
+        dib_size, w, h = struct.unpack("<Iii", p[14:26])
+        planes, bpp = struct.unpack("<HH", p[26:30])
+        (compression,) = struct.unpack("<I", p[30:34])
+        if dib_size < 40 or planes != 1 or bpp != 24 or compression != 0:
+            raise ValueError("only 24bpp BI_RGB supported")
+        h_abs = abs(h)
+        if w <= 0 or h_abs == 0:
+            raise ValueError("bad dimensions")
+        stride = (w * 3 + 3) // 4 * 4
+        if off + stride * h_abs > len(p):
+            raise ValueError("truncated raster")
+        rows = np.frombuffer(
+            p, dtype=np.uint8, count=stride * h_abs, offset=off
+        ).reshape(h_abs, stride)[:, : w * 3].reshape(h_abs, w, 3)
+        if h > 0:  # positive height = bottom-up storage
+            rows = rows[::-1]
+        return "bmp", w, h_abs, rows[:, :, ::-1]  # BGR -> RGB
+    if p[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h, raster = _png_raster_rgb(p)
+        return "png", w, h, raster
+    if p[:6] in (b"GIF87a", b"GIF89a"):
+        w, h, raster = _decode_gif_pixels(p)
+        return "gif", w, h, raster.astype(np.uint8)
+    raise ValueError("no raster-recoverable container magic")
+
+
+def _resize_nearest(raster: np.ndarray, tw: int, th: int) -> np.ndarray:
+    """Half-pixel-center nearest neighbour in EXACT integer arithmetic:
+    source index for target x is sx = floor((x + 0.5) * sw / tw) =
+    ((2x + 1) * sw) // (2 * tw), which is < sw for every x < tw — no
+    clamp, no float, and verbatim-reproducible in SQL."""
+    sh, sw = raster.shape[:2]
+    ys = ((2 * np.arange(th, dtype=np.int64) + 1) * sh) // (2 * th)
+    xs = ((2 * np.arange(tw, dtype=np.int64) + 1) * sw) // (2 * tw)
+    return raster[ys][:, xs]
+
+
+def _resize_bilinear(raster: np.ndarray, tw: int, th: int) -> np.ndarray:
+    """Half-pixel-center bilinear: src = (dst + 0.5) * s/t - 0.5,
+    edge-clamped, 2x2 lerp, round-half-up to uint8 (the convention the
+    independent reference in tests uses; ties at .5 round up)."""
+    sh, sw = raster.shape[:2]
+    fy = np.clip((np.arange(th) + 0.5) * sh / th - 0.5, 0, sh - 1)
+    fx = np.clip((np.arange(tw) + 0.5) * sw / tw - 0.5, 0, sw - 1)
+    y0 = np.floor(fy).astype(np.int64)
+    x0 = np.floor(fx).astype(np.int64)
+    y1 = np.minimum(y0 + 1, sh - 1)
+    x1 = np.minimum(x0 + 1, sw - 1)
+    wy = (fy - y0)[:, None, None]
+    wx = (fx - x0)[None, :, None]
+    r = raster.astype(np.float64)
+    v = (
+        r[y0][:, x0] * (1 - wy) * (1 - wx)
+        + r[y0][:, x1] * (1 - wy) * wx
+        + r[y1][:, x0] * wy * (1 - wx)
+        + r[y1][:, x1] * wy * wx
+    )
+    return np.floor(v + 0.5).astype(np.uint8)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("format", T.StringType()),  # source container
+        T.StructField("src_width", T.IntegerType()),
+        T.StructField("src_height", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_units", T.LongType()),
+        T.StructField("value_sum", T.LongType()),
+        # resized raster re-encoded as a P6 PPM, so downstream stages
+        # (decode_media, extract_features) consume it unchanged
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def resize_media(
+    df: DataFrame, width: int, height: int, method: str = "nearest"
+) -> DataFrame:
+    """REAL raster resize via mapInPandas: recover the RGB raster from
+    any raster-recoverable container (PPM/BMP/PNG/GIF — see
+    _payload_raster_rgb), resample it to (width, height) with nearest
+    (exact integer mapping, SQL-oracle-checkable) or bilinear
+    (pytest-pinned), and re-encode the result as a P6 PPM payload.
+    Undecodable rows degrade to format='unknown' with null stats and a
+    null payload (malformed-side-output semantics, like decode_media).
+
+    Scale posture: identical to decode_media — Arrow-batched, one
+    output row per input, no shuffle; fan the scan out before this
+    stage when the source is few large files (the driver query uses
+    _fan) so the CPU-heavy resample uses every core."""
+    if method not in ("nearest", "bilinear"):
+        raise ValueError(f"unknown resize method {method!r}")
+    if width <= 0 or height <= 0:
+        raise ValueError("target size must be positive")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        header = f"P6\n{width} {height}\n255\n".encode("ascii")
+        for pdf in batches:
+            rows = []
+            for media_id, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                p = bytes(payload) if payload is not None else b""
+                try:
+                    fmt, sw, sh, raster = _payload_raster_rgb(p)
+                    out = (
+                        _resize_nearest(raster, width, height)
+                        if method == "nearest"
+                        else _resize_bilinear(raster, width, height)
+                    )
+                    rows.append(
+                        (
+                            media_id, kind, fmt, sw, sh, width, height,
+                            out.size, int(out.astype(np.int64).sum()),
+                            header + out.tobytes(),
+                        )
+                    )
+                except ValueError:
+                    rows.append(
+                        (media_id, kind, "unknown", None, None, None,
+                         None, None, None, None)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "format", "src_width",
+                    "src_height", "width", "height", "n_units",
+                    "value_sum", "payload",
+                ],
+            )
+
+    return df.mapInPandas(run, RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("format", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_units", T.LongType()),
+        T.StructField("value_sum", T.LongType()),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, stride: int = 2) -> DataFrame:
+    """Frame sampling over media rows via mapInPandas: animated GIFs
+    decode EVERY frame (GIF is a sequential LZW stream — dropped frames
+    still cost their decode; there is no frame index to seek by) and
+    emit one row per frame where frame_idx % stride == 0, with the
+    frame's rendered-RGB integer stats. Single-image containers
+    (PPM/BMP/PNG, or a non-animated GIF) emit their one frame as
+    frame_idx 0. Undecodable rows degrade to format='unknown' with
+    null stats. One input row fans out to ceil(n_frames/stride) output
+    rows — mapInPandas (not a UDF) precisely because the row count
+    changes."""
+    if stride <= 0:
+        raise ValueError("stride must be positive")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                p = bytes(payload) if payload is not None else b""
+                try:
+                    if p[:6] in (b"GIF87a", b"GIF89a"):
+                        w, h, frames = _gif_frames(p)
+                        for f, raster in enumerate(frames):
+                            if f % stride:
+                                continue
+                            rows.append(
+                                (media_id, kind, "gif", f, len(frames),
+                                 w, h, raster.size, int(raster.sum()))
+                            )
+                    else:
+                        fmt, w, h, raster = _payload_raster_rgb(p)
+                        rows.append(
+                            (media_id, kind, fmt, 0, 1, w, h,
+                             raster.size, int(raster.astype(np.int64).sum()))
+                        )
+                except ValueError:
+                    rows.append(
+                        (media_id, kind, "unknown", None, None, None,
+                         None, None, None)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "format", "frame_idx", "n_frames",
+                    "width", "height", "n_units", "value_sum",
+                ],
+            )
+
+    return df.mapInPandas(run, FRAMES_SCHEMA)
 
 
 def probe_compressed_meta(payload: bytes):
@@ -1631,25 +1970,31 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
-def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize plumbing: passes payload through a mapInPandas stage that
-    would call the image library; fake mode annotates the target size."""
+def media_gif_anim_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL animated GIFs derived from the documents
+    table — n_frames = n_chars % 4 + 2 full-screen frames, each
+    genuinely LZW-compressed. Closed-form in (doc_id, n_chars):
+    w = n_chars % 13 + 2, h = n_chars % 9 + 2, frame f pixel index
+    i = (doc_id + 7f + i) % 256 over the grayscale palette — so every
+    sampled frame's rendered value_sum 3*sum(...) is SQL-checkable."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = pdf.copy()
-            out["meta"] = [
-                {
-                    "width": width,
-                    "height": height,
-                    "duration_ms": (m or {}).get("duration_ms"),
-                    "mime": (m or {}).get("mime"),
-                }
-                for m in pdf["meta"]
-            ]
-            yield out
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                d, n = int(doc_id), int(n_chars)
+                payload = synth_gif_animated(
+                    n % 13 + 2, n % 9 + 2, d, n % 4 + 2
+                )
+                rows.append(
+                    (f"doc-{d}", "video", payload,
+                     (n % 13 + 2, n % 9 + 2, (n % 4 + 2) * 40, "image/gif"))
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "meta"]
+            )
 
-    return df.mapInPandas(run, MEDIA_SCHEMA)
+    return docs.select("doc_id", "n_chars").mapInPandas(run, MEDIA_SCHEMA)
 
 
 def media_png_from_documents(docs: DataFrame) -> DataFrame:

@@ -1923,6 +1923,99 @@ FROM m GROUP BY 1
 """
 
 
+def q_multimodal_resize(spark, sf):
+    """REAL raster resize (resize_media): P6 PPM images synthesized
+    from documents are raster-recovered, resampled to 5x4 with the
+    exact integer half-pixel-center nearest mapping
+    sx = ((2x+1)*sw) // (2*tw), re-encoded as P6, then fed BACK through
+    decode_media — so the aggregate checks decode -> resample ->
+    re-encode -> re-decode end to end. The resized value_sum is
+    closed-form in (doc_id, n_chars) because the mapping is pure
+    integer arithmetic the oracle reproduces verbatim."""
+    from emf_spark.datax import multimodal
+
+    d = _fan(spark, _t(spark, sf, "documents"))
+    media = multimodal.media_real_from_documents(d).where(
+        F.col("kind") == "image"
+    )
+    rs = multimodal.resize_media(media, 5, 4, method="nearest")
+    dec = multimodal.decode_media(rs)
+    return dec.groupBy("format").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("width").alias("sum_w"),
+        F.sum("height").alias("sum_h"),
+        F.sum("n_units").alias("units"),
+        F.sum("value_sum").alias("value_total"),
+        F.round(F.sum("value_sum") / F.sum("n_units"), 6).alias("mean_value"),
+    )
+
+
+SQL_MULTIMODAL_RESIZE = """
+WITH m AS (
+  SELECT doc_id, n_chars % 31 + 2 AS sw, n_chars % 17 + 2 AS sh
+  FROM documents WHERE doc_id % 2 = 0),
+e AS (SELECT doc_id, sw, sh, UNNEST(range(0, 60)) AS t FROM m),
+px AS (SELECT doc_id, sw,
+         ((2 * (t // 15) + 1) * sh) // 8 AS sy,
+         ((2 * ((t % 15) // 3) + 1) * sw) // 10 AS sx,
+         t % 3 AS c
+       FROM e),
+per AS (SELECT doc_id,
+          SUM((doc_id + ((sy * sw + sx) * 3 + c)) % 256) AS vs
+        FROM px GROUP BY 1)
+SELECT 'ppm' AS format, COUNT(*) AS n_media,
+  CAST(COUNT(*) * 5 AS BIGINT) AS sum_w,
+  CAST(COUNT(*) * 4 AS BIGINT) AS sum_h,
+  CAST(COUNT(*) * 60 AS BIGINT) AS units,
+  CAST(SUM(vs) AS BIGINT) AS value_total,
+  ROUND(CAST(SUM(vs) AS DOUBLE) / CAST(COUNT(*) * 60 AS DOUBLE), 6)
+    AS mean_value
+FROM per
+"""
+
+
+def q_multimodal_frame_sample(spark, sf):
+    """Frame sampling over REAL animated GIFs (sample_frames): every
+    document becomes an n_chars%4+2-frame LZW-compressed animation;
+    the sampler decodes the stream and keeps frames where
+    frame_idx % 2 == 0, one output row per kept frame (mapInPandas —
+    the row count changes). Per-frame rendered-RGB sums are
+    closed-form in (doc_id, n_chars), so the per-frame_idx aggregate
+    pins the multi-frame LZW walk, the GCE/app-extension skips, and
+    the stride policy exactly."""
+    from emf_spark.datax import multimodal
+
+    d = _fan(spark, _t(spark, sf, "documents"))
+    fr = multimodal.sample_frames(
+        multimodal.media_gif_anim_from_documents(d), stride=2
+    )
+    return fr.groupBy("frame_idx").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("n_frames").alias("frames_total"),
+        F.sum("n_units").alias("units"),
+        F.sum("value_sum").alias("value_total"),
+    )
+
+
+SQL_MULTIMODAL_FRAME_SAMPLE = """
+WITH m AS (
+  SELECT doc_id, n_chars % 13 + 2 AS w, n_chars % 9 + 2 AS h,
+         n_chars % 4 + 2 AS nf
+  FROM documents),
+f AS (SELECT doc_id, w, h, nf, UNNEST(range(0, nf)) AS fi FROM m),
+sf AS (SELECT * FROM f WHERE fi % 2 = 0),
+e AS (SELECT doc_id, w, h, nf, fi, UNNEST(range(0, w * h)) AS i FROM sf),
+per AS (SELECT doc_id, fi, nf, 3 * w * h AS units,
+          3 * SUM((doc_id + 7 * fi + i) % 256) AS vs
+        FROM e GROUP BY 1, 2, 3, 4)
+SELECT CAST(fi AS INT) AS frame_idx, COUNT(*) AS n_media,
+  CAST(SUM(nf) AS BIGINT) AS frames_total,
+  CAST(SUM(units) AS BIGINT) AS units,
+  CAST(SUM(vs) AS BIGINT) AS value_total
+FROM per GROUP BY 1
+"""
+
+
 def q_data_balanced_sample(spark, sf):
     """Class-balanced downsample (sampling.balanced_sample): at most 12
     docs per source, picked by the portable hash fraction — the
@@ -3618,6 +3711,8 @@ QUERIES: dict[str, Callable] = {
     "multimodal_features": q_multimodal_features,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_meta": q_multimodal_meta,
+    "multimodal_resize": q_multimodal_resize,
+    "multimodal_frame_sample": q_multimodal_frame_sample,
     "dedup_decontaminate": q_dedup_decontaminate,
     "text_repetition": q_text_repetition,
     "text_bm25": q_text_bm25,
@@ -3712,6 +3807,8 @@ ORACLE_SQL: dict[str, str] = {
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "multimodal_meta": SQL_MULTIMODAL_META,
+    "multimodal_resize": SQL_MULTIMODAL_RESIZE,
+    "multimodal_frame_sample": SQL_MULTIMODAL_FRAME_SAMPLE,
     "dedup_decontaminate": _sql_dedup_decontaminate(),
     "text_repetition": _sql_text_repetition(),
     "text_bm25": SQL_TEXT_BM25,

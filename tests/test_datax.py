@@ -405,10 +405,149 @@ def test_decode_media_and_real_features(spark):
         assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-5
 
 
-def test_resize_stub(spark):
-    media = multimodal.fake_media_df(spark, n=6)
-    out = multimodal.resize_stub(media, 224, 224).collect()
-    assert all(r["meta"]["width"] == 224 and r["meta"]["height"] == 224 for r in out)
+def test_resize_media_real_rasters(spark):
+    # one payload per raster-recoverable container, same 6x4 source
+    # pattern where the formats share it (ppm == png byte-for-byte)
+    rows = [
+        ("p", "image", multimodal.synth_ppm(6, 4, 11), (6, 4, None, "x")),
+        ("n", "image", multimodal.synth_png(6, 4, 11), (6, 4, None, "x")),
+        ("g", "image", multimodal.synth_gif(6, 4, 11), (6, 4, None, "x")),
+        ("b", "image", multimodal.synth_bmp(6, 4, 11), (6, 4, None, "x")),
+        ("u", "image", b"\x00not-a-raster", (None, None, None, "x")),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in
+           multimodal.resize_media(media, 3, 2).collect()}
+    import numpy as np
+
+    def expected_sum(raster):
+        res = multimodal._resize_nearest(raster, 3, 2)
+        return int(res.astype(np.int64).sum())
+
+    payloads = {r[0]: r[2] for r in rows}
+    for mid in ("p", "n", "g", "b"):
+        fmt, w, h, raster = multimodal._payload_raster_rgb(payloads[mid])
+        r = out[mid]
+        assert (r["src_width"], r["src_height"]) == (6, 4)
+        assert (r["width"], r["height"], r["n_units"]) == (3, 2, 18)
+        assert r["value_sum"] == expected_sum(raster)
+        # re-encoded payload is a decodable P6 with the same sum
+        assert multimodal._decode_ppm(bytes(r["payload"]))[3] == r["value_sum"]
+    assert out["p"]["value_sum"] == out["n"]["value_sum"]  # shared pattern
+    u = out["u"]
+    assert u["format"] == "unknown" and u["value_sum"] is None \
+        and u["payload"] is None
+
+
+def test_resize_media_rejects_bad_args(spark):
+    media = multimodal.fake_media_df(spark, n=1)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        multimodal.resize_media(media, 0, 4)
+    with _pytest.raises(ValueError):
+        multimodal.resize_media(media, 4, 4, method="lanczos")
+
+
+def test_sample_frames_animated_gif(spark):
+    # 3 frames, stride 2 -> frames 0 and 2; single-image ppm -> frame 0;
+    # garbage -> unknown row
+    rows = [
+        ("a", "video", multimodal.synth_gif_animated(5, 4, 7, 3),
+         (5, 4, 120, "image/gif")),
+        ("p", "image", multimodal.synth_ppm(6, 4, 11), (6, 4, None, "x")),
+        ("u", "video", b"\x00junk", (None, None, None, "x")),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = multimodal.sample_frames(media, stride=2).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["media_id"], []).append(r)
+    a = sorted(by["a"], key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in a] == [0, 2]
+    assert all(r["n_frames"] == 3 and (r["width"], r["height"]) == (5, 4)
+               for r in a)
+    for r in a:
+        f = r["frame_idx"]
+        exp = 3 * sum((7 + 7 * f + i) % 256 for i in range(20))
+        assert r["value_sum"] == exp and r["n_units"] == 60
+    (p,) = by["p"]
+    assert (p["frame_idx"], p["n_frames"], p["format"]) == (0, 1, "ppm")
+    assert p["value_sum"] == sum((11 + i) % 256 for i in range(72))
+    (u,) = by["u"]
+    assert u["format"] == "unknown" and u["frame_idx"] is None
+
+
+def test_resize_kernels_match_independent_reference():
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    for sw, sh, tw, th in [(6, 4, 5, 4), (3, 3, 7, 9), (16, 9, 4, 4),
+                           (1, 1, 3, 2)]:
+        src = rng.integers(0, 256, (sh, sw, 3)).astype(np.uint8)
+        out = multimodal._resize_nearest(src, tw, th)
+        ref = np.zeros((th, tw, 3), np.uint8)
+        for y in range(th):
+            for x in range(tw):
+                ref[y, x] = src[((2 * y + 1) * sh) // (2 * th),
+                                ((2 * x + 1) * sw) // (2 * tw)]
+        assert (out == ref).all()
+        # identity at the same size, both kernels
+        assert (multimodal._resize_nearest(src, sw, sh) == src).all()
+        assert (multimodal._resize_bilinear(src, sw, sh) == src).all()
+    for sw, sh, tw, th in [(6, 4, 5, 4), (3, 3, 7, 9)]:
+        src = rng.integers(0, 256, (sh, sw, 3)).astype(np.uint8)
+        out = multimodal._resize_bilinear(src, tw, th)
+        ref = np.zeros((th, tw, 3), np.uint8)
+        for y in range(th):
+            for x in range(tw):
+                fy = min(max((y + 0.5) * sh / th - 0.5, 0), sh - 1)
+                fx = min(max((x + 0.5) * sw / tw - 0.5, 0), sw - 1)
+                y0, x0 = int(fy), int(fx)
+                y1, x1 = min(y0 + 1, sh - 1), min(x0 + 1, sw - 1)
+                wy, wx = fy - y0, fx - x0
+                for c in range(3):
+                    v = (src[y0, x0, c] * (1 - wy) * (1 - wx)
+                         + src[y0, x1, c] * (1 - wy) * wx
+                         + src[y1, x0, c] * wy * (1 - wx)
+                         + src[y1, x1, c] * wy * wx)
+                    ref[y, x, c] = int(np.floor(v + 0.5))
+        assert (out == ref).all()
+
+
+def test_payload_raster_recovery_all_containers():
+    import numpy as np
+
+    # ppm and png share the byte pattern; gif renders grayscale;
+    # bmp raster (flipped + BGR->RGB) must sum to _decode_bmp's stats
+    ppm = multimodal.synth_ppm(6, 4, 11)
+    png = multimodal.synth_png(6, 4, 11)
+    gif = multimodal.synth_gif(6, 4, 11)
+    bmp = multimodal.synth_bmp(6, 4, 11)
+    _, _, _, rp = multimodal._payload_raster_rgb(ppm)
+    _, _, _, rn = multimodal._payload_raster_rgb(png)
+    assert (rp == rn).all()
+    _, _, _, rg = multimodal._payload_raster_rgb(gif)
+    exp = np.array([[(11 + y * 6 + x) % 256 for x in range(6)]
+                    for y in range(4)])
+    assert (rg == exp[:, :, None]).all()
+    _, _, _, rb = multimodal._payload_raster_rgb(bmp)
+    assert int(rb.astype(np.int64).sum()) == multimodal._decode_bmp(bmp)[3]
+
+
+def test_gif_frames_multi_frame_walk():
+    for w, h, base, nf in [(5, 4, 3, 3), (13, 9, 250, 5), (2, 2, 0, 2)]:
+        p = multimodal.synth_gif_animated(w, h, base, nf)
+        gw, gh, frames = multimodal._gif_frames(p)
+        assert (gw, gh, len(frames)) == (w, h, nf)
+        for f, raster in enumerate(frames):
+            exp = 3 * sum((base + 7 * f + i) % 256 for i in range(w * h))
+            assert int(raster.sum()) == exp
+    # poster-frame decode of an animation = frame 0, and decode_media's
+    # gif stats path keeps working on animations
+    p = multimodal.synth_gif_animated(5, 4, 3, 3)
+    w, h, n, vs = multimodal._decode_gif(p)
+    assert (w, h, n) == (5, 4, 60)
+    assert vs == 3 * sum((3 + i) % 256 for i in range(20))
 
 
 def test_dedup_clusters_long_chain_converges(spark):

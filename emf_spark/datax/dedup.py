@@ -150,9 +150,12 @@ def shingle_hash_rows(
     id_col: str = "doc_id",
     k: int = 3,
     word_hash=None,
+    keep_pos: bool = False,
 ) -> DataFrame:
     """(id, h) rows of k-word rolling-poly shingle hashes — the hot-path
-    form of word_shingle_hashes (identical hash values). Words EXPLODE to
+    form of word_shingle_hashes (identical hash values); ``keep_pos``
+    adds the shingle's word offset (id, pos, h) for consumers that need
+    occurrence positions (duplicated_ngram_spans). Words EXPLODE to
     rows so each word is hashed exactly once; the k-word combine is k-1
     window leads over (id, pos). The array-HOF combine re-evaluates the
     word-hash array per element reference inside the lambda (Catalyst
@@ -173,7 +176,8 @@ def shingle_hash_rows(
     expr = F.col("h")
     for j in range(1, k):
         expr = (expr * F.lit(_B) + F.lead("h", j).over(w)) % F.lit(_P)
-    return words.select("id", expr.alias("h")).filter(F.col("h").isNotNull())
+    cols = (["id", "pos"] if keep_pos else ["id"]) + [expr.alias("h")]
+    return words.select(*cols).filter(F.col("h").isNotNull())
 
 
 def minhash_signatures(
@@ -663,6 +667,99 @@ def decontaminate(
     return j.groupBy(F.col("id").alias(id_col)).agg(
         F.count_distinct("h").alias("matching_shingles"),
         F.count_distinct("test_id").alias("test_docs"),
+    )
+
+
+def duplicated_ngram_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    keep_first: bool = True,
+    word_hash=None,
+) -> DataFrame:
+    """EXACT substring-level dedup (the Lee et al. 2022 'Deduplicating
+    Training Data' primitive, reference parity target none — this is a
+    beyond-reference training-data op): find every n-word gram that
+    occurs more than once ANYWHERE in the corpus (across or within
+    docs), then merge the marked occurrences into maximal per-doc token
+    spans [span_start, span_end] (overlapping/adjacent n-gram hits
+    coalesce). With ``keep_first`` (default) the globally-first
+    occurrence of each gram — min (doc_id, pos) — is exempt, so
+    rewriting away the returned spans keeps exactly one copy of every
+    duplicated passage; with keep_first=False ALL occurrences are
+    marked (the 'flag both sides' audit view).
+
+    Plan/scale: rolling-poly positional gram hashes (one word-hash per
+    word, k-1 window leads) -> groupBy(gram hash) with MAP-SIDE partial
+    aggregation absorbing stop-phrase skew (count + argmin-struct are
+    both algebraic; no per-hash sort, unlike a row_number window) ->
+    hash equi-join back (AQE skew-join handles residual hot grams) ->
+    per-doc island merge over ONLY the marked positions (lag + running
+    sum, bounded by doc length). O(total tokens) rows end to end; no
+    cartesian, no global sort. Suffix arrays (the single-node tool)
+    don't distribute; fixed-n gram marking is the standard cluster
+    form and finds every duplicated substring of length >= n words."""
+    from pyspark.sql.window import Window
+
+    rows = shingle_hash_rows(
+        df, text_col, id_col, k=n, word_hash=word_hash, keep_pos=True
+    )
+    occ = rows.groupBy("h").agg(
+        F.count(F.lit(1)).alias("_occ"),
+        F.min(F.struct("id", "pos")).alias("_first"),
+    )
+    dup = rows.join(occ.where(F.col("_occ") > 1), "h")
+    if keep_first:
+        dup = dup.where(
+            (F.col("id") != F.col("_first.id"))
+            | (F.col("pos") != F.col("_first.pos"))
+        )
+    w = Window.partitionBy("id").orderBy("pos")
+    # new island when the gap to the previous marked start exceeds n
+    # (ranges [p, p+n-1] overlap or touch iff next_p <= prev_p + n);
+    # lag is null on the first marked position -> brk 1
+    brk = F.when(
+        F.col("pos") - F.lag("pos").over(w) <= F.lit(n), F.lit(0)
+    ).otherwise(F.lit(1))
+    spans = (
+        dup.select("id", "pos", brk.alias("_brk"))
+        .withColumn("_span", F.sum("_brk").over(w))
+        .groupBy("id", "_span")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(n - 1)).alias("span_end"),
+        )
+    )
+    return spans.select(
+        F.col("id").alias(id_col),
+        "span_start",
+        "span_end",
+        (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+    )
+
+
+def duplication_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    keep_first: bool = True,
+    word_hash=None,
+) -> DataFrame:
+    """Per-doc rollup of duplicated_ngram_spans: span count, duplicated
+    token total, and the covered extent — the 'how much of this doc is
+    boilerplate someone else already has' signal a filtering pass
+    thresholds on. Docs with no duplicated span emit no row (left-join
+    against the corpus to zero-fill if needed)."""
+    spans = duplicated_ngram_spans(
+        df, text_col, id_col, n=n, keep_first=keep_first, word_hash=word_hash
+    )
+    return spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("span_tokens").alias("dup_tokens"),
+        F.min("span_start").alias("first_start"),
+        F.max("span_end").alias("last_end"),
     )
 
 

@@ -1556,6 +1556,58 @@ def q_dedup_decontaminate(spark, sf):
     ).orderBy("doc_id")
 
 
+def q_dedup_substring_spans(spark, sf):
+    """EXACT substring-level dedup (dedup.duplicated_ngram_spans — the
+    Lee et al. 2022 primitive): every 4-gram occurring more than once
+    anywhere in the corpus is marked at every occurrence but its
+    globally-first one, marks merge into maximal per-doc token spans,
+    and the per-doc rollup (span count / duplicated tokens / covered
+    extent) is what a filtering pass thresholds on. The oracle
+    replicates gram hashing, first-occurrence exemption, and the
+    island merge verbatim in SQL."""
+    from emf_spark.datax import dedup as dd
+
+    d = _t(spark, sf, "documents")
+    return dd.duplication_profile(
+        d, n=4, keep_first=True, word_hash=dd.portable_word_hash
+    )
+
+
+def _sql_dedup_substring_spans() -> str:
+    B = 1_000_003
+    acc = "wh[i]"
+    for j in range(1, 4):
+        acc = f"(({acc} * {B} + wh[i + {j}]) % {_P31})"
+    return f"""
+WITH words AS (SELECT doc_id, {_SQL_WORD_HASHES} AS wh
+               FROM (SELECT doc_id, string_split({_NORM_TXT}, ' ') AS w
+                     FROM documents) t),
+grams AS (
+  SELECT doc_id, UNNEST(range(0, greatest(len(wh) - 3, 0))) AS pos,
+         UNNEST(list_transform(range(1, greatest(len(wh) - 3, 0) + 1),
+                i -> {acc})) AS h
+  FROM words),
+mark AS (SELECT doc_id, pos,
+           ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+         FROM grams),
+dup AS (SELECT doc_id, pos FROM mark WHERE rn > 1),
+isl AS (SELECT doc_id, pos,
+          CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                    <= 4 THEN 0 ELSE 1 END AS brk
+        FROM dup),
+sp AS (SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+       FROM isl),
+spans AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + 3 AS e
+          FROM sp GROUP BY doc_id, span_id)
+SELECT doc_id, COUNT(*) AS n_spans,
+       CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens,
+       CAST(MIN(s) AS BIGINT) AS first_start,
+       CAST(MAX(e) AS BIGINT) AS last_end
+FROM spans GROUP BY 1
+"""
+
+
 def _sql_dedup_decontaminate() -> str:
     return f"""
 WITH words AS (SELECT doc_id, {_SQL_WORD_HASHES} AS wh
@@ -3714,6 +3766,7 @@ QUERIES: dict[str, Callable] = {
     "multimodal_resize": q_multimodal_resize,
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "dedup_decontaminate": q_dedup_decontaminate,
+    "dedup_substring_spans": q_dedup_substring_spans,
     "text_repetition": q_text_repetition,
     "text_bm25": q_text_bm25,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -3810,6 +3863,7 @@ ORACLE_SQL: dict[str, str] = {
     "multimodal_resize": SQL_MULTIMODAL_RESIZE,
     "multimodal_frame_sample": SQL_MULTIMODAL_FRAME_SAMPLE,
     "dedup_decontaminate": _sql_dedup_decontaminate(),
+    "dedup_substring_spans": _sql_dedup_substring_spans(),
     "text_repetition": _sql_text_repetition(),
     "text_bm25": SQL_TEXT_BM25,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,

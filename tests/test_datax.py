@@ -622,6 +622,44 @@ def test_decontaminate(spark):
     assert got[1]["matching_shingles"] == 1
 
 
+def test_duplicated_ngram_spans_semantics(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),                    # first occurrence of "a b c d"
+            (2, "x a b c d y a b c d"),            # twice more, gap 5 > n
+            (3, "m n o p q z"),                    # first occurrence of 3 grams
+            (4, "m n o p q z"),                    # exact copy: marks coalesce
+        ],
+        "doc_id bigint, text string",
+    )
+    spans = {
+        (r["doc_id"], r["span_start"]): r
+        for r in dedup.duplicated_ngram_spans(docs, n=4).collect()
+    }
+    # doc 1 / doc 3 hold the globally-first occurrences -> exempt
+    assert set(spans) == {(2, 1), (2, 6), (4, 0)}
+    assert (spans[(2, 1)]["span_end"], spans[(2, 1)]["span_tokens"]) == (4, 4)
+    assert (spans[(2, 6)]["span_end"], spans[(2, 6)]["span_tokens"]) == (9, 4)
+    # doc 4's three overlapping marked grams (pos 0,1,2) merge to one
+    # maximal span covering the whole 6-token copy
+    assert (spans[(4, 0)]["span_end"], spans[(4, 0)]["span_tokens"]) == (5, 6)
+
+    # keep_first=False marks every occurrence, firsts included
+    all_spans = {
+        (r["doc_id"], r["span_start"])
+        for r in dedup.duplicated_ngram_spans(
+            docs, n=4, keep_first=False
+        ).collect()
+    }
+    assert all_spans == {(1, 0), (2, 1), (2, 6), (3, 0), (4, 0)}
+
+    prof = {r["doc_id"]: r for r in dedup.duplication_profile(docs, n=4).collect()}
+    assert set(prof) == {2, 4}
+    assert prof[2]["n_spans"] == 2 and prof[2]["dup_tokens"] == 8
+    assert (prof[2]["first_start"], prof[2]["last_end"]) == (1, 9)
+    assert prof[4]["n_spans"] == 1 and prof[4]["dup_tokens"] == 6
+
+
 def test_decontaminate_max_test_df_drops_boilerplate(spark):
     train = spark.createDataFrame(
         [(1, "common boiler plate line five words")], "doc_id bigint, text string"

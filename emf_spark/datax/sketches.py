@@ -4,12 +4,15 @@ KMV (k-minimum-values): hash every value uniformly into [0, 1); keep
 the k smallest distinct hashes per group; estimate
 ``distinct ≈ (k - 1) / kth_min``. Standard error ~ 1/sqrt(k-2).
 
-Why KMV here instead of HyperLogLog (`approx_count_distinct`): the
+Why KMV here instead of Spark's built-in `approx_count_distinct`: the
 estimate is a pure deterministic function of the value set and the
 hash, so an external engine (the DuckDB oracle) reproduces it
-BIT-FOR-BIT — HLL implementations differ across engines and can't be
-oracle-checked. Same shuffle shape as HLL: per-group state is k
+BIT-FOR-BIT — binary-blob HLL sketch libraries differ across engines
+and can't be oracle-checked. Same shuffle shape: per-group state is k
 values, map-side combinable (min-k of a union = min-k of min-k's).
+`hll_distinct` below applies the same explicit-register treatment to
+HyperLogLog itself (pure aggs, no window — the better shape when only
+the cardinality, not the k-th hash, is needed).
 
 At 100 TB: groupBy carries a bounded sort_array(collect_set)[:k]? No —
 collect_set is unbounded. The bounded plan used here: distinct hashes
@@ -155,4 +158,88 @@ def cms_estimate(
     joined = probes.join(F.broadcast(sketch), ["d", "bucket"], "left")
     return joined.groupBy("term").agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_count")
+    )
+
+
+def _hll_alpha(m: int) -> float:
+    """Flajolet et al. 2007 bias constant for m registers."""
+    return {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+
+
+def hll_distinct(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    p: int = 8,
+) -> DataFrame:
+    """Per-group HyperLogLog distinct-count estimate built from explicit
+    integer registers: (group_cols..., hll_sum_scaled:bigint,
+    hll_zero_regs:bigint, hll_raw:double, hll_estimate:double).
+
+    Complements kmv_distinct with the strictly better scale shape: the
+    whole sketch is TWO chained algebraic aggregations (per-register max,
+    then per-group sum) — no distinct pass, no rank window anywhere, and
+    both aggs partial-combine map-side, so the shuffle carries at most
+    m registers per (group, task) regardless of input size. That is the
+    same shuffle bound as Spark's own approx_count_distinct; the reason
+    for hand-rolling is the same as KMV's (module docstring): every
+    register is a deterministic function of the value set under the
+    md5-derived portable hash, so an external SQL engine reproduces
+    `hll_sum_scaled` / `hll_zero_regs` / `hll_raw` bit-for-bit.
+
+    Register math (m = 2^p registers over the 56-bit hash):
+    bucket = h mod m, w = h div m (a (56-p)-bit word), rank =
+    (56-p) + 1 - bitlen(w) (leading zeros + 1; w = 0 ranks 56-p+1).
+    The harmonic sum is kept EXACT by integer-scaling: with
+    S = sum over all m registers of 2^(SCALE - M_j), SCALE = 56-p+1,
+    empty registers (M_j = 0) contribute 2^SCALE via the zero-register
+    count — max S = m * 2^SCALE < 2^63 for p >= 2. The raw estimate
+    alpha_m * m^2 * 2^SCALE / S then needs exactly ONE double division
+    by design (the numerator is a Python-folded literal), which IEEE
+    754 makes engine-portable. `hll_estimate` additionally applies the
+    standard small-range linear-counting correction m*ln(m/V) when
+    raw <= 2.5m and V > 0 — ln is NOT guaranteed bit-portable across
+    engines, so oracle-checked queries should compare the raw columns
+    and leave `hll_estimate` to tolerance-based tests.
+
+    Standard error ~ 1.04/sqrt(m) (8.5% at the default p=8; raise p
+    for tighter bounds — the shuffle bound scales with m)."""
+    from emf_spark.datax.dedup import portable_hash56
+
+    if not 2 <= p <= 16:
+        raise ValueError(f"p must be in [2, 16], got {p}")
+    groups = group_cols or []
+    m = 1 << p
+    wbits = 56 - p
+    scale = wbits + 1
+    h = portable_hash56(F.col(value_col).cast("string"))
+    w = F.shiftright(F.col("_h"), p)
+    rank = F.when(w == 0, F.lit(scale)).otherwise(
+        F.lit(scale) - F.length(F.conv(w.cast("string"), 10, 2))
+    )
+    regs = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*groups, h.alias("_h"))
+        .select(*groups, (F.col("_h") % m).alias("_b"), rank.alias("_r"))
+        .groupBy(*groups, "_b")
+        .agg(F.max("_r").alias("_reg"))
+    )
+    per = regs.groupBy(*groups).agg(
+        F.sum(F.expr(f"shiftleft(1L, {scale} - _reg)")).alias("_s_present"),
+        F.count(F.lit(1)).alias("_n_regs"),
+    )
+    zero = (F.lit(m) - F.col("_n_regs")).cast("long")
+    s_all = (F.col("_s_present") + zero * F.lit(1 << scale)).cast("long")
+    numer = _hll_alpha(m) * m * m * float(1 << scale)  # folded in Python
+    raw = F.lit(numer) / s_all.cast("double")
+    corrected = F.when(
+        (raw <= F.lit(2.5 * m)) & (zero > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zero.cast("double")),
+    ).otherwise(raw)
+    return per.select(
+        *groups,
+        s_all.alias("hll_sum_scaled"),
+        zero.alias("hll_zero_regs"),
+        raw.alias("hll_raw"),
+        corrected.alias("hll_estimate"),
     )

@@ -3721,6 +3721,56 @@ FROM per
 """
 
 
+def q_hll_distinct(spark, sf):
+    """HyperLogLog distinct users per event_type from EXPLICIT integer
+    registers (sketches.hll_distinct): two chained algebraic aggs —
+    per-(group, bucket) max rank, then per-group integer-scaled
+    harmonic sum — no distinct pass and no window, so the shuffle
+    carries at most m=256 register rows per (group, task) at any data
+    size (the approx_count_distinct shuffle bound, but with registers
+    an external engine reproduces bit-for-bit). The compare covers the
+    exact integer register invariants plus the raw estimate, whose one
+    double division IEEE 754 makes engine-portable; the ln-corrected
+    `hll_estimate` is tolerance-tested in pytest instead (ln isn't
+    bit-portable across engines)."""
+    from emf_spark.datax import sketches
+
+    ev = _t(spark, sf, "events")
+    return sketches.hll_distinct(ev, "user_id", ["event_type"], p=8).select(
+        "event_type", "hll_sum_scaled", "hll_zero_regs", "hll_raw"
+    )
+
+
+def _sql_hll_distinct() -> str:
+    from emf_spark.datax.sketches import _hll_alpha
+
+    numer = _hll_alpha(256) * 256 * 256 * float(1 << 49)
+    return f"""
+WITH h AS (
+  SELECT event_type,
+    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 14) AS BIGINT) AS h
+  FROM events WHERE user_id IS NOT NULL),
+rk AS (
+  SELECT event_type, h % 256 AS b,
+         CASE WHEN h // 256 = 0 THEN 49
+              ELSE 49 - length(format('{{:b}}', h // 256)) END AS r
+  FROM h),
+regs AS (SELECT event_type, b, MAX(r) AS reg FROM rk GROUP BY 1, 2),
+per AS (
+  SELECT event_type,
+         CAST(SUM(CAST(1 AS BIGINT) << (49 - reg)) AS BIGINT) AS s_present,
+         COUNT(*) AS n_regs
+  FROM regs GROUP BY 1)
+SELECT event_type,
+       CAST(s_present + (256 - n_regs) * (CAST(1 AS BIGINT) << 49)
+            AS BIGINT) AS hll_sum_scaled,
+       CAST(256 - n_regs AS BIGINT) AS hll_zero_regs,
+       {numer!r} / CAST(s_present + (256 - n_regs) * (CAST(1 AS BIGINT) << 49)
+                        AS DOUBLE) AS hll_raw
+FROM per
+"""
+
+
 QUERIES: dict[str, Callable] = {
     "emf_dim_hash_group": q_dim_hash_group,
     "emf_value_count_hist": q_value_count_hist,
@@ -3808,6 +3858,7 @@ QUERIES: dict[str, Callable] = {
     "tpch_product_profit": q_tpch_product_profit,
     "tpch_cube_revenue": q_tpch_cube_revenue,
     "emf_kmv_global": q_kmv_global,
+    "emf_hll_distinct": q_hll_distinct,
     "multimodal_png_decode": q_multimodal_png_decode,
     "emf_percentiles_hist": q_percentiles_hist,
     "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
@@ -3905,6 +3956,7 @@ ORACLE_SQL: dict[str, str] = {
     "tpch_product_profit": SQL_TPCH_PRODUCT_PROFIT,
     "tpch_cube_revenue": SQL_TPCH_CUBE_REVENUE,
     "emf_kmv_global": SQL_KMV_GLOBAL,
+    "emf_hll_distinct": _sql_hll_distinct(),
     "multimodal_png_decode": SQL_MULTIMODAL_PNG_DECODE,
     "emf_percentiles_hist": SQL_PERCENTILES_HIST,
     "multimodal_gif_decode": SQL_MULTIMODAL_GIF_DECODE,

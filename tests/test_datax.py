@@ -790,6 +790,80 @@ def test_kmv_distinct(spark):
     assert got[9]["exactish"] and got[9]["kmv_estimate"] == 1.0
 
 
+def test_hll_distinct_registers_match_python_reference(spark):
+    """Every register-derived column is a deterministic function of the
+    value set under the portable md5 hash — replicate the algorithm in
+    pure python and demand bit equality (incl. the raw estimate's one
+    double division)."""
+    import hashlib
+
+    from emf_spark.datax import sketches
+
+    def ref(vals, p=8):
+        m = 1 << p
+        scale = 56 - p + 1
+        regs = [0] * m
+        for v in vals:
+            h = int(hashlib.md5(str(v).encode()).hexdigest()[:14], 16)
+            w = h >> p
+            r = scale if w == 0 else scale - w.bit_length()
+            b = h % m
+            regs[b] = max(regs[b], r)
+        s = sum(1 << (scale - r) for r in regs)
+        v0 = sum(1 for r in regs if r == 0)
+        raw = (sketches._hll_alpha(m) * m * m * float(1 << scale)) / float(s)
+        return s, v0, raw
+
+    df = spark.range(5000).selectExpr(
+        "cast(id % 2 as string) as g", "cast(id as bigint) as v"
+    )
+    got = {r["g"]: r for r in sketches.hll_distinct(df, "v", ["g"]).collect()}
+    for g in ("0", "1"):
+        s, v0, raw = ref([i for i in range(5000) if i % 2 == int(g)])
+        row = got[g]
+        assert (row["hll_sum_scaled"], row["hll_zero_regs"]) == (s, v0)
+        assert row["hll_raw"] == raw
+        # m=256 -> sigma ~6.5%; allow 3.5 sigma
+        assert abs(row["hll_estimate"] / 2500 - 1) < 0.23, row
+
+
+def test_hll_distinct_small_range_correction_and_validation(spark):
+    import math
+
+    import pytest as _pytest
+
+    from emf_spark.datax import sketches
+
+    small = spark.range(30).selectExpr("cast(id as string) as v")
+    row = sketches.hll_distinct(small, "v").collect()[0]
+    # linear counting kicks in (raw <= 2.5m, zeros > 0) and lands near
+    # the true 30 while the raw estimate is wildly biased upward
+    assert row["hll_raw"] > 100
+    expected = 256.0 * math.log(256.0 / row["hll_zero_regs"])
+    assert abs(row["hll_estimate"] - expected) < 1e-9
+    assert abs(row["hll_estimate"] - 30) < 8
+    # NULLs excluded; p range validated
+    withnull = spark.createDataFrame(
+        [("a",), (None,), ("b",)], "v string"
+    )
+    r2 = sketches.hll_distinct(withnull, "v").collect()[0]
+    assert r2["hll_zero_regs"] == 254  # exactly two registers hit
+    with _pytest.raises(ValueError):
+        sketches.hll_distinct(small, "v", p=1)
+
+
+def test_hll_distinct_plan_is_window_free(spark):
+    """The sketch's scale claim: two algebraic hash aggregates, no
+    distinct pre-pass, no rank window, no sort — unlike KMV."""
+    from emf_spark.datax import sketches
+    from tests.test_plans import plan_of
+
+    df = spark.range(100).selectExpr("cast(id as string) as v")
+    p = plan_of(sketches.hll_distinct(df, "v"), "simple")
+    assert "Window" not in p and "Sort" not in p
+    assert p.count("Exchange") <= 2  # register shuffle + final 1-group agg
+
+
 def test_decode_media_degrades_on_malformed_riff(spark):
     """Review findings: struct.error from a truncated fmt chunk and a
     zero sample rate must degrade to format='unknown', not kill the

@@ -165,3 +165,102 @@ def balanced_sample(
         .filter(F.col("_rk") <= n_per_class)
         .drop("_rk")
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    target_rows: int,
+    class_col: str = "source",
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Temperature-weighted data mixing: resample so class (source /
+    domain / language) s contributes ~ ``target_rows * c_s^alpha /
+    sum(c^alpha)`` rows — the standard multilingual/domain re-balancing
+    rule (alpha=1 keeps natural proportions, alpha=0 is uniform across
+    classes, alpha~0.3-0.7 up-weights tails). Rows are kept by the
+    deterministic hash gate ``hash_fraction(id, salt) < f_s`` with
+    ``f_s = min(1, target * w_s / c_s)`` — reproducible row-for-row in
+    any engine, no RNG. Classes whose quota exceeds their size keep
+    every row (this is a downsampling mixer; epoch-style upsampling is
+    a repeat factor, not a sample).
+
+    Scale shape: one tiny per-class count aggregate (map-side
+    combinable), the class-weight normalization as a window over the
+    |classes|-row count frame (bounded single partition — the
+    vocab_topk justification), and a BROADCAST equi-join of the
+    per-class fraction back onto the stream; the fact table is never
+    shuffled. NULL classes mix as their own class (null-safe join).
+
+    Portability note: ``alpha=0.5`` (the default) computes weights via
+    IEEE-exact ``sqrt``, so the kept row set is bit-reproducible in an
+    external SQL engine; other alphas go through ``pow``, which is not
+    guaranteed correctly-rounded everywhere — fine for production, but
+    oracle-checked queries should stick to 0.5/1.0."""
+    if target_rows <= 0:
+        raise ValueError("target_rows must be positive")
+    counts = df.groupBy(F.col(class_col).alias("_cls")).agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    c = F.col("_cnt").cast("double")
+    if alpha == 0.5:
+        powc = F.sqrt(c)
+    elif alpha == 1.0:
+        powc = c
+    elif alpha == 0.0:
+        powc = F.lit(1.0)
+    else:
+        powc = F.pow(c, F.lit(float(alpha)))
+    allw = Window.partitionBy()
+    fr = (
+        counts.withColumn("_pw", powc)
+        .withColumn("_f", F.least(
+            F.lit(1.0),
+            F.lit(float(target_rows)) * F.col("_pw")
+            / F.sum("_pw").over(allw) / c,
+        ))
+        .select("_cls", "_f")
+    )
+    gate = hash_fraction(F.col(id_col).cast("string"), salt) < F.col("_f")
+    return (
+        df.join(F.broadcast(fr), F.col(class_col).eqNullSafe(F.col("_cls")))
+        .filter(gate)
+        .drop("_cls", "_f")
+    )
+
+
+def priority_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "prio",
+) -> DataFrame:
+    """Deterministic weight-proportional sample without replacement:
+    the k rows with the largest priority ``w_i / u_i``, where u_i is
+    the row's uniform hash fraction (Duffield/Lund/Thorup priority
+    sampling; inclusion probability ~ w_i / tau). Hash-derived u makes
+    the selected set a pure function of (ids, weights, salt) — same
+    rows in any engine, any run, any partitioning. Rows with NULL or
+    non-positive weight are excluded (they can never be sampled).
+
+    Scale shape: a pure projection followed by ORDER BY + LIMIT, which
+    Spark executes as TakeOrderedAndProject — per-partition top-k then
+    a k-row merge, never a global sort shuffle. Priorities divide the
+    weight by ``(h+1)/2^56`` as one IEEE-portable double division
+    (+1 so a zero hash cannot divide by zero); ties break on id."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    h = portable_hash56(
+        F.concat(F.col(id_col).cast("string"), F.lit(salt))
+    )
+    prio = (
+        F.col(weight_col).cast("double") / (h + F.lit(1)).cast("double")
+    ) * F.lit(_DENOM56)
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("priority", prio)
+        .orderBy(F.col("priority").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

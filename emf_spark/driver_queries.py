@@ -2095,6 +2095,64 @@ def q_data_split(spark, sf):
     )
 
 
+def q_data_temperature_mix(spark, sf):
+    """Temperature-weighted data mixing (sampling.temperature_mix):
+    resample documents so language s contributes ~ 200 * sqrt(c_s) /
+    sum(sqrt(c)) rows — the standard alpha=0.5 multilingual
+    re-balancing rule (up-weights tail languages vs natural
+    proportions). alpha=0.5 keeps the weight math inside IEEE-exact
+    sqrt, so the kept ROW SET is bit-reproducible by the oracle; the
+    fact table is never shuffled (tiny count agg + broadcast fraction
+    join + hash gate)."""
+    from emf_spark.datax import sampling
+
+    d = _t(spark, sf, "documents")
+    return sampling.temperature_mix(
+        d, 200, class_col="lang", alpha=0.5, salt="mix"
+    ).select("doc_id", "lang")
+
+
+SQL_DATA_TEMPERATURE_MIX = """
+WITH c AS (SELECT lang AS cls, CAST(COUNT(*) AS DOUBLE) AS cnt
+           FROM documents GROUP BY 1),
+f AS (SELECT cls,
+             least(1.0, 200.0 * sqrt(cnt) / SUM(sqrt(cnt)) OVER () / cnt) AS f
+      FROM c)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN f ON d.lang IS NOT DISTINCT FROM f.cls
+WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 'mix'), 1, 14)
+           AS BIGINT) / 72057594037927936.0 < f.f
+"""
+
+
+def q_data_weighted_sample(spark, sf):
+    """Deterministic weight-proportional sample without replacement
+    (sampling.priority_sample): the 100 events with the largest
+    priority value/u, u = the row's portable hash fraction
+    (Duffield/Lund/Thorup priority sampling). Executes as
+    TakeOrderedAndProject — per-partition top-k + k-row merge, never a
+    global sort shuffle; one IEEE-portable double division makes the
+    selected set oracle-reproducible."""
+    from emf_spark.datax import sampling
+
+    ev = _t(spark, sf, "events")
+    return sampling.priority_sample(
+        ev, 100, weight_col="value", id_col="event_id", salt="prio"
+    ).select("event_id", "value", "priority")
+
+
+SQL_DATA_WEIGHTED_SAMPLE = """
+WITH p AS (
+  SELECT event_id, value,
+         (value / CAST(CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)
+                 || 'prio'), 1, 14) AS BIGINT) + 1 AS DOUBLE))
+           * 72057594037927936.0 AS priority
+  FROM events WHERE value IS NOT NULL AND value > 0)
+SELECT event_id, value, priority
+FROM p ORDER BY priority DESC, event_id LIMIT 100
+"""
+
+
 _H56_FRAC = (
     "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '{salt}'), 1, 14) AS BIGINT)"
     " / 72057594037927936.0"
@@ -3825,6 +3883,8 @@ QUERIES: dict[str, Callable] = {
     "dedup_embedding": q_dedup_embedding,
     "data_split": q_data_split,
     "data_balanced_sample": q_data_balanced_sample,
+    "data_temperature_mix": q_data_temperature_mix,
+    "data_weighted_sample": q_data_weighted_sample,
     "data_pack_sequences": q_pack_sequences,
     "text_pii_scrub": q_text_pii_scrub,
     "text_url_stats": q_text_url_stats,
@@ -3923,6 +3983,8 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_embedding": _sql_dedup_embedding(),
     "data_split": SQL_DATA_SPLIT,
     "data_balanced_sample": SQL_DATA_BALANCED_SAMPLE,
+    "data_temperature_mix": SQL_DATA_TEMPERATURE_MIX,
+    "data_weighted_sample": SQL_DATA_WEIGHTED_SAMPLE,
     "data_pack_sequences": SQL_PACK_SEQUENCES,
     "text_pii_scrub": _sql_text_pii_scrub(),
     "text_url_stats": SQL_TEXT_URL_STATS,

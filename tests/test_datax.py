@@ -852,6 +852,106 @@ def test_hll_distinct_small_range_correction_and_validation(spark):
         sketches.hll_distinct(small, "v", p=1)
 
 
+def test_temperature_mix_quotas_and_edge_alphas(spark):
+    import hashlib
+    import math
+
+    from emf_spark.datax import sampling
+
+    # skewed classes: 400 'en', 100 'de', 25 'fr'
+    rows = (
+        [(i, "en") for i in range(400)]
+        + [(1000 + i, "de") for i in range(100)]
+        + [(2000 + i, "fr") for i in range(25)]
+    )
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    got = sampling.temperature_mix(
+        df, 150, class_col="lang", alpha=0.5, salt="t"
+    ).collect()
+    by = {}
+    for r in got:
+        by.setdefault(r["lang"], set()).add(r["doc_id"])
+
+    # python replica of the gate: exact row parity
+    sq = {"en": math.sqrt(400), "de": math.sqrt(100), "fr": math.sqrt(25)}
+    ssum = sq["en"] + sq["de"] + sq["fr"]
+    cnt = {"en": 400, "de": 100, "fr": 25}
+    for lang, ids in {"en": range(400), "de": range(1000, 1100),
+                      "fr": range(2000, 2025)}.items():
+        f = min(1.0, 150.0 * sq[lang] / ssum / cnt[lang])
+        want = {
+            i for i in ids
+            if int(hashlib.md5(f"{i}t".encode()).hexdigest()[:14], 16)
+            / float(1 << 56) < f
+        }
+        assert by.get(lang, set()) == want, lang
+    # alpha=0.5 up-weights tails: fr keeps a larger FRACTION than en
+    assert len(by["fr"]) / 25 > len(by["en"]) / 400
+    # alpha=1.0 ~ natural proportions: expected kept fraction equal
+    nat = sampling.temperature_mix(df, 150, class_col="lang", alpha=1.0,
+                                   salt="t").collect()
+    fr_nat = sum(1 for r in nat if r["lang"] == "fr")
+    # f = 150/525 for every class under alpha=1
+    assert abs(fr_nat / 25 - 150 / 525) < 0.35
+    with pytest.raises(ValueError):
+        sampling.temperature_mix(df, 0)
+
+
+def test_priority_sample_matches_python_reference(spark):
+    import hashlib
+
+    from emf_spark.datax import sampling
+
+    rows = [(i, float((i * 7) % 50) + (1.0 if i % 9 else 0.0))
+            for i in range(500)]
+    # sprinkle NULL / zero / negative weights -> excluded
+    rows += [(900, None), (901, 0.0), (902, -3.0)]
+    df = spark.createDataFrame(rows, "doc_id bigint, w double")
+    got = sampling.priority_sample(df, 50, weight_col="w", salt="p").collect()
+    assert len(got) == 50
+    ids = [r["doc_id"] for r in got]
+    assert not {900, 901, 902} & set(ids)
+
+    def prio(i, w):
+        h = int(hashlib.md5(f"{i}p".encode()).hexdigest()[:14], 16)
+        return (w / float(h + 1)) * float(1 << 56)
+
+    ref = sorted(
+        ((prio(i, w), i) for i, w in rows if w is not None and w > 0),
+        key=lambda t: (-t[0], t[1]),
+    )[:50]
+    assert [i for _, i in ref] == ids
+    for (p, _), r in zip(ref, got):
+        assert r["priority"] == p
+    # heavier rows are sampled proportionally more often: the top-50
+    # of this fixture should skew to large weights
+    wmean_sel = sum(r["w"] for r in got) / 50
+    wmean_all = sum(w for _, w in rows if w and w > 0) / 500
+    assert wmean_sel > 1.15 * wmean_all
+    with pytest.raises(ValueError):
+        sampling.priority_sample(df, 0, weight_col="w")
+
+
+def test_sampling_plans(spark):
+    """priority_sample must run as distributed top-k
+    (TakeOrderedAndProject), and temperature_mix must broadcast the
+    per-class fractions instead of shuffling the fact side."""
+    from emf_spark.datax import sampling
+    from tests.test_plans import plan_of
+
+    df = spark.range(200).selectExpr(
+        "id as doc_id", "cast(id % 7 as double) + 1.0 as w",
+        "cast(id % 3 as string) as lang"
+    )
+    p1 = plan_of(sampling.priority_sample(df, 5, weight_col="w"), "simple")
+    assert "TakeOrderedAndProject" in p1
+    p2 = plan_of(
+        sampling.temperature_mix(df, 50, class_col="lang"), "simple"
+    )
+    assert "BroadcastHashJoin" in p2 or "BroadcastExchange" in p2
+    assert "SortMergeJoin" not in p2
+
+
 def test_hll_distinct_plan_is_window_free(spark):
     """The sketch's scale claim: two algebraic hash aggregates, no
     distinct pre-pass, no rank window, no sort — unlike KMV."""

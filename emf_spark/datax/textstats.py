@@ -441,3 +441,60 @@ def bpe_train(
         )
         vocab = vocab.withColumn("syms", merged).localCheckpoint(eager=True)
     return merges, vocab
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_postings: int = 20,
+    min_df: int = 1,
+) -> DataFrame:
+    """Build a bounded inverted index over the corpus: one row per
+    token with (token, df:bigint, total_tf:bigint, postings:string),
+    postings = the first ``max_postings`` docs by id rendered as
+    'doc:tf doc:tf ...' — the retrieval-index primitive behind search /
+    RAG-corpus preparation, with the posting LIST capped so a stopword
+    can never materialize a corpus-sized array on one executor.
+
+    Scale shape: tokenize + explode (same split as vocab_topk), then a
+    (token, doc) tf aggregate whose map-side partial combine absorbs
+    stopword skew; document-frequency / total-tf stats come off that
+    aggregate algebraically (never the raw token stream). The posting
+    cap is a row_number window per token over the tf AGGREGATE — a
+    disk-spillable sort of (token, doc) pairs, after which collect_list
+    touches at most ``max_postings`` rows per token. Stats join
+    postings per token (both sides already partitioned by token from
+    their parent aggregates — AQE reuses the exchange)."""
+    from pyspark.sql.window import Window
+
+    if max_postings <= 0:
+        raise ValueError("max_postings must be positive")
+    toks = df.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(
+            F.split(F.lower(F.col(text_col)), r"[^a-z0-9']+")
+        ).alias("token"),
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy("token", "_doc").agg(F.count(F.lit(1)).alias("_tf"))
+    stats = tf.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("_tf").alias("total_tf"),
+    )
+    w = Window.partitionBy("token").orderBy("_doc")
+    capped = tf.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= max_postings
+    )
+    postings = capped.groupBy("token").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_doc", "_tf"))),
+                lambda s: F.concat_ws(":", s["_doc"], s["_tf"]),
+            ),
+            " ",
+        ).alias("postings")
+    )
+    out = stats.join(postings, "token")
+    if min_df > 1:
+        out = out.filter(F.col("df") >= min_df)
+    return out.select("token", "df", "total_tf", "postings")

@@ -2562,6 +2562,42 @@ FROM c ORDER BY cnt DESC, token ASC LIMIT 25
 """
 
 
+def q_text_inverted_index(spark, sf):
+    """Bounded inverted index (textstats.inverted_index): per-token
+    document frequency, total term frequency, and a posting string of
+    the first 10 docs by id ('doc:tf ...') for tokens appearing in >= 5
+    docs — the retrieval/RAG index-build primitive. Posting lists are
+    capped BEFORE collect_list (row_number over the tf aggregate), so a
+    stopword can never materialize a corpus-sized array; df/total_tf
+    come off the (token, doc) aggregate algebraically."""
+    from emf_spark.datax.textstats import inverted_index
+
+    d = _t(spark, sf, "documents")
+    return inverted_index(d, max_postings=10, min_df=5)
+
+
+SQL_TEXT_INVERTED_INDEX = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(text), '[^a-z0-9'']+')) AS token
+  FROM documents),
+tf AS (SELECT token, doc_id, COUNT(*) AS tf
+       FROM toks WHERE token <> '' GROUP BY 1, 2),
+stats AS (SELECT token, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf
+          FROM tf GROUP BY 1),
+ranked AS (SELECT token, doc_id, tf,
+                  ROW_NUMBER() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+           FROM tf),
+post AS (SELECT token,
+                string_agg(doc_id || ':' || tf, ' ' ORDER BY doc_id)
+                  AS postings
+         FROM ranked WHERE rn <= 10 GROUP BY 1)
+SELECT s.token, s.df, s.total_tf, p.postings
+FROM stats s JOIN post p USING (token)
+WHERE s.df >= 5
+"""
+
+
 def q_tpch_order_priority_check(spark, sf):
     """TPC-H Q4 shape (order-priority check): EXISTS-style left-semi
     join of orders against late-shipping lineitems (this schema has no
@@ -3889,6 +3925,7 @@ QUERIES: dict[str, Callable] = {
     "text_pii_scrub": q_text_pii_scrub,
     "text_url_stats": q_text_url_stats,
     "text_vocab_topk": q_text_vocab_topk,
+    "text_inverted_index": q_text_inverted_index,
     "tpch_order_priority_check": q_tpch_order_priority_check,
     "tpch_forecast_revenue": q_tpch_forecast_revenue,
     "tpch_priority_line_mix": q_tpch_priority_line_mix,
@@ -3989,6 +4026,7 @@ ORACLE_SQL: dict[str, str] = {
     "text_pii_scrub": _sql_text_pii_scrub(),
     "text_url_stats": SQL_TEXT_URL_STATS,
     "text_vocab_topk": SQL_TEXT_VOCAB_TOPK,
+    "text_inverted_index": SQL_TEXT_INVERTED_INDEX,
     "tpch_order_priority_check": SQL_TPCH_ORDER_PRIORITY,
     "tpch_forecast_revenue": SQL_TPCH_FORECAST_REVENUE,
     "tpch_priority_line_mix": SQL_TPCH_PRIORITY_LINE_MIX,

@@ -852,6 +852,39 @@ def test_hll_distinct_small_range_correction_and_validation(spark):
         sketches.hll_distinct(small, "v", p=1)
 
 
+def test_inverted_index_semantics(spark):
+    from emf_spark.datax import textstats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "Apple! banana, apple?"),
+            (4, "date"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["token"]: r for r in textstats.inverted_index(docs).collect()}
+    assert set(got) == {"apple", "banana", "cherry", "date"}
+    a = got["apple"]
+    # case-folded + punctuation-split; tf counted per doc
+    assert (a["df"], a["total_tf"], a["postings"]) == (2, 4, "1:2 3:2")
+    assert got["banana"]["postings"] == "1:1 2:1 3:1"
+    assert got["date"]["df"] == 1
+    # posting cap: only the first max_postings docs by id, stats exact
+    capped = {
+        r["token"]: r
+        for r in textstats.inverted_index(docs, max_postings=2).collect()
+    }
+    assert capped["banana"]["postings"] == "1:1 2:1"
+    assert capped["banana"]["df"] == 3  # df/total_tf NOT affected by cap
+    # min_df filter
+    filt = {r["token"] for r in textstats.inverted_index(docs, min_df=2).collect()}
+    assert filt == {"apple", "banana"}
+    with pytest.raises(ValueError):
+        textstats.inverted_index(docs, max_postings=0)
+
+
 def test_temperature_mix_quotas_and_edge_alphas(spark):
     import hashlib
     import math

@@ -63,3 +63,95 @@ def snapshot_diff(
         .filter(F.col("status").isNotNull())
         .select(*key_cols, "status")
     )
+
+
+def scd2_apply(
+    history: DataFrame,
+    snapshot: DataFrame,
+    key_cols: list[str],
+    version: int,
+    attr_cols: list[str] | None = None,
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+) -> DataFrame:
+    """Apply a new full snapshot to an SCD type-2 history table and
+    return the UPDATED history — the table-maintenance step downstream
+    of snapshot_diff. History rows carry (key..., attrs...,
+    valid_from, valid_to); a row is OPEN while valid_to IS NULL.
+    Against the new snapshot (key..., attrs...) at ``version``:
+
+    - unchanged open rows pass through untouched,
+    - changed keys close the old row (valid_to = version) AND open a
+      new one (valid_from = version),
+    - keys only in the snapshot open a new row,
+    - open keys missing from the snapshot close (deletion tracking),
+    - already-closed history is a pure passthrough (never joined).
+
+    Scale shape: ONE full-outer shuffle join on the key between the
+    OPEN slice and the snapshot — closed history (the bulk of a mature
+    SCD2 table) unions around the join untouched, so cost tracks the
+    live key count, not table history. Change detection compares one
+    null-flag-interleaved xxhash64 per side (the snapshot_diff
+    encoding); each joined row emits its 0-2 output rows through a
+    single explode(array(...)) pass — the join output is traversed
+    once, never re-filtered per case. Idempotent: re-applying the same
+    snapshot at the same version is a no-op (re-run safe)."""
+    if attr_cols is None:
+        shared = set(history.columns) & set(snapshot.columns)
+        attr_cols = sorted(shared - set(key_cols))
+
+    def chash(prefix: str) -> F.Column:
+        parts: list[F.Column] = []
+        for c in attr_cols:
+            parts.append(F.col(f"{prefix}{c}").isNull())
+            parts.append(F.col(f"{prefix}{c}"))
+        return F.xxhash64(*parts) if parts else F.lit(0)
+
+    open_ = history.filter(F.col(valid_to_col).isNull())
+    closed = history.filter(F.col(valid_to_col).isNotNull())
+
+    o = open_.select(
+        *key_cols,
+        *[F.col(c).alias(f"_o_{c}") for c in attr_cols],
+        F.col(valid_from_col).alias("_o_from"),
+        F.lit(True).alias("_in_o"),
+    ).withColumn("_ho", chash("_o_"))
+    n = snapshot.select(
+        *key_cols,
+        *[F.col(c).alias(f"_n_{c}") for c in attr_cols],
+        F.lit(True).alias("_in_n"),
+    ).withColumn("_hn", chash("_n_"))
+
+    j = o.join(n, key_cols, "full_outer")
+    in_o = F.col("_in_o").isNotNull()
+    in_n = F.col("_in_n").isNotNull()
+    same = F.col("_ho") == F.col("_hn")
+    ver = F.lit(version).cast("bigint")
+
+    def row(prefix: str, vfrom: F.Column, vto: F.Column) -> F.Column:
+        return F.struct(
+            *[F.col(f"{prefix}{c}").alias(c) for c in attr_cols],
+            vfrom.cast("bigint").alias(valid_from_col),
+            vto.cast("bigint").alias(valid_to_col),
+        )
+
+    null_b = F.lit(None).cast("bigint")
+    emitted = (
+        j.select(
+            *key_cols,
+            F.explode(
+                F.array(
+                    # unchanged open row passes through
+                    F.when(in_o & in_n & same, row("_o_", F.col("_o_from"), null_b)),
+                    # close the old row (changed or deleted)
+                    F.when(in_o & (~in_n | ~same), row("_o_", F.col("_o_from"), ver)),
+                    # open the new row (changed or added)
+                    F.when(in_n & (~in_o | ~same), row("_n_", ver, null_b)),
+                )
+            ).alias("_r"),
+        )
+        .filter(F.col("_r").isNotNull())
+        .select(*key_cols, "_r.*")
+    )
+    out_cols = [*key_cols, *attr_cols, valid_from_col, valid_to_col]
+    return closed.select(*out_cols).unionByName(emitted.select(*out_cols))

@@ -2732,6 +2732,78 @@ FROM reach GROUP BY a ORDER BY doc_id
 """
 
 
+def q_data_scd2_snapshot(spark, sf):
+    """SCD type-2 snapshot apply (diff.scd2_apply): the same two
+    synthetic document versions as data_snapshot_diff, but maintaining
+    a slowly-changing-dimension HISTORY — changed keys close the old
+    row and open a v2 row, deletions close, additions open, unchanged
+    open rows and pre-closed history pass through. One full-outer join
+    on the OPEN slice only (closed history unions around it), each
+    joined row emitting its 0-2 outputs through a single explode pass.
+    The oracle states the case split directly (IS NOT DISTINCT FROM per
+    column vs the engine's hash compare — identical barring a 64-bit
+    collision)."""
+    from emf_spark.datax.diff import scd2_apply
+
+    d = _t(spark, sf, "documents")
+    i = F.col("doc_id")
+    hist = d.filter(i % 11 != 0).select(
+        "doc_id", "text", "source",
+        F.lit(1).cast("bigint").alias("valid_from"),
+        F.lit(None).cast("bigint").alias("valid_to"),
+    ).unionByName(
+        d.filter(i % 17 == 0).select(
+            "doc_id",
+            F.concat("text", F.lit(" v0")).alias("text"),
+            "source",
+            F.lit(0).cast("bigint").alias("valid_from"),
+            F.lit(1).cast("bigint").alias("valid_to"),
+        )
+    )
+    snap = d.filter(i % 13 != 0).select(
+        "doc_id",
+        F.when(i % 7 == 0, F.concat("text", F.lit(" v2")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "source",
+    )
+    return scd2_apply(hist, snap, ["doc_id"], version=2)
+
+
+SQL_DATA_SCD2_SNAPSHOT = """
+WITH openv AS (
+  SELECT doc_id, text, source, CAST(1 AS BIGINT) AS valid_from
+  FROM documents WHERE doc_id % 11 <> 0),
+closedv AS (
+  SELECT doc_id, text || ' v0' AS text, source,
+         CAST(0 AS BIGINT) AS valid_from, CAST(1 AS BIGINT) AS valid_to
+  FROM documents WHERE doc_id % 17 = 0),
+snap AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text,
+         source
+  FROM documents WHERE doc_id % 13 <> 0),
+j AS (
+  SELECT coalesce(o.doc_id, s.doc_id) AS doc_id,
+         o.text AS o_text, o.source AS o_source, o.valid_from AS o_from,
+         s.text AS s_text, s.source AS s_source,
+         o.doc_id IS NOT NULL AS in_o, s.doc_id IS NOT NULL AS in_n,
+         (o.text IS NOT DISTINCT FROM s.text)
+           AND (o.source IS NOT DISTINCT FROM s.source) AS same
+  FROM openv o FULL OUTER JOIN snap s ON o.doc_id = s.doc_id)
+SELECT doc_id, text, source, valid_from, valid_to FROM closedv
+UNION ALL
+SELECT doc_id, o_text, o_source, o_from, CAST(NULL AS BIGINT)
+FROM j WHERE in_o AND in_n AND same
+UNION ALL
+SELECT doc_id, o_text, o_source, o_from, CAST(2 AS BIGINT)
+FROM j WHERE in_o AND (NOT in_n OR NOT same)
+UNION ALL
+SELECT doc_id, s_text, s_source, CAST(2 AS BIGINT), CAST(NULL AS BIGINT)
+FROM j WHERE in_n AND (NOT in_o OR NOT same)
+"""
+
+
 def q_data_snapshot_diff(spark, sf):
     """Snapshot diff (datax/diff.py): two synthetic versions of the
     documents table (removals on %11/%13 residues, text edits on %7)
@@ -3932,6 +4004,7 @@ QUERIES: dict[str, Callable] = {
     "emf_cms_heavy_hitters": q_emf_cms_heavy_hitters,
     "dedup_cluster_labels": q_dedup_cluster_labels,
     "data_snapshot_diff": q_data_snapshot_diff,
+    "data_scd2_snapshot": q_data_scd2_snapshot,
     "tpch_returned_item_revenue": q_tpch_returned_item_revenue,
     "tpch_promo_revenue": q_tpch_promo_revenue,
     "emf_moving_avg": q_emf_moving_avg,
@@ -4033,6 +4106,7 @@ ORACLE_SQL: dict[str, str] = {
     "emf_cms_heavy_hitters": _sql_cms_heavy_hitters(),
     "dedup_cluster_labels": _sql_dedup_cluster_labels(),
     "data_snapshot_diff": SQL_DATA_SNAPSHOT_DIFF,
+    "data_scd2_snapshot": SQL_DATA_SCD2_SNAPSHOT,
     "tpch_returned_item_revenue": SQL_TPCH_RETURNED_ITEM_REVENUE,
     "tpch_promo_revenue": SQL_TPCH_PROMO_REVENUE,
     "emf_moving_avg": SQL_EMF_MOVING_AVG,

@@ -2020,6 +2020,43 @@ def test_snapshot_diff_membership_only(spark):
     assert got == {1: "removed", 3: "added"}
 
 
+def test_scd2_apply_semantics_and_idempotence(spark):
+    from emf_spark.datax.diff import scd2_apply
+
+    hist = spark.createDataFrame(
+        [
+            # pre-closed history: must pass through untouched
+            (1, "old-a", 0, 1),
+            # open rows at v1
+            (1, "a", 1, None),    # will change at v2
+            (2, "b", 1, None),    # unchanged
+            (3, "c", 1, None),    # deleted in snapshot
+            (4, None, 1, None),   # NULL attr, unchanged (null-safe same)
+        ],
+        "id bigint, attr string, valid_from bigint, valid_to bigint",
+    )
+    snap = spark.createDataFrame(
+        [(1, "a2"), (2, "b"), (4, None), (5, "e")],
+        "id bigint, attr string",
+    )
+    out = scd2_apply(hist, snap, ["id"], version=2)
+    rows = {(r["id"], r["valid_from"], r["valid_to"]): r["attr"]
+            for r in out.collect()}
+    assert rows == {
+        (1, 0, 1): "old-a",    # closed passthrough
+        (1, 1, 2): "a",        # changed: old row closed at v2
+        (1, 2, None): "a2",    # ...and new row opened
+        (2, 1, None): "b",     # unchanged
+        (3, 1, 2): "c",        # deleted: closed, no new row
+        (4, 1, None): None,    # NULL attr compares null-safe
+        (5, 2, None): "e",     # added
+    }
+    # idempotence: re-applying the same snapshot at the same version
+    # leaves the history bit-identical
+    again = scd2_apply(out, snap, ["id"], version=2)
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, out.collect()))
+
+
 def test_compressed_meta_probe(spark):
     """PNG/GIF/JPEG dimension probes (header-only, no codec): real
     minimal containers, plus JPEG marker-walk past APP0/DQT segments."""

@@ -460,3 +460,78 @@ def test_eventtime_sessions_parity(spark, stream_input, tmp_path):
     # no closed session emitted twice
     keys = [(r["session_start"], r["dim_hash"]) for r in got]
     assert len(keys) == len(set(keys))
+
+
+def test_streaming_dedup_first_seen_once(spark, tmp_path):
+    """Cross-micro-batch exact dedup: one emission per distinct
+    normalized text over the stream's lifetime; duplicates arriving in
+    LATER batches are swallowed by keyed state; checkpoint re-run is a
+    no-op; a one-batch stream matches batch exact_dedup row-for-row."""
+    from emf_spark.datax import dedup as bdedup
+    from emf_spark.streaming import dedup as sdedup
+
+    ind = str(tmp_path / "in")
+    # three ordered files -> three micro-batches (maxFilesPerTrigger=1)
+    batches = [
+        [(1, "alpha beta"), (2, "Alpha  beta"), (3, "gamma")],   # 2 dup in-batch
+        [(4, "alpha beta"), (5, "delta")],                        # dup of b0
+        [(6, "GAMMA"), (7, "delta"), (8, "epsilon")],             # dups of b0/b1
+    ]
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def write_file(path, rows):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        ids, texts = zip(*rows)
+        pq.write_table(
+            pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "text": pa.array(texts, pa.string())}),
+            path,
+        )
+
+    for i, rows in enumerate(batches):
+        write_file(f"{ind}/b{i}.parquet", rows)
+        # the file source orders micro-batches by modification time;
+        # sub-second writes can tie, so pin strictly increasing mtimes
+        os.utime(f"{ind}/b{i}.parquet", (1_700_000_000 + i, 1_700_000_000 + i))
+    out = str(tmp_path / "out")
+    q = sdedup.run_streaming_dedup(spark, ind, out)
+    q.awaitTermination(300)
+
+    got = {
+        r["keep_id"]: r
+        for r in spark.read.parquet(f"{out}/unique").collect()
+    }
+    # distinct texts: 'alpha beta' (1), 'gamma' (3), 'delta' (5),
+    # 'epsilon' (8) -- first-seen batch's min id wins
+    assert set(got) == {1, 3, 5, 8}
+    assert got[1]["batch_dups"] == 2  # ids 1+2 in the first batch
+    assert len({r["content_hash"] for r in got.values()}) == 4
+
+    # checkpoint resume with no new files: zero new rows
+    n_before = spark.read.parquet(f"{out}/unique").count()
+    q2 = sdedup.run_streaming_dedup(spark, ind, out)
+    q2.awaitTermination(300)
+    assert spark.read.parquet(f"{out}/unique").count() == n_before
+
+    # one-batch parity vs the batch operator (hash + min-id tiebreak)
+    allrows = [r for b in batches for r in b]
+    bdf = spark.createDataFrame(allrows, "doc_id bigint, text string")
+    batch = {
+        (r["content_hash"], r["keep_id"])
+        for r in bdedup.exact_dedup(bdf).collect()
+    }
+    one_in = str(tmp_path / "in1")
+    write_file(f"{one_in}/all.parquet", allrows)
+    one_out = str(tmp_path / "out1")
+    q3 = sdedup.run_streaming_dedup(
+        spark, one_in, one_out, max_files_per_trigger=10
+    )
+    q3.awaitTermination(300)
+    stream1 = {
+        (r["content_hash"], r["keep_id"])
+        for r in spark.read.parquet(f"{one_out}/unique").collect()
+    }
+    assert stream1 == batch

@@ -498,3 +498,104 @@ def inverted_index(
     if min_df > 1:
         out = out.filter(F.col("df") >= min_df)
     return out.select("token", "df", "total_tf", "postings")
+
+
+_BPE_SYM_RE = r"^[a-z0-9']+$"
+
+
+def _validate_merges(merges: list[tuple[str, str]]) -> None:
+    import re as _re
+
+    for a, b in merges:
+        if not (_re.match(_BPE_SYM_RE, a) and _re.match(_BPE_SYM_RE, b)):
+            raise ValueError(f"merge symbols must match {_BPE_SYM_RE}: {(a, b)}")
+
+
+def bpe_apply(merges: list[tuple[str, str]]):
+    """Return a Column->Column function applying an ordered BPE merge
+    list to a lowercase word, yielding its symbol array — the ENCODE
+    half of bpe_train, as a pure Catalyst expression chain (no Python
+    in the row path, no UDF).
+
+    The scan is expressed as string rewriting: symbols join on DOUBLE
+    spaces ('  a  b  c  '), and each merge rule is ONE global
+    regexp_replace of ' a  b ' with ' ab ' — a non-overlapping
+    left-to-right pass that consumes one boundary space per side, so
+    adjacent matches share the double boundary exactly once and the
+    merged token never chain-merges within its own rule (the classic
+    single-pass-per-rule BPE semantics, bit-identical to bpe_train's
+    aggregate-HOF scan AND replicable in any regex engine — no
+    lookarounds, so RE2 oracles work). Symbols are [a-z0-9']+ (the
+    vocab tokenizer's alphabet), so patterns need no regex escaping —
+    validated loudly."""
+    _validate_merges(merges)
+
+    def encode(word: F.Column) -> F.Column:
+        s = F.concat(F.lit("  "), F.regexp_replace(word, "(.)", "$1  "))
+        for a, b in merges:
+            s = F.regexp_replace(s, f" {a}  {b} ", f" {a}{b} ")
+        return F.split(F.trim(s), "  ")
+
+    return encode
+
+
+def bpe_encode_corpus(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus token-frequency table under an ordered BPE merge list:
+    (token, cnt) for every symbol the encoded corpus contains.
+
+    Scale shape: the corpus collapses to the word-frequency table
+    first (the one corpus-cardinality shuffle, map-side combinable);
+    encoding then runs ONCE PER DISTINCT WORD as a chained Catalyst
+    expression over the vocab table (~1e6 rows at 100 TB of text),
+    never per occurrence; the final (token, weighted cnt) aggregate is
+    vocab-cardinality."""
+    toks = df.select(
+        F.explode(
+            F.split(F.lower(F.col(text_col)), r"[^a-z0-9']+")
+        ).alias("word")
+    ).filter(F.col("word") != "")
+    vocab = toks.groupBy("word").agg(F.count(F.lit(1)).alias("_cnt"))
+    enc = bpe_apply(merges)
+    return (
+        vocab.select(F.explode(enc(F.col("word"))).alias("token"), "_cnt")
+        .groupBy("token")
+        .agg(F.sum("_cnt").alias("cnt"))
+    )
+
+
+def bpe_encode_docs(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document BPE token accounting: (id, n_words, n_bpe_tokens)
+    under the merge list. Encodes each DISTINCT word once and
+    broadcast-joins the per-word token count back onto occurrences
+    (a BPE vocab is ~1e6 short strings — comfortably broadcastable;
+    for a pathological vocab swap in a shuffle join, semantics
+    unchanged)."""
+    enc = bpe_apply(merges)
+    words = df.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.lower(F.col(text_col)), r"[^a-z0-9']+")
+        ).alias("word"),
+    ).filter(F.col("word") != "")
+    sizes = (
+        words.select("word")
+        .distinct()
+        .select("word", F.size(enc(F.col("word"))).alias("_n"))
+    )
+    return (
+        words.join(F.broadcast(sizes), "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("_n").alias("n_bpe_tokens"),
+        )
+    )

@@ -2598,6 +2598,61 @@ WHERE s.df >= 5
 """
 
 
+# Ordered BPE merge list pinned from bpe_train(n_merges=12) over the
+# sf0.01 documents corpus — pinned (rather than re-trained in-query) so
+# the oracle replicates ENCODE exactly; training itself is
+# parity-tested in tests/test_datax.py against a sequential reference.
+BPE_MERGES = [
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+    ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+    ("j", "o"), ("jo", "in"),
+]
+
+
+def q_text_bpe_encode(spark, sf):
+    """BPE ENCODE as pure Catalyst string rewriting
+    (textstats.bpe_encode_corpus): the corpus token-frequency table
+    under the pinned 12-rule merge list. Each rule is one global
+    non-overlapping regexp_replace over double-space-joined symbols —
+    the classic single-pass-per-rule BPE scan, identical under Java
+    regex and RE2, so the oracle replays the very same rewrite chain.
+    Encoding runs once per DISTINCT word (vocab cardinality), never per
+    occurrence; top-40 by (cnt desc, token) via the narrow
+    post-aggregate window."""
+    from pyspark.sql.window import Window
+
+    from emf_spark.datax.textstats import bpe_encode_corpus
+
+    d = _t(spark, sf, "documents")
+    freq = bpe_encode_corpus(d, BPE_MERGES)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    return (
+        freq.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 40)
+        .select("rank", "token", "cnt")
+    )
+
+
+def _sql_text_bpe_encode() -> str:
+    expr = "'  ' || regexp_replace(word, '(.)', '\\1  ', 'g')"
+    for a, b in BPE_MERGES:
+        expr = f"regexp_replace({expr}, ' {a}  {b} ', ' {a}{b} ', 'g')"
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(text), '[^a-z0-9'']+')) AS word
+  FROM documents),
+vocab AS (SELECT word, COUNT(*) AS wcnt
+          FROM toks WHERE word <> '' GROUP BY 1),
+enc AS (SELECT unnest(string_split(trim({expr}), '  ')) AS token, wcnt
+        FROM vocab),
+freq AS (SELECT token, CAST(SUM(wcnt) AS BIGINT) AS cnt
+         FROM enc GROUP BY 1)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS INT) AS rank,
+       token, cnt
+FROM freq ORDER BY cnt DESC, token ASC LIMIT 40
+"""
+
+
 def q_tpch_order_priority_check(spark, sf):
     """TPC-H Q4 shape (order-priority check): EXISTS-style left-semi
     join of orders against late-shipping lineitems (this schema has no
@@ -3998,6 +4053,7 @@ QUERIES: dict[str, Callable] = {
     "text_url_stats": q_text_url_stats,
     "text_vocab_topk": q_text_vocab_topk,
     "text_inverted_index": q_text_inverted_index,
+    "text_bpe_encode": q_text_bpe_encode,
     "tpch_order_priority_check": q_tpch_order_priority_check,
     "tpch_forecast_revenue": q_tpch_forecast_revenue,
     "tpch_priority_line_mix": q_tpch_priority_line_mix,
@@ -4100,6 +4156,7 @@ ORACLE_SQL: dict[str, str] = {
     "text_url_stats": SQL_TEXT_URL_STATS,
     "text_vocab_topk": SQL_TEXT_VOCAB_TOPK,
     "text_inverted_index": SQL_TEXT_INVERTED_INDEX,
+    "text_bpe_encode": _sql_text_bpe_encode(),
     "tpch_order_priority_check": SQL_TPCH_ORDER_PRIORITY,
     "tpch_forecast_revenue": SQL_TPCH_FORECAST_REVENUE,
     "tpch_priority_line_mix": SQL_TPCH_PRIORITY_LINE_MIX,

@@ -327,6 +327,81 @@ def test_bpe_train_random_corpora_fuzz(spark):
         assert got == want, (trial, texts, got, want)
 
 
+def _py_bpe_encode(word, merges):
+    """Sequential ENCODE reference: one left-to-right pass per rule."""
+    syms = list(word)
+    for a, b in merges:
+        out = []
+        for s in syms:
+            if out and out[-1] == a and s == b:
+                out[-1] = a + b
+            else:
+                out.append(s)
+        syms = out
+    return syms
+
+
+def test_bpe_apply_matches_sequential_reference(spark):
+    """The regexp-rewrite encode == the classic per-rule scan on the
+    adversarial shapes (chained same-symbol runs, multi-char symbols,
+    rules referencing earlier merges)."""
+    import pytest as _pytest
+
+    from emf_spark.datax.textstats import bpe_apply
+
+    merges = [("a", "a"), ("aa", "a"), ("b", "c"), ("a", "bc"),
+              ("aa", "aa"), ("e", "r"), ("er", "er")]
+    words = ["aaa", "aaaa", "aaaaa", "aaaaaaaa", "abc", "aabc", "bcbc",
+             "abcabc", "erer", "ererer", "xyz", "a", "don't"]
+    enc = bpe_apply(merges)
+    df = spark.createDataFrame([(w,) for w in words], ["word"])
+    got = {r["word"]: list(r["enc"])
+           for r in df.select("word", enc(F.col("word")).alias("enc")).collect()}
+    for w in words:
+        assert got[w] == _py_bpe_encode(w, merges), w
+    with _pytest.raises(ValueError):
+        bpe_apply([("a b", "c")])
+    with _pytest.raises(ValueError):
+        bpe_apply([("a", "B")])
+
+
+def test_bpe_encode_reproduces_training_segmentation(spark):
+    """Lifecycle equivalence: applying the TRAINED merge list to each
+    raw word reproduces bpe_train's final symbol table exactly — the
+    encode half and the train half implement the same scan."""
+    from emf_spark.datax.textstats import bpe_apply, bpe_train
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new wider wide",
+        "low wide lower new",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    merges, vocab_df = bpe_train(df, n_merges=10, min_pair_count=2)
+    enc = bpe_apply(merges)
+    rows = vocab_df.select(
+        "word", "syms", enc(F.col("word")).alias("re_enc")
+    ).collect()
+    assert rows
+    for r in rows:
+        assert list(r["re_enc"]) == list(r["syms"]), r["word"]
+
+
+def test_bpe_encode_docs_counts(spark):
+    from emf_spark.datax.textstats import bpe_encode_docs
+
+    df = spark.createDataFrame(
+        [(1, "low lower"), (2, "new low!"), (3, "")],
+        "doc_id bigint, text string",
+    )
+    merges = [("l", "o"), ("lo", "w")]
+    got = {r["doc_id"]: r for r in bpe_encode_docs(df, merges).collect()}
+    # 'low' -> [low] (1), 'lower' -> [low, e, r] (3), 'new' -> [n,e,w] (3)
+    assert (got[1]["n_words"], got[1]["n_bpe_tokens"]) == (2, 4)
+    assert (got[2]["n_words"], got[2]["n_bpe_tokens"]) == (2, 4)
+    assert 3 not in got  # no words -> no row
+
+
 def test_snapshot_diff_random_frames_fuzz(spark):
     """snapshot_diff == brute-force row comparison on random keyed
     frames with nulls and multi-column keys."""

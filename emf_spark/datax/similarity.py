@@ -428,3 +428,106 @@ def lsh_topk_batch(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def _scaled_vec(vec_col: F.Column, scale: int) -> F.Column:
+    """Embedding coordinates on the integer lattice: round(x * scale)
+    per coordinate as bigint — every downstream distance/centroid is
+    then EXACT int64 arithmetic (order-independent, engine-portable),
+    which is what makes an iterative clusterer oracle-checkable."""
+    return F.transform(
+        vec_col, lambda x: F.round(x.cast("double") * scale, 0).cast("bigint")
+    )
+
+
+def _lattice_dists(sv: F.Column, cents: list[list[int]]) -> F.Column:
+    """Array of exact squared L2 distances from the scaled vector to
+    each centroid (bigint math end to end)."""
+    return F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    sv,
+                    F.array(*[F.lit(int(c)).cast("bigint") for c in cent]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            )
+            for cent in cents
+        ]
+    )
+
+
+def _trunc_div(s: int, n: int) -> int:
+    """Truncate-toward-zero integer division (matches Spark's ``div``
+    and DuckDB's ``//`` on bigints; Python's // floors, which differs
+    on negatives)."""
+    return -((-s) // n) if s < 0 else s // n
+
+
+def kmeans_exact(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10**6,
+) -> DataFrame:
+    """Lloyd k-means on the integer lattice: assignments, centroid
+    updates, and inertia all in EXACT int64 arithmetic, so the full
+    iterative algorithm is deterministic (no float sum-order effects)
+    and an external SQL engine replays it bit-for-bit — the
+    embedding-clustering primitive behind semantic dedup / IVF list
+    building, here with a provable answer. Returns (id_col, cluster,
+    dist) after ``iters`` Lloyd rounds.
+
+    Protocol: coordinates quantize to round(x*scale) bigints; seeds
+    are the k lowest-id vectors; assignment is argmin exact squared L2
+    with lowest-index tie-break; updates are per-dimension
+    truncate-toward-zero integer mean (Spark div == DuckDB // on
+    bigint); empty clusters keep their previous centroid. Quantization
+    at the default scale perturbs squared distances by ~1e-6
+    relative — immaterial for cluster assignment, decisive for
+    verifiability.
+
+    Scale shape: per iteration ONE distributed pass — k fused
+    zip_with/aggregate distance expressions per row (JVM codegen, no
+    Python) and a (cluster -> 64 sums + count) aggregate that
+    partial-combines map-side; only k rows (k*dim ints) ever reach the
+    driver per round. iters is fixed and small (Lloyd's loop), so the
+    lineage stays bounded without checkpointing."""
+    if k < 1 or iters < 0:
+        raise ValueError("k >= 1 and iters >= 0 required")
+    dim = len(df.select(vec_col).first()[0])
+    sv = df.select(
+        F.col(id_col), _scaled_vec(F.col(vec_col), scale).alias("_sv")
+    )
+    seeds = sv.orderBy(id_col).limit(k).collect()
+    cents = [[int(x) for x in r["_sv"]] for r in seeds]
+    for _ in range(iters):
+        assigned = sv.select(
+            "_sv",
+            (F.array_position(
+                (d := _lattice_dists(F.col("_sv"), cents)), F.array_min(d)
+            ) - 1).alias("_c"),
+        )
+        rows = (
+            assigned.groupBy("_c")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                *[F.sum(F.col("_sv")[i]).alias(f"s{i}") for i in range(dim)],
+            )
+            .collect()
+        )
+        new = {
+            int(r["_c"]): [_trunc_div(int(r[f"s{i}"]), int(r["_n"])) for i in range(dim)]
+            for r in rows
+        }
+        cents = [new.get(i, cents[i]) for i in range(len(cents))]
+    d = _lattice_dists(F.col("_sv"), cents)
+    return sv.select(
+        id_col,
+        (F.array_position(d, F.array_min(d)) - 1).cast("int").alias("cluster"),
+        F.array_min(d).alias("dist"),
+    )

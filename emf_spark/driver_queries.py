@@ -2653,6 +2653,69 @@ FROM freq ORDER BY cnt DESC, token ASC LIMIT 40
 """
 
 
+def q_ann_kmeans_clusters(spark, sf):
+    """Exact integer-lattice k-means (similarity.kmeans_exact): 2 Lloyd
+    rounds over the embeddings on round(x*1e6) bigint coordinates —
+    assignments, centroid means (truncate-div), and inertia all in
+    exact int64 arithmetic, so the ORACLE REPLAYS THE FULL ITERATIVE
+    ALGORITHM (unrolled cross-join argmin + per-dimension integer mean
+    per round) and every (vec_id, cluster, dist) row must agree
+    bit-for-bit. Per round: one distributed pass, k fused HOF distance
+    expressions per row, map-side-combinable centroid sums; k rows to
+    the driver."""
+    from emf_spark.datax.similarity import kmeans_exact
+
+    e = _t(spark, sf, "embeddings")
+    return kmeans_exact(e, k=8, iters=2)
+
+
+def _sql_kmeans(k: int = 8, iters: int = 2, dim: int = 64,
+                scale: int = 10**6) -> str:
+    rng = f"range(1, {dim + 1})"
+    parts = [f"""sv AS (
+  SELECT vec_id, list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * {scale}, 0) AS BIGINT)) AS sv
+  FROM embeddings),
+c0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+         sv AS cl
+  FROM (SELECT vec_id, sv FROM sv ORDER BY vec_id LIMIT {k}))"""]
+    for n in range(iters + 1):
+        parts.append(f"""a{n} AS (
+  SELECT vec_id, sv, cluster, dist FROM (
+    SELECT vec_id, sv, cluster, dist,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY dist, cluster) AS rn
+    FROM (SELECT s.vec_id, s.sv, c.cluster,
+                 CAST(list_sum(list_transform({rng},
+                      i -> (s.sv[i] - c.cl[i]) * (s.sv[i] - c.cl[i])))
+                      AS BIGINT) AS dist
+          FROM sv s, c{n} c)) WHERE rn = 1)""")
+        if n == iters:
+            break
+        parts.append(f"""u{n} AS (
+  SELECT cluster, UNNEST({rng}) AS i,
+         UNNEST(list_transform({rng}, j -> sv[j])) AS v
+  FROM a{n}),
+g{n} AS (SELECT cluster, i, CAST(SUM(v) AS BIGINT) AS s, COUNT(*) AS n
+         FROM u{n} GROUP BY 1, 2),
+cr{n + 1} AS (
+  SELECT cluster,
+         list(CASE WHEN s < 0 THEN -(CAST(abs(s) AS BIGINT) // n)
+                   ELSE s // n END ORDER BY i) AS cl
+  FROM g{n} GROUP BY 1),
+c{n + 1} AS (
+  SELECT * FROM cr{n + 1}
+  UNION ALL
+  SELECT cluster, cl FROM c{n}
+  WHERE cluster NOT IN (SELECT cluster FROM cr{n + 1}))""")
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\n"
+        f"SELECT vec_id, CAST(cluster AS INT) AS cluster, dist FROM a{iters}"
+    )
+
+
 def q_tpch_order_priority_check(spark, sf):
     """TPC-H Q4 shape (order-priority check): EXISTS-style left-semi
     join of orders against late-shipping lineitems (this schema has no
@@ -4043,6 +4106,7 @@ QUERIES: dict[str, Callable] = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_kmeans_clusters": q_ann_kmeans_clusters,
     "dedup_embedding": q_dedup_embedding,
     "data_split": q_data_split,
     "data_balanced_sample": q_data_balanced_sample,
@@ -4146,6 +4210,7 @@ ORACLE_SQL: dict[str, str] = {
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "ann_lsh_topk": _sql_ann_lsh_topk(),
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,
+    "ann_kmeans_clusters": _sql_kmeans(),
     "dedup_embedding": _sql_dedup_embedding(),
     "data_split": SQL_DATA_SPLIT,
     "data_balanced_sample": SQL_DATA_BALANCED_SAMPLE,

@@ -275,6 +275,69 @@ def test_kmeans_refine_improves_or_holds_recall(vecs):
     assert len(got & truth) >= 3
 
 
+def test_kmeans_exact_matches_python_reference(vecs):
+    """The full iterative algorithm — quantize, seed, argmin with
+    lowest-index tie-break, truncate-div centroid mean, empty-cluster
+    carry — replayed sequentially in python must agree bit-for-bit."""
+    df, _q = vecs
+
+    def tdiv(s, n):
+        return -((-s) // n) if s < 0 else s // n
+
+    rows = sorted(
+        (r["vec_id"], [int(round(float(x) * 10**6)) for x in r["embedding"]])
+        for r in df.select("vec_id", "embedding").collect()
+    )
+    k, iters = 4, 3
+    cents = [list(v) for _, v in rows[:k]]
+
+    def assign(v):
+        ds = [sum((a - b) * (a - b) for a, b in zip(v, c)) for c in cents]
+        m = min(ds)
+        return ds.index(m), m
+
+    for _ in range(iters):
+        sums = {}
+        for _i, v in rows:
+            c, _d = assign(v)
+            acc = sums.setdefault(c, [0] * (len(v) + 1))
+            acc[-1] += 1
+            for j, x in enumerate(v):
+                acc[j] += x
+        cents = [
+            [tdiv(s, sums[c][-1]) for s in sums[c][:-1]] if c in sums else cents[c]
+            for c in range(k)
+        ]
+    want = {i: assign(v) for i, v in rows}
+
+    got = {
+        r["vec_id"]: (r["cluster"], r["dist"])
+        for r in similarity.kmeans_exact(df, k=k, iters=iters).collect()
+    }
+    assert got == want
+
+
+def test_kmeans_exact_empty_cluster_keeps_seed(spark):
+    """Two identical lowest-id seeds: round 1 assigns EVERY point to
+    cluster 0 (lowest-index tie-break), starving cluster 1 — which must
+    carry its previous centroid [0,0] instead of crashing or going
+    null. That carried centroid then re-captures the origin points in
+    round 2, and Lloyd settles on the natural 2-cluster split."""
+    rows = [
+        (0, [0.0, 0.0]), (1, [0.0, 0.0]),       # duplicate seeds
+        (2, [1.0, 1.0]), (3, [1.2, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = similarity.kmeans_exact(df, k=2, iters=2).collect()
+    assigned = {r["vec_id"]: r["cluster"] for r in out}
+    assert assigned == {0: 1, 1: 1, 2: 0, 3: 0}
+    # the recaptured origin points sit exactly on their centroid
+    dists = {r["vec_id"]: r["dist"] for r in out}
+    assert dists[0] == 0 and dists[1] == 0
+    with pytest.raises(ValueError):
+        similarity.kmeans_exact(df, k=0)
+
+
 def test_pairwise_topk_per_row(vecs):
     df, _q = vecs
     out = similarity.pairwise_topk_per_row(df, k=3, n_planes=4)

@@ -102,3 +102,58 @@ def funnel_summary(times: DataFrame, steps: Sequence[str]) -> DataFrame:
         # null instead of an ANSI DIVIDE_BY_ZERO crash (review finding)
         F.round(F.try_divide(F.col("units"), F.col("s1")), 6).alias("conv_rate"),
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix: users cohort by the period of their
+    FIRST event; each later period they are active increments that
+    (cohort, periods-since) cell — the classic product-analytics
+    retention triangle. Returns (cohort, period_n, active_users,
+    cohort_size, retention) with retention = active/size as the one
+    final double division (engine-portable).
+
+    Scale shape: one per-user min aggregate (map-side combinable) and
+    one distinct over (user, period) — both shuffle on the user key,
+    so the join between them reuses the exchange; the retention
+    aggregate then runs over (cohort, period_n) cardinality rows
+    (weeks², not events), and cohort sizes broadcast back onto the
+    matrix. No window over the event stream anywhere; every step is an
+    algebraic aggregate. period_n is an exact integer (period-aligned
+    timestamps divide evenly), so no float date math leaks in."""
+    per = {"week": 7, "day": 1}
+    if period not in per:
+        raise ValueError(f"period must be one of {sorted(per)}")
+    u, t = F.col(user_col), F.col(ts_col)
+    first = events.filter(u.isNotNull() & t.isNotNull()).groupBy(
+        u.alias("_u")
+    ).agg(F.min(F.date_trunc(period, t)).alias("cohort"))
+    active = (
+        events.filter(u.isNotNull() & t.isNotNull())
+        .select(u.alias("_u"), F.date_trunc(period, t).alias("_p"))
+        .distinct()
+    )
+    cells = active.join(first, "_u").select(
+        "_u",
+        "cohort",
+        F.expr(f"datediff(_p, cohort) div {per[period]}")
+        .cast("int")
+        .alias("period_n"),
+    )
+    matrix = cells.groupBy("cohort", "period_n").agg(
+        F.count(F.lit(1)).alias("active_users")
+    )
+    sizes = first.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return matrix.join(F.broadcast(sizes), "cohort").select(
+        "cohort",
+        "period_n",
+        "active_users",
+        "cohort_size",
+        (F.col("active_users").cast("double") / F.col("cohort_size")).alias(
+            "retention"
+        ),
+    )

@@ -3289,6 +3289,42 @@ FROM est LEFT JOIN ex USING (term)
 """
 
 
+def q_events_retention(spark, sf):
+    """Weekly cohort retention triangle (funnel.cohort_retention):
+    purchasers cohort by first-purchase week; (cohort, weeks-since)
+    cells count distinct active users, with retention = active/size as the one
+    final double division. All algebraic aggregates — the per-user min
+    and the (user, week) distinct share their shuffle key, the matrix
+    aggregate runs over weeks^2 rows, cohort sizes broadcast back."""
+    from emf_spark.datax.funnel import cohort_retention
+
+    ev = _t(spark, sf, "events").filter(F.col("event_type") == "purchase")
+    return cohort_retention(ev)
+
+
+SQL_EVENTS_RETENTION = """
+WITH first AS (
+  SELECT user_id AS u, MIN(date_trunc('week', ts)) AS cohort
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_type = 'purchase' GROUP BY 1),
+active AS (
+  SELECT DISTINCT user_id AS u, date_trunc('week', ts) AS p
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_type = 'purchase'),
+cells AS (
+  SELECT f.cohort,
+         CAST(date_diff('day', f.cohort, a.p) // 7 AS INT) AS period_n
+  FROM active a JOIN first f USING (u)),
+matrix AS (
+  SELECT cohort, period_n, COUNT(*) AS active_users
+  FROM cells GROUP BY 1, 2),
+sizes AS (SELECT cohort, COUNT(*) AS cohort_size FROM first GROUP BY 1)
+SELECT m.cohort, m.period_n, m.active_users, s.cohort_size,
+       CAST(m.active_users AS DOUBLE) / s.cohort_size AS retention
+FROM matrix m JOIN sizes s USING (cohort)
+"""
+
+
 def q_events_funnel(spark, sf):
     """Ordered-funnel operator (datax/funnel.py): per (user, day) unit,
     view -> click -> purchase with strict time ordering; long-form
@@ -4132,6 +4168,7 @@ QUERIES: dict[str, Callable] = {
     "tpch_discounted_revenue": q_tpch_discounted_revenue,
     "emf_kmv_per_window": q_emf_kmv_per_window,
     "events_funnel": q_events_funnel,
+    "events_retention": q_events_retention,
     "tpch_order_distribution": q_tpch_order_distribution,
     "tpch_large_volume_customer": q_tpch_large_volume_customer,
     "tpch_global_sales_opportunity": q_tpch_global_sales_opportunity,
@@ -4236,6 +4273,7 @@ ORACLE_SQL: dict[str, str] = {
     "tpch_discounted_revenue": SQL_TPCH_DISCOUNTED_REVENUE,
     "emf_kmv_per_window": SQL_EMF_KMV_PER_WINDOW,
     "events_funnel": SQL_EVENTS_FUNNEL,
+    "events_retention": SQL_EVENTS_RETENTION,
     "tpch_order_distribution": SQL_TPCH_ORDER_DISTRIBUTION,
     "tpch_large_volume_customer": SQL_TPCH_LARGE_VOLUME_CUSTOMER,
     "tpch_global_sales_opportunity": SQL_TPCH_GLOBAL_SALES_OPPORTUNITY,

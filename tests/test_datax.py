@@ -915,6 +915,38 @@ def test_hll_distinct_small_range_correction_and_validation(spark):
         sketches.hll_distinct(small, "v", p=1)
 
 
+def test_cohort_retention_semantics(spark):
+    from datetime import datetime as DT
+
+    from emf_spark.datax.funnel import cohort_retention
+
+    rows = [
+        # user 1: first week W0, active W0 + W2
+        (1, DT(2024, 1, 2)), (1, DT(2024, 1, 16)),
+        # user 2: first week W0 only (two events same week -> one cell)
+        (2, DT(2024, 1, 3)), (2, DT(2024, 1, 4)),
+        # user 3: first week W1, active W1 + W2
+        (3, DT(2024, 1, 10)), (3, DT(2024, 1, 15)),
+        # null user / null ts excluded
+        (None, DT(2024, 1, 2)), (4, None),
+    ]
+    ev = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+    got = {
+        (r["cohort"].day, r["period_n"]): (r["active_users"],
+                                           r["cohort_size"], r["retention"])
+        for r in cohort_retention(ev).collect()
+    }
+    # W0 cohort (Mon Jan 1): users 1,2 -> size 2
+    assert got[(1, 0)] == (2, 2, 1.0)
+    assert got[(1, 2)] == (1, 2, 0.5)
+    # W1 cohort (Mon Jan 8): user 3 -> size 1
+    assert got[(8, 0)] == (1, 1, 1.0)
+    assert got[(8, 1)] == (1, 1, 1.0)
+    assert set(got) == {(1, 0), (1, 2), (8, 0), (8, 1)}
+    with pytest.raises(ValueError):
+        cohort_retention(ev, period="month")
+
+
 def test_inverted_index_semantics(spark):
     from emf_spark.datax import textstats
 

@@ -3325,6 +3325,54 @@ FROM matrix m JOIN sizes s USING (cohort)
 """
 
 
+def q_graph_pagerank(spark, sf):
+    """Integer-exact PageRank (graph.pagerank_exact) over the
+    customer<->supplier co-purchase graph (orders x lineitem edges,
+    symmetrized so no node dangles): 2 dampened rounds with ranks in
+    int64 1e-9 units and truncate-div update math, so the ORACLE
+    REPLAYS BOTH ITERATIONS bit-for-bit (unrolled inflow-join +
+    damping CTEs). Per round one src-keyed shuffle join + one
+    map-side-combinable inflow aggregate; nothing collects."""
+    from emf_spark.datax.graph import pagerank_exact
+
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    raw = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    )
+    edges = raw.unionByName(
+        raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return pagerank_exact(edges, iters=2).select(
+        "node", F.col("rank").alias("pr")
+    )
+
+
+def _sql_graph_pagerank(iters: int = 2) -> str:
+    floor = 15 * 10**9 // 100
+    parts = ["""raw AS (
+  SELECT 'c' || o.o_custkey AS s, 's' || l.l_suppkey AS d
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+e AS (SELECT DISTINCT s, d
+      FROM (SELECT s, d FROM raw UNION ALL SELECT d AS s, s AS d FROM raw)),
+nodes AS (SELECT s AS node FROM e UNION SELECT d FROM e),
+deg AS (SELECT s, COUNT(*) AS deg FROM e GROUP BY 1),
+r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank FROM nodes)"""]
+    for n in range(1, iters + 1):
+        parts.append(f"""i{n} AS (
+  SELECT e.d, CAST(SUM(r.rank // g.deg) AS BIGINT) AS inflow
+  FROM e JOIN r{n - 1} r ON e.s = r.node JOIN deg g ON e.s = g.s
+  GROUP BY 1),
+r{n} AS (
+  SELECT n.node,
+         CAST({floor} + (85 * COALESCE(i.inflow, 0)) // 100 AS BIGINT)
+           AS rank
+  FROM nodes n LEFT JOIN i{n} i ON n.node = i.d)""")
+    body = ",\n".join(parts)
+    return f"WITH {body}\nSELECT node, rank AS pr FROM r{iters}"
+
+
 def q_events_funnel(spark, sf):
     """Ordered-funnel operator (datax/funnel.py): per (user, day) unit,
     view -> click -> purchase with strict time ordering; long-form
@@ -4169,6 +4217,7 @@ QUERIES: dict[str, Callable] = {
     "emf_kmv_per_window": q_emf_kmv_per_window,
     "events_funnel": q_events_funnel,
     "events_retention": q_events_retention,
+    "graph_pagerank": q_graph_pagerank,
     "tpch_order_distribution": q_tpch_order_distribution,
     "tpch_large_volume_customer": q_tpch_large_volume_customer,
     "tpch_global_sales_opportunity": q_tpch_global_sales_opportunity,
@@ -4274,6 +4323,7 @@ ORACLE_SQL: dict[str, str] = {
     "emf_kmv_per_window": SQL_EMF_KMV_PER_WINDOW,
     "events_funnel": SQL_EVENTS_FUNNEL,
     "events_retention": SQL_EVENTS_RETENTION,
+    "graph_pagerank": _sql_graph_pagerank(),
     "tpch_order_distribution": SQL_TPCH_ORDER_DISTRIBUTION,
     "tpch_large_volume_customer": SQL_TPCH_LARGE_VOLUME_CUSTOMER,
     "tpch_global_sales_opportunity": SQL_TPCH_GLOBAL_SALES_OPPORTUNITY,

@@ -915,6 +915,46 @@ def test_hll_distinct_small_range_correction_and_validation(spark):
         sketches.hll_distinct(small, "v", p=1)
 
 
+def test_pagerank_exact_matches_python_reference(spark):
+    """The integer-arithmetic update (trunc-div contributions, percent
+    damping, zero floor for no-inflow nodes) replayed sequentially in
+    python must agree bit-for-bit, dangling nodes included."""
+    import random
+
+    from emf_spark.datax.graph import PR_SCALE, pagerank_exact
+
+    rng = random.Random(11)
+    edges = {(rng.randrange(12), rng.randrange(12)) for _ in range(40)}
+    edges.add((10, 11))  # ensure a node with no out-edges (11 dangles)
+    edges.discard((11, 10))
+    edges = {(s, d) for s, d in edges if s != 11}
+
+    def tdiv(a, b):
+        return -((-a) // b) if a < 0 else a // b
+
+    nodes = {n for e in edges for n in e}
+    deg = {}
+    for s, _d in edges:
+        deg[s] = deg.get(s, 0) + 1
+    ranks = {n: PR_SCALE for n in nodes}
+    floor = 15 * PR_SCALE // 100
+    for _ in range(3):
+        inflow = {n: 0 for n in nodes}
+        for s, d in edges:
+            inflow[d] += tdiv(ranks[s], deg[s])
+        ranks = {n: floor + tdiv(85 * inflow[n], 100) for n in nodes}
+
+    df = spark.createDataFrame(sorted(edges), "src bigint, dst bigint")
+    got = {r["node"]: r["rank"] for r in pagerank_exact(df, iters=3).collect()}
+    assert got == ranks
+    # the dangling node keeps receiving inflow but contributes none
+    assert got[11] > floor
+    with pytest.raises(ValueError):
+        pagerank_exact(df, damping_pct=101)
+    with pytest.raises(ValueError):
+        pagerank_exact(df, iters=-1)
+
+
 def test_cohort_retention_semantics(spark):
     from datetime import datetime as DT
 

@@ -157,3 +157,95 @@ def cohort_retention(
             "retention"
         ),
     )
+
+
+def rolling_active_users(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+) -> DataFrame:
+    """Daily active users plus EXACT trailing-window distinct users
+    (the DAU/WAU pair): (day, dau, rolling_users). Rolling distinct
+    does not decompose algebraically, so the standard exact form is
+    used: each active (user, day) contributes membership to the
+    ``window_days`` windows it falls in — a bounded explode (x window
+    size) followed by a distinct and a count, never a per-day re-scan
+    of the stream and never a distinct-over-window sort. Days with no
+    activity emit no row (they'd be zero).
+
+    Scale: the (user, day) distinct collapses the stream first (the
+    only event-cardinality shuffle); the explode multiplies the
+    DISTINCT user-day table by window_days, not the raw events."""
+    if window_days < 1:
+        raise ValueError("window_days must be >= 1")
+    u, t = F.col(user_col), F.col(ts_col)
+    ud = (
+        events.filter(u.isNotNull() & t.isNotNull())
+        .select(u.alias("_u"), F.to_date(t).alias("_d"))
+        .distinct()
+    )
+    dau = ud.groupBy(F.col("_d").alias("day")).agg(
+        F.count(F.lit(1)).alias("dau")
+    )
+    member = ud.select(
+        "_u",
+        F.explode(
+            F.sequence(F.col("_d"), F.date_add(F.col("_d"), window_days - 1))
+        ).alias("day"),
+    ).distinct()
+    roll = member.groupBy("day").agg(F.count(F.lit(1)).alias("rolling_users"))
+    # inner join: a window day only counts if it has own-day activity
+    # (trailing windows of silent days are rarely asked for, and the
+    # join keeps the output day set identical to DAU's)
+    return dau.join(roll, "day").select("day", "dau", "rolling_users")
+
+
+def value_outliers(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    z: int = 2,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-group z-score outliers with ZERO float operations: flag rows
+    where (x - mean)^2 > z^2 * variance, evaluated as the equivalent
+    integer inequality (x*n - S)^2 > z^2 * (SS*n - S^2) over
+    round(value*scale) bigints — population mean/variance multiplied
+    through by n^2, so the verdict is exact int64 arithmetic with no
+    division, no sqrt, and no cross-engine float risk. Returns the
+    flagged rows (id, group, value, side +/-1).
+
+    Scale shape: one algebraic (n, S, SS) aggregate per group
+    (map-side combinable), broadcast back onto the stream, one
+    comparison per row. Overflow envelope: |x*n - S| <= 2*max|x|*n, so
+    the square stays in int64 while max|x|*n*scale < ~1.5e9 — at
+    larger volumes raise the aggregate to DECIMAL(38) or pre-aggregate
+    per partition; the driver-query sizes sit far inside."""
+    g, v = F.col(group_col), F.col(value_col)
+    x = F.round(v.cast("double") * scale, 0).cast("bigint")
+    stats = (
+        events.filter(v.isNotNull())
+        .select(g.alias("_g"), x.alias("_x"))
+        .groupBy("_g")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("_x").alias("_s"),
+            F.sum(F.col("_x") * F.col("_x")).alias("_ss"),
+        )
+    )
+    joined = events.filter(v.isNotNull()).join(
+        F.broadcast(stats), g.eqNullSafe(F.col("_g"))
+    )
+    dev = x * F.col("_n") - F.col("_s")
+    var_n2 = F.col("_ss") * F.col("_n") - F.col("_s") * F.col("_s")
+    return (
+        joined.filter(dev * dev > F.lit(z * z) * var_n2)
+        .select(
+            F.col(id_col),
+            g.alias("grp"),
+            v.alias("value"),
+            F.when(dev > 0, F.lit(1)).otherwise(F.lit(-1)).alias("side"),
+        )
+    )

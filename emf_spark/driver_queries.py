@@ -3325,6 +3325,69 @@ FROM matrix m JOIN sizes s USING (cohort)
 """
 
 
+def q_events_rolling_dau(spark, sf):
+    """DAU + exact trailing-7-day distinct users
+    (funnel.rolling_active_users): rolling distinct doesn't decompose
+    algebraically, so each DISTINCT (user, day) row contributes
+    membership to the 7 windows it falls in — a bounded x7 explode of
+    the collapsed user-day table (never the raw stream), one distinct,
+    one count. No distinct-over-window sort anywhere."""
+    from emf_spark.datax.funnel import rolling_active_users
+
+    ev = _t(spark, sf, "events")
+    # day cast to timestamp on BOTH sides: duckdb's .df() maps DATE to
+    # datetime64 while Spark's toPandas gives date objects -- same
+    # values, different str() rendering under the driver's hash
+    return rolling_active_users(ev, window_days=7).select(
+        F.col("day").cast("timestamp").alias("day"), "dau", "rolling_users"
+    )
+
+
+SQL_EVENTS_ROLLING_DAU = """
+WITH ud AS (
+  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+dau AS (SELECT d AS day, COUNT(*) AS dau FROM ud GROUP BY 1),
+member AS (
+  SELECT DISTINCT u, day FROM (
+    SELECT u, UNNEST(list_transform(range(0, 7), i -> d + CAST(i AS INT)))
+             AS day
+    FROM ud)),
+roll AS (SELECT day, COUNT(*) AS rolling_users FROM member GROUP BY 1)
+SELECT CAST(d.day AS TIMESTAMP) AS day, d.dau, r.rolling_users
+FROM dau d JOIN roll r USING (day)
+"""
+
+
+def q_events_value_outliers(spark, sf):
+    """Per-type z-score outliers with ZERO float ops
+    (funnel.value_outliers): (x - mean)^2 > 4*variance evaluated as the
+    integer inequality (x*n - S)^2 > 4*(SS*n - S^2) over value-cents —
+    multiplied through by n^2 so there is no division, no sqrt, and no
+    cross-engine float risk. One algebraic (n, S, SS) aggregate
+    broadcast back onto the stream."""
+    from emf_spark.datax.funnel import value_outliers
+
+    ev = _t(spark, sf, "events")
+    return value_outliers(ev, z=2, scale=100)
+
+
+SQL_EVENTS_VALUE_OUTLIERS = """
+WITH sc AS (
+  SELECT event_id, event_type, value,
+         CAST(round(CAST(value AS DOUBLE) * 100, 0) AS BIGINT) AS x
+  FROM events WHERE value IS NOT NULL),
+st AS (SELECT event_type, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS s,
+              CAST(SUM(x * x) AS BIGINT) AS ss
+       FROM sc GROUP BY 1)
+SELECT sc.event_id, sc.event_type AS grp, sc.value,
+       CASE WHEN (sc.x * st.n - st.s) > 0 THEN 1 ELSE -1 END AS side
+FROM sc JOIN st ON sc.event_type IS NOT DISTINCT FROM st.event_type
+WHERE (sc.x * st.n - st.s) * (sc.x * st.n - st.s)
+      > 4 * (st.ss * st.n - st.s * st.s)
+"""
+
+
 def q_graph_pagerank(spark, sf):
     """Integer-exact PageRank (graph.pagerank_exact) over the
     customer<->supplier co-purchase graph (orders x lineitem edges,
@@ -4218,6 +4281,8 @@ QUERIES: dict[str, Callable] = {
     "events_funnel": q_events_funnel,
     "events_retention": q_events_retention,
     "graph_pagerank": q_graph_pagerank,
+    "events_rolling_dau": q_events_rolling_dau,
+    "events_value_outliers": q_events_value_outliers,
     "tpch_order_distribution": q_tpch_order_distribution,
     "tpch_large_volume_customer": q_tpch_large_volume_customer,
     "tpch_global_sales_opportunity": q_tpch_global_sales_opportunity,
@@ -4324,6 +4389,8 @@ ORACLE_SQL: dict[str, str] = {
     "events_funnel": SQL_EVENTS_FUNNEL,
     "events_retention": SQL_EVENTS_RETENTION,
     "graph_pagerank": _sql_graph_pagerank(),
+    "events_rolling_dau": SQL_EVENTS_ROLLING_DAU,
+    "events_value_outliers": SQL_EVENTS_VALUE_OUTLIERS,
     "tpch_order_distribution": SQL_TPCH_ORDER_DISTRIBUTION,
     "tpch_large_volume_customer": SQL_TPCH_LARGE_VOLUME_CUSTOMER,
     "tpch_global_sales_opportunity": SQL_TPCH_GLOBAL_SALES_OPPORTUNITY,

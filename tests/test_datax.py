@@ -915,6 +915,57 @@ def test_hll_distinct_small_range_correction_and_validation(spark):
         sketches.hll_distinct(small, "v", p=1)
 
 
+def test_rolling_active_users_semantics(spark):
+    from datetime import datetime as DT
+
+    from emf_spark.datax.funnel import rolling_active_users
+
+    rows = [
+        (1, DT(2024, 1, 1, 9)), (1, DT(2024, 1, 1, 17)),  # same day once
+        (2, DT(2024, 1, 1)),
+        (1, DT(2024, 1, 3)),
+        (3, DT(2024, 1, 5)),
+        (None, DT(2024, 1, 1)), (9, None),
+    ]
+    ev = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+    got = {
+        str(r["day"]): (r["dau"], r["rolling_users"])
+        for r in rolling_active_users(ev, window_days=3).collect()
+    }
+    # day1: users {1,2}; trailing-3 {1,2}
+    # day3: user {1}; trailing-3 (day1..3) {1,2}
+    # day5: user {3}; trailing-3 (day3..5) {1,3}
+    assert got == {
+        "2024-01-01": (2, 2),
+        "2024-01-03": (1, 2),
+        "2024-01-05": (1, 2),
+    }
+    with pytest.raises(ValueError):
+        rolling_active_users(ev, window_days=0)
+
+
+def test_value_outliers_integer_inequality(spark):
+    from emf_spark.datax.funnel import value_outliers
+
+    # group 'a': nine 10.00s and one 100.00 -> the 100 is the outlier
+    rows = [(i, "a", 10.0) for i in range(9)] + [(9, "a", 100.0)]
+    # group 'b': symmetric pair far apart -> NEITHER beats 2 sigma
+    # ((x*n-S)^2 = (2x-S)^2 vs 4*(SS*n - S^2): equality -> not flagged)
+    rows += [(10, "b", 0.0), (11, "b", 50.0)]
+    ev = spark.createDataFrame(rows, "event_id bigint, event_type string, value double")
+    got = {r["event_id"]: r for r in value_outliers(ev).collect()}
+    assert set(got) == {9}
+    assert got[9]["side"] == 1 and got[9]["value"] == 100.0
+
+    # python replica of the integer inequality over the 'a' group
+    xs = [1000] * 9 + [10000]
+    n, S = len(xs), sum(xs)
+    SS = sum(x * x for x in xs)
+    flagged = [i for i, x in enumerate(xs)
+               if (x * n - S) ** 2 > 4 * (SS * n - S * S)]
+    assert flagged == [9]
+
+
 def test_pagerank_exact_matches_python_reference(spark):
     """The integer-arithmetic update (trunc-div contributions, percent
     damping, zero floor for no-inflow nodes) replayed sequentially in

@@ -243,3 +243,86 @@ def hll_distinct(
         raw.alias("hll_raw"),
         corrected.alias("hll_estimate"),
     )
+
+
+def bloom_build(
+    df: DataFrame, value_col: str, m_bits: int = 4096, depth: int = 4
+) -> DataFrame:
+    """Bloom filter over a value column as an explicit SET-BIT table:
+    rows (pos:bigint), pos = portable_hash56('bf<d>:' || value) % m_bits
+    for each of ``depth`` salted hash functions. Like the CMS/KMV/HLL
+    sketches, the filter is a deterministic function of the value set
+    and the md5 hash family, so an external engine reproduces every bit
+    — which is why this is explicit rows and not Spark's opaque
+    bloom_filter_agg binary.
+
+    Scale shape: explode (x depth) + DISTINCT capped at m_bits rows out
+    regardless of input size (map-side partial distinct absorbs heavy
+    hitters). The result is broadcastable by construction (m_bits
+    rows max), which is the point: a many-GB build side collapses to a
+    kilobyte-scale runtime filter for probe-side pruning."""
+    from emf_spark.datax.dedup import portable_hash56
+
+    if m_bits < 1 or depth < 1:
+        raise ValueError("m_bits >= 1 and depth >= 1 required")
+    entries = [
+        (
+            portable_hash56(
+                F.concat(F.lit(f"bf{d}:"), F.col(value_col).cast("string"))
+            )
+            % m_bits
+        ).alias(f"p{d}")
+        for d in range(depth)
+    ]
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.explode(F.array(*entries)).alias("pos"))
+        .distinct()
+    )
+
+
+def bloom_probe(
+    probe: DataFrame,
+    bloom: DataFrame,
+    value_col: str,
+    m_bits: int = 4096,
+    depth: int = 4,
+) -> DataFrame:
+    """Add ``might_contain`` to ``probe``: true iff ALL ``depth`` bit
+    positions of the value are set in ``bloom`` (no false negatives;
+    false positives at the classic (1-e^(-dn/m))^d rate). Membership is
+    evaluated once per DISTINCT probe value — d positions, one
+    broadcast join against the <= m_bits set-bit rows, count == depth —
+    then broadcast back onto the probe rows, so the probe stream is
+    never shuffled: the pre-filter pattern for selective joins where
+    the exact build side is too big to broadcast but its bloom is
+    not."""
+    from emf_spark.datax.dedup import portable_hash56
+
+    vals = probe.filter(F.col(value_col).isNotNull()).select(
+        F.col(value_col).alias("_v")
+    ).distinct()
+    entries = [
+        (
+            portable_hash56(F.concat(F.lit(f"bf{d}:"), F.col("_v").cast("string")))
+            % m_bits
+        ).alias(f"p{d}")
+        for d in range(depth)
+    ]
+    hit = (
+        vals.select("_v", F.explode(F.array(*entries)).alias("pos"))
+        .join(F.broadcast(bloom), "pos")
+        .groupBy("_v")
+        .agg(F.count(F.lit(1)).alias("_hits"))
+    )
+    member = vals.join(hit, "_v", "left").select(
+        "_v",
+        (F.coalesce(F.col("_hits"), F.lit(0)) == depth).alias("might_contain"),
+    )
+    return probe.join(
+        F.broadcast(member),
+        F.col(value_col).eqNullSafe(F.col("_v")),
+        "left",
+    ).drop("_v").withColumn(
+        "might_contain", F.coalesce(F.col("might_contain"), F.lit(False))
+    )

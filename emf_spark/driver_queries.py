@@ -3388,6 +3388,69 @@ WHERE (sc.x * st.n - st.s) * (sc.x * st.n - st.s)
 """
 
 
+def q_emf_bloom_filter(spark, sf):
+    """Bloom-filter runtime pruning (sketches.bloom_build/bloom_probe):
+    high-value order custkeys collapse to an explicit <= 8192-row
+    set-bit table (broadcastable by construction), every customer is
+    probed (membership per DISTINCT value, probe stream never
+    shuffled), and the per-nation rollup counts probed / bloom-passed /
+    true members — making the false-positive margin a checked value.
+    Every bit is md5-hash deterministic, so the oracle reproduces the
+    filter, the verdicts, AND the false positives exactly."""
+    from emf_spark.datax import sketches
+
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    hot = o.filter(F.col("o_totalprice") > 470000).select("o_custkey")
+    bloom = sketches.bloom_build(hot, "o_custkey", m_bits=8192, depth=3)
+    probed = sketches.bloom_probe(c, bloom, "c_custkey", m_bits=8192, depth=3)
+    keys = hot.select(F.col("o_custkey").alias("_k")).distinct()
+    flagged = probed.join(
+        F.broadcast(keys), F.col("c_custkey") == F.col("_k"), "left"
+    ).withColumn("is_member", F.col("_k").isNotNull())
+    return flagged.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("probed"),
+        F.sum(F.col("might_contain").cast("bigint")).alias("bloom_pass"),
+        F.sum(F.col("is_member").cast("bigint")).alias("members"),
+        F.sum(
+            (F.col("might_contain") & ~F.col("is_member")).cast("bigint")
+        ).alias("false_pos"),
+    )
+
+
+def _sql_bloom_filter(m_bits: int = 8192, depth: int = 3) -> str:
+    def pos(d: str, val: str) -> str:
+        return (
+            f"CAST('0x' || substr(md5('bf{d}:' || CAST({val} AS VARCHAR)),"
+            f" 1, 14) AS BIGINT) % {m_bits}"
+        )
+
+    bit_selects = " UNION ALL ".join(
+        f"SELECT {pos(d, 'k')} AS pos FROM keys" for d in range(depth)
+    )
+    might = " AND ".join(
+        f"({pos(d, 'c_custkey')}) IN (SELECT pos FROM bits)"
+        for d in range(depth)
+    )
+    return f"""
+WITH keys AS (SELECT DISTINCT o_custkey AS k FROM orders
+              WHERE o_totalprice > 470000),
+bits AS (SELECT DISTINCT pos FROM ({bit_selects})),
+prob AS (
+  SELECT c_nationkey,
+         ({might}) AS might,
+         c_custkey IN (SELECT k FROM keys) AS is_member
+  FROM customer)
+SELECT c_nationkey,
+       COUNT(*) AS probed,
+       CAST(SUM(CASE WHEN might THEN 1 ELSE 0 END) AS BIGINT) AS bloom_pass,
+       CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT) AS members,
+       CAST(SUM(CASE WHEN might AND NOT is_member THEN 1 ELSE 0 END)
+            AS BIGINT) AS false_pos
+FROM prob GROUP BY 1
+"""
+
+
 def q_graph_pagerank(spark, sf):
     """Integer-exact PageRank (graph.pagerank_exact) over the
     customer<->supplier co-purchase graph (orders x lineitem edges,
@@ -4269,6 +4332,7 @@ QUERIES: dict[str, Callable] = {
     "tpch_forecast_revenue": q_tpch_forecast_revenue,
     "tpch_priority_line_mix": q_tpch_priority_line_mix,
     "emf_cms_heavy_hitters": q_emf_cms_heavy_hitters,
+    "emf_bloom_filter": q_emf_bloom_filter,
     "dedup_cluster_labels": q_dedup_cluster_labels,
     "data_snapshot_diff": q_data_snapshot_diff,
     "data_scd2_snapshot": q_data_scd2_snapshot,
@@ -4377,6 +4441,8 @@ ORACLE_SQL: dict[str, str] = {
     "tpch_forecast_revenue": SQL_TPCH_FORECAST_REVENUE,
     "tpch_priority_line_mix": SQL_TPCH_PRIORITY_LINE_MIX,
     "emf_cms_heavy_hitters": _sql_cms_heavy_hitters(),
+    "emf_bloom_filter": _sql_bloom_filter(),
+    "emf_bloom_filter": _sql_bloom_filter(),
     "dedup_cluster_labels": _sql_dedup_cluster_labels(),
     "data_snapshot_diff": SQL_DATA_SNAPSHOT_DIFF,
     "data_scd2_snapshot": SQL_DATA_SCD2_SNAPSHOT,

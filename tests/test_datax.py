@@ -966,6 +966,56 @@ def test_value_outliers_integer_inequality(spark):
     assert flagged == [9]
 
 
+def test_bloom_filter_no_false_negatives_and_python_parity(spark):
+    import hashlib
+
+    from emf_spark.datax import sketches
+
+    m, d = 64, 3  # tiny filter -> false positives guaranteed
+    build = spark.createDataFrame(
+        [(i,) for i in range(20)] + [(None,)], "k bigint"
+    )
+    probe = spark.createDataFrame([(i,) for i in range(200)], "k bigint")
+    bloom = sketches.bloom_build(build, "k", m_bits=m, depth=d)
+    got = {
+        r["k"]: r["might_contain"]
+        for r in sketches.bloom_probe(probe, bloom, "k", m_bits=m, depth=d).collect()
+    }
+
+    def positions(v):
+        return {
+            int(hashlib.md5(f"bf{j}:{v}".encode()).hexdigest()[:14], 16) % m
+            for j in range(d)
+        }
+
+    bits = set()
+    for i in range(20):
+        bits |= positions(i)
+    want = {i: positions(i) <= bits for i in range(200)}
+    assert got == want
+    # no false negatives, and the tiny filter does produce positives
+    assert all(got[i] for i in range(20))
+    assert sum(got[i] for i in range(20, 200)) > 0
+    with pytest.raises(ValueError):
+        sketches.bloom_build(build, "k", m_bits=0)
+
+
+def test_bloom_probe_plan_broadcasts(spark):
+    """The probe stream must meet the membership verdicts through a
+    broadcast join — no shuffle of the probe rows."""
+    from emf_spark.datax import sketches
+    from tests.test_plans import plan_of
+
+    build = spark.range(50).selectExpr("id as k")
+    probe = spark.range(500).selectExpr("id as k", "id % 7 as g")
+    out = sketches.bloom_probe(
+        probe, sketches.bloom_build(build, "k"), "k"
+    )
+    p = plan_of(out, "simple")
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
+
+
 def test_pagerank_exact_matches_python_reference(spark):
     """The integer-arithmetic update (trunc-div contributions, percent
     damping, zero floor for no-inflow nodes) replayed sequentially in

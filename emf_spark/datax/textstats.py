@@ -599,3 +599,58 @@ def bpe_encode_docs(
             F.sum("_n").alias("n_bpe_tokens"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 128,
+    stride: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 1,
+) -> DataFrame:
+    """Split documents into fixed-size overlapping token windows — the
+    RAG/context-window chunking primitive: (id, chunk_id, chunk,
+    n_tokens, start_tok). Chunks start every ``stride`` tokens
+    (default = chunk_tokens, i.e. disjoint), carry up to
+    ``chunk_tokens`` whitespace tokens re-joined with single spaces,
+    and tails shorter than ``min_tokens`` are dropped. A trailing
+    window that would only repeat the previous chunk's suffix is still
+    emitted when it starts before the text ends (standard sliding
+    chunking; dedup afterwards if undesired).
+
+    Pure Catalyst: split -> sequence of starts -> per-start
+    slice/array_join, one explode — no UDF, no shuffle (a chunker is a
+    map; at 100 TB the explode multiplies rows by ~n_tok/stride inside
+    the scan stage and flows straight into the next operator's
+    partitioning)."""
+    if chunk_tokens < 1:
+        raise ValueError("chunk_tokens must be >= 1")
+    stride = chunk_tokens if stride is None else stride
+    if stride < 1:
+        raise ValueError("stride must be >= 1")
+    words = F.split(
+        F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "), " "
+    )
+    n = F.size(words)
+    # blank/whitespace-only text splits to [''] (size 1) — emit nothing
+    has_text = F.length(F.trim(F.col(text_col))) > 0
+    starts = F.when(
+        has_text & (n >= 1), F.sequence(F.lit(0), n - 1, F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.alias("chunk_id"),
+            s.alias("start_tok"),
+            F.array_join(
+                F.slice(words, s + 1, chunk_tokens), " "
+            ).alias("chunk"),
+            F.least(n - s, F.lit(chunk_tokens)).alias("n_tokens"),
+        ),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(chunks).alias("_c"))
+        .select(id_col, "_c.chunk_id", "_c.start_tok", "_c.chunk", "_c.n_tokens")
+        .filter(F.col("n_tokens") >= min_tokens)
+    )

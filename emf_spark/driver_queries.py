@@ -2609,6 +2609,43 @@ BPE_MERGES = [
 ]
 
 
+def q_text_chunking(spark, sf):
+    """RAG/context-window chunking (textstats.chunk_documents): 40-token
+    sliding windows every 30 tokens, tails under 5 tokens dropped — a
+    pure map (split -> start sequence -> slice/join -> one explode),
+    no UDF and no shuffle; at 100 TB the explode multiplies rows inside
+    the scan stage. The oracle replays the tokenization, stride
+    lattice, slicing, and re-join verbatim."""
+    from emf_spark.datax.textstats import chunk_documents
+
+    d = _t(spark, sf, "documents")
+    return chunk_documents(d, chunk_tokens=40, stride=30, min_tokens=5)
+
+
+SQL_TEXT_CHUNKING = """
+WITH w AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS ws,
+         length(trim(text)) > 0 AS has_text
+  FROM documents WHERE text IS NOT NULL),
+c AS (
+  SELECT doc_id,
+         UNNEST(range(0, CAST(ceil(len(ws) / 30.0) AS BIGINT))) AS chunk_id,
+         len(ws) AS n
+  FROM w WHERE has_text AND len(ws) >= 1),
+s AS (
+  SELECT c.doc_id, CAST(c.chunk_id AS INT) AS chunk_id,
+         CAST(c.chunk_id * 30 AS INT) AS start_tok,
+         array_to_string(
+           list_slice(w.ws, c.chunk_id * 30 + 1, c.chunk_id * 30 + 40),
+           ' ') AS chunk,
+         CAST(least(c.n - c.chunk_id * 30, 40) AS INT) AS n_tokens
+  FROM c JOIN w ON c.doc_id = w.doc_id)
+SELECT doc_id, chunk_id, start_tok, chunk, n_tokens
+FROM s WHERE n_tokens >= 5
+"""
+
+
 def q_text_bpe_encode(spark, sf):
     """BPE ENCODE as pure Catalyst string rewriting
     (textstats.bpe_encode_corpus): the corpus token-frequency table
@@ -4328,6 +4365,7 @@ QUERIES: dict[str, Callable] = {
     "text_vocab_topk": q_text_vocab_topk,
     "text_inverted_index": q_text_inverted_index,
     "text_bpe_encode": q_text_bpe_encode,
+    "text_chunking": q_text_chunking,
     "tpch_order_priority_check": q_tpch_order_priority_check,
     "tpch_forecast_revenue": q_tpch_forecast_revenue,
     "tpch_priority_line_mix": q_tpch_priority_line_mix,
@@ -4437,6 +4475,7 @@ ORACLE_SQL: dict[str, str] = {
     "text_vocab_topk": SQL_TEXT_VOCAB_TOPK,
     "text_inverted_index": SQL_TEXT_INVERTED_INDEX,
     "text_bpe_encode": _sql_text_bpe_encode(),
+    "text_chunking": SQL_TEXT_CHUNKING,
     "tpch_order_priority_check": SQL_TPCH_ORDER_PRIORITY,
     "tpch_forecast_revenue": SQL_TPCH_FORECAST_REVENUE,
     "tpch_priority_line_mix": SQL_TPCH_PRIORITY_LINE_MIX,

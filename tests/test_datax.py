@@ -1088,6 +1088,43 @@ def test_cohort_retention_semantics(spark):
         cohort_retention(ev, period="month")
 
 
+def test_chunk_documents_semantics(spark):
+    from emf_spark.datax.textstats import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g"),   # 7 tokens
+            (2, "  x   y  "),        # messy whitespace -> 2 tokens
+            (3, ""),                 # blank -> nothing
+            (4, None),               # null -> nothing
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        (r["doc_id"], r["chunk_id"]): r
+        for r in chunk_documents(docs, chunk_tokens=3, stride=2).collect()
+    }
+    # doc 1 starts at 0,2,4,6: chunks 'a b c','c d e','e f g','g'
+    assert got[(1, 0)]["chunk"] == "a b c" and got[(1, 0)]["n_tokens"] == 3
+    assert got[(1, 1)]["chunk"] == "c d e" and got[(1, 1)]["start_tok"] == 2
+    assert got[(1, 2)]["chunk"] == "e f g"
+    assert got[(1, 3)]["chunk"] == "g" and got[(1, 3)]["n_tokens"] == 1
+    assert got[(2, 0)]["chunk"] == "x y"
+    assert {k[0] for k in got} == {1, 2}
+    # min_tokens drops the 1-token tail
+    kept = {
+        (r["doc_id"], r["chunk_id"])
+        for r in chunk_documents(
+            docs, chunk_tokens=3, stride=2, min_tokens=2
+        ).collect()
+    }
+    assert (1, 3) not in kept and (1, 2) in kept
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=0)
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=3, stride=0)
+
+
 def test_inverted_index_semantics(spark):
     from emf_spark.datax import textstats
 

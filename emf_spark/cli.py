@@ -68,6 +68,11 @@ def datax_main(argv) -> int:
     python -m emf_spark.cli datax funnel --events E --steps a,b,c --keys user_id --out O
     python -m emf_spark.cli datax sample --docs D --class-col cls --n 1000 --out O
     python -m emf_spark.cli datax sessionize --events E --keys user_id --gap "30 minutes" --out O
+    python -m emf_spark.cli datax chunk --docs D --out O [--chunk-tokens 128 --stride 64]
+    python -m emf_spark.cli datax mix --docs D --target N --out O [--alpha 0.5]
+    python -m emf_spark.cli datax retention --events E --out O [--period week]
+    python -m emf_spark.cli datax pagerank --edges G --out O [--iters 10]
+    python -m emf_spark.cli datax index --docs D --out O [--max-postings 20]
     """
     ap = argparse.ArgumentParser(prog="emf_spark.cli datax")
     sub = ap.add_subparsers(dest="op", required=True)
@@ -134,7 +139,38 @@ def datax_main(argv) -> int:
     se.add_argument("--gap", default="30 minutes")
     se.add_argument("--ts-col", default="ts")
     se.add_argument("--out", required=True)
-    for p in (d, dc, ts, ab, pi, vo, ig, co, bp, fu, sa, se):
+    ch = sub.add_parser("chunk", help="fixed-size overlapping token windows")
+    ch.add_argument("--docs", required=True)
+    ch.add_argument("--chunk-tokens", type=int, default=128)
+    ch.add_argument("--stride", type=int, default=None)
+    ch.add_argument("--min-tokens", type=int, default=1)
+    ch.add_argument("--out", required=True)
+    mx = sub.add_parser("mix", help="temperature-weighted class resampling")
+    mx.add_argument("--docs", required=True)
+    mx.add_argument("--class-col", default="source")
+    mx.add_argument("--target", type=int, required=True, help="target row count")
+    mx.add_argument("--alpha", type=float, default=0.5)
+    mx.add_argument("--id-col", default="doc_id")
+    mx.add_argument("--out", required=True)
+    re_ = sub.add_parser("retention", help="cohort retention triangle")
+    re_.add_argument("--events", required=True)
+    re_.add_argument("--user-col", default="user_id")
+    re_.add_argument("--ts-col", default="ts")
+    re_.add_argument("--period", default="week", choices=["week", "day"])
+    re_.add_argument("--out", required=True)
+    pr = sub.add_parser("pagerank", help="integer-exact dampened PageRank")
+    pr.add_argument("--edges", required=True, help="parquet with src/dst columns")
+    pr.add_argument("--iters", type=int, default=10)
+    pr.add_argument("--damping-pct", type=int, default=85)
+    pr.add_argument("--src-col", default="src")
+    pr.add_argument("--dst-col", default="dst")
+    pr.add_argument("--out", required=True)
+    ix = sub.add_parser("index", help="bounded inverted index over the corpus")
+    ix.add_argument("--docs", required=True)
+    ix.add_argument("--max-postings", type=int, default=20)
+    ix.add_argument("--min-df", type=int, default=1)
+    ix.add_argument("--out", required=True)
+    for p in (d, dc, ts, ab, pi, vo, ig, co, bp, fu, sa, se, ch, mx, re_, pr, ix):
         p.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args(argv)
     spark = _get_session(args.cpus)
@@ -260,6 +296,54 @@ def datax_main(argv) -> int:
         res.write.mode("overwrite").parquet(args.out)
         print(json.dumps({"op": "sessionize", "gap": args.gap,
                           "sessions": spark.read.parquet(args.out).count()}))
+    elif args.op == "chunk":
+        from emf_spark.datax.textstats import chunk_documents
+
+        chunk_documents(
+            spark.read.parquet(args.docs),
+            chunk_tokens=args.chunk_tokens,
+            stride=args.stride,
+            min_tokens=args.min_tokens,
+        ).write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"op": "chunk", "chunk_tokens": args.chunk_tokens,
+                          "rows": spark.read.parquet(args.out).count()}))
+    elif args.op == "mix":
+        from emf_spark.datax.sampling import temperature_mix
+
+        temperature_mix(
+            spark.read.parquet(args.docs), args.target,
+            class_col=args.class_col, alpha=args.alpha, id_col=args.id_col,
+        ).write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"op": "mix", "alpha": args.alpha,
+                          "rows": spark.read.parquet(args.out).count()}))
+    elif args.op == "retention":
+        from emf_spark.datax.funnel import cohort_retention
+
+        cohort_retention(
+            spark.read.parquet(args.events), user_col=args.user_col,
+            ts_col=args.ts_col, period=args.period,
+        ).write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"op": "retention", "period": args.period,
+                          "rows": spark.read.parquet(args.out).count()}))
+    elif args.op == "pagerank":
+        from emf_spark.datax.graph import pagerank_exact
+
+        pagerank_exact(
+            spark.read.parquet(args.edges), iters=args.iters,
+            damping_pct=args.damping_pct,
+            src_col=args.src_col, dst_col=args.dst_col,
+        ).write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"op": "pagerank", "iters": args.iters,
+                          "nodes": spark.read.parquet(args.out).count()}))
+    elif args.op == "index":
+        from emf_spark.datax.textstats import inverted_index
+
+        inverted_index(
+            spark.read.parquet(args.docs),
+            max_postings=args.max_postings, min_df=args.min_df,
+        ).write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"op": "index",
+                          "tokens": spark.read.parquet(args.out).count()}))
     elif args.op == "bpe":
         from pathlib import Path
 

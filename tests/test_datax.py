@@ -809,6 +809,51 @@ def test_cli_datax_surface(spark, tmp_path):
            {"n_words", "dup_word_frac"} <= cols
 
 
+def test_cli_datax_session_new_ops(spark, tmp_path):
+    """The round-4 additions reachable from the CLI: chunk / mix /
+    retention / pagerank / index."""
+    from datetime import datetime as DT
+
+    from emf_spark import cli
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta theta", "en",
+          ["en", "es"][i % 2]) for i in range(20)],
+        "doc_id bigint, text string, lang string, source string",
+    )
+    dpath = str(tmp_path / "docs.parquet")
+    docs.write.parquet(dpath)
+    assert cli.main(["datax", "chunk", "--docs", dpath, "--chunk-tokens", "3",
+                     "--stride", "2", "--out", str(tmp_path / "c1")]) == 0
+    out = spark.read.parquet(str(tmp_path / "c1"))
+    assert out.count() == 20 * 4 and "chunk" in out.columns
+    assert cli.main(["datax", "mix", "--docs", dpath, "--target", "10",
+                     "--class-col", "source", "--out", str(tmp_path / "c2")]) == 0
+    assert 0 < spark.read.parquet(str(tmp_path / "c2")).count() <= 20
+    assert cli.main(["datax", "index", "--docs", dpath, "--min-df", "2",
+                     "--out", str(tmp_path / "c3")]) == 0
+    assert spark.read.parquet(str(tmp_path / "c3")).count() == 8
+
+    ev = spark.createDataFrame(
+        [(i, i % 5, DT(2024, 1, 1 + (i % 10))) for i in range(40)],
+        "event_id bigint, user_id bigint, ts timestamp",
+    )
+    epath = str(tmp_path / "ev.parquet")
+    ev.write.parquet(epath)
+    assert cli.main(["datax", "retention", "--events", epath,
+                     "--out", str(tmp_path / "c4")]) == 0
+    assert spark.read.parquet(str(tmp_path / "c4")).count() > 0
+
+    edges = spark.createDataFrame(
+        [(i % 7, (i * 3) % 7) for i in range(30)], "src bigint, dst bigint"
+    )
+    gpath = str(tmp_path / "g.parquet")
+    edges.write.parquet(gpath)
+    assert cli.main(["datax", "pagerank", "--edges", gpath, "--iters", "2",
+                     "--out", str(tmp_path / "c5")]) == 0
+    assert spark.read.parquet(str(tmp_path / "c5")).count() == 7
+
+
 def test_lsh_topk_batch_matches_per_query(spark):
     rng = np.random.default_rng(5)
     vecs = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(150)]

@@ -83,3 +83,76 @@ def pagerank_exact(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts over the UNDIRECTED simple graph induced
+    by ``edges`` (direction, duplicates, and self-loops ignored):
+    returns ``(node, triangles)`` for every node on >= 1 triangle, each
+    triangle credited once to each of its three corners.
+
+    Scale shape — degree-ordered orientation (the Cohen / Schank-Wagner
+    MapReduce-era trick every distributed engine uses): orient each
+    undirected edge from its lower endpoint to its higher endpoint
+    under the total order ``(degree, node)``, so every node's
+    out-degree is O(sqrt(m)) and the wedge self-join materializes
+    sum-of-C(outdeg, 2) rows instead of sum-of-C(deg, 2) — on a
+    power-law graph the difference between a bounded shuffle and a
+    hub-node explosion. Each triangle {a < b < c} (in orientation
+    order) is then counted exactly once as the wedge (a->b, a->c)
+    closed by the oriented edge (b->c); the closing step is a plain
+    equi-join on (b, c), never a filter over a cartesian. Three
+    shuffles total (degree agg, wedge join, closing join) plus the
+    final per-node aggregate; nothing collects to the driver.
+
+    Determinism: pure set semantics end to end — no floats, no
+    ordering sensitivity — so an external SQL engine reproduces the
+    exact counts (oracle: same orientation via DuckDB row-value
+    comparison ``(d, n) < (d, n)``)."""
+    e = (
+        edges.select(F.col(src_col).alias("_a"), F.col(dst_col).alias("_b"))
+        .filter(F.col("_a").isNotNull() & F.col("_b").isNotNull())
+        .filter(F.col("_a") != F.col("_b"))
+        .select(
+            F.least("_a", "_b").alias("_u"), F.greatest("_a", "_b").alias("_v")
+        )
+        .distinct()
+    )
+    und = e.unionByName(
+        e.select(F.col("_v").alias("_u"), F.col("_u").alias("_v"))
+    )
+    deg = und.groupBy(F.col("_u").alias("_n")).agg(
+        F.count(F.lit(1)).alias("_d")
+    )
+    # Orient each canonical edge by (degree, node); carry no payload.
+    with_deg = (
+        e.join(deg.select(F.col("_n").alias("_u"), F.col("_d").alias("_du")),
+               "_u")
+        .join(deg.select(F.col("_n").alias("_v"), F.col("_d").alias("_dv")),
+              "_v")
+    )
+    u_first = (F.col("_du") < F.col("_dv")) | (
+        (F.col("_du") == F.col("_dv")) & (F.col("_u") < F.col("_v"))
+    )
+    oriented = with_deg.select(
+        F.when(u_first, F.col("_u")).otherwise(F.col("_v")).alias("_s"),
+        F.when(u_first, F.col("_v")).otherwise(F.col("_u")).alias("_t"),
+    ).localCheckpoint(eager=True)
+    e1 = oriented.select(F.col("_s").alias("_wa"), F.col("_t").alias("_wb"))
+    e2 = oriented.select(F.col("_s").alias("_wa"), F.col("_t").alias("_wc"))
+    wedges = e1.join(e2, "_wa").filter(F.col("_wb") != F.col("_wc"))
+    closed = wedges.join(
+        oriented,
+        (F.col("_wb") == F.col("_s")) & (F.col("_wc") == F.col("_t")),
+    )
+    return (
+        closed.select(
+            F.explode(F.array("_wa", "_wb", "_wc")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )

@@ -3536,6 +3536,79 @@ r{n} AS (
     return f"WITH {body}\nSELECT node, rank AS pr FROM r{iters}"
 
 
+def q_basket_item_pairs(spark, sf):
+    """Market-basket co-occurrence (datax/baskets.py): top-50
+    co-ordered part pairs by support over lineitem baskets, each
+    basket deterministically capped at its 5 smallest partkeys (the
+    quadratic-blowup bound a 100 TB basket stream needs), total
+    deterministic order (support DESC, item_a, item_b) so ties never
+    make the set run-dependent. TakeOrderedAndProject, never a global
+    sort."""
+    from emf_spark.datax.baskets import item_pairs, top_pairs
+
+    li = _t(spark, sf, "lineitem")
+    return top_pairs(item_pairs(li, "l_orderkey", "l_partkey",
+                                max_items=5), 50)
+
+
+SQL_BASKET_ITEM_PAIRS = """
+WITH bi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+capped AS (
+  SELECT bk, it FROM (
+    SELECT bk, it, ROW_NUMBER() OVER (PARTITION BY bk ORDER BY it) AS rn
+    FROM bi) WHERE rn <= 5)
+SELECT a.it AS item_a, b.it AS item_b, COUNT(*) AS support
+FROM capped a JOIN capped b ON a.bk = b.bk AND a.it < b.it
+GROUP BY 1, 2
+ORDER BY support DESC, item_a, item_b LIMIT 50
+"""
+
+
+def q_graph_triangles(spark, sf):
+    """Per-node triangle counts (graph.triangle_count) over the
+    co-purchase part graph: an edge links two parts co-ordered in the
+    same basket (>= 25 qty lines only, baskets capped at their 5
+    smallest partkeys via datax/baskets.item_pairs). Degree-ordered
+    orientation bounds the wedge join at O(m^1.5) total rows — the
+    hub-safe distributed triangle algorithm — and pure set semantics
+    make every count exactly reproducible by the SQL oracle."""
+    from emf_spark.datax.baskets import item_pairs
+    from emf_spark.datax.graph import triangle_count
+
+    li = _t(spark, sf, "lineitem").filter(F.col("l_quantity") >= 25)
+    edges = item_pairs(li, "l_orderkey", "l_partkey", max_items=5)
+    return triangle_count(edges, "item_a", "item_b")
+
+
+SQL_GRAPH_TRIANGLES = """
+WITH bi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+            FROM lineitem WHERE l_quantity >= 25),
+capped AS (
+  SELECT bk, it FROM (
+    SELECT bk, it, ROW_NUMBER() OVER (PARTITION BY bk ORDER BY it) AS rn
+    FROM bi) WHERE rn <= 5),
+e AS (SELECT a.it AS u, b.it AS v
+      FROM capped a JOIN capped b ON a.bk = b.bk AND a.it < b.it
+      GROUP BY 1, 2),
+und AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+deg AS (SELECT u AS n, COUNT(*) AS d FROM und GROUP BY 1),
+o AS (
+  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+              THEN e.u ELSE e.v END AS s,
+         CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+              THEN e.v ELSE e.u END AS t
+  FROM e JOIN deg du ON e.u = du.n JOIN deg dv ON e.v = dv.n),
+tri AS (
+  SELECT e1.s AS a, e1.t AS b, e2.t AS c
+  FROM o e1
+  JOIN o e2 ON e1.s = e2.s AND e1.t <> e2.t
+  JOIN o e3 ON e3.s = e1.t AND e3.t = e2.t)
+SELECT node, COUNT(*) AS triangles
+FROM (SELECT UNNEST([a, b, c]) AS node FROM tri)
+GROUP BY node
+"""
+
+
 def q_events_funnel(spark, sf):
     """Ordered-funnel operator (datax/funnel.py): per (user, day) unit,
     view -> click -> purchase with strict time ordering; long-form
@@ -4407,6 +4480,8 @@ QUERIES: dict[str, Callable] = {
     "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
     "multimodal_gif_decode": q_multimodal_gif_decode,
     "multimodal_g711_decode": q_multimodal_g711_decode,
+    "basket_item_pairs": q_basket_item_pairs,
+    "graph_triangles": q_graph_triangles,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -4481,7 +4556,6 @@ ORACLE_SQL: dict[str, str] = {
     "tpch_priority_line_mix": SQL_TPCH_PRIORITY_LINE_MIX,
     "emf_cms_heavy_hitters": _sql_cms_heavy_hitters(),
     "emf_bloom_filter": _sql_bloom_filter(),
-    "emf_bloom_filter": _sql_bloom_filter(),
     "dedup_cluster_labels": _sql_dedup_cluster_labels(),
     "data_snapshot_diff": SQL_DATA_SNAPSHOT_DIFF,
     "data_scd2_snapshot": SQL_DATA_SCD2_SNAPSHOT,
@@ -4517,4 +4591,6 @@ ORACLE_SQL: dict[str, str] = {
     "emf_percentiles_hist": SQL_PERCENTILES_HIST,
     "multimodal_gif_decode": SQL_MULTIMODAL_GIF_DECODE,
     "multimodal_g711_decode": SQL_MULTIMODAL_G711_DECODE,
+    "basket_item_pairs": SQL_BASKET_ITEM_PAIRS,
+    "graph_triangles": SQL_GRAPH_TRIANGLES,
 }

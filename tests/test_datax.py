@@ -2432,3 +2432,76 @@ def test_compressed_meta_probe_hardening(spark):
     assert (got["f"]["format"], got["f"]["width"], got["f"]["height"]) == ("jpeg", 20, 10)
     assert got["bp"]["format"] == "unknown"
     assert got["zg"]["format"] == "unknown"
+
+
+def test_item_pairs_support_cap_and_guards(spark):
+    """Pair supports count DISTINCT baskets (duplicate lines collapse),
+    NULL baskets/items are excluded, and the max_items cap keeps each
+    basket's smallest item ids — a pure function of the data, so a
+    retry or another engine picks the identical subset."""
+    from emf_spark.datax.baskets import item_pairs, top_pairs
+
+    rows = [
+        ("b1", 3), ("b1", 1), ("b1", 2), ("b1", 2),  # dup line
+        ("b2", 1), ("b2", 3),
+        ("b3", 1), ("b3", 3),
+        (None, 1), ("b4", None), ("b5", 9),          # null / singleton
+    ]
+    df = spark.createDataFrame(rows, "bk string, it int")
+    got = {
+        (r["item_a"], r["item_b"]): r["support"]
+        for r in item_pairs(df, "bk", "it").collect()
+    }
+    assert got == {(1, 2): 1, (1, 3): 3, (2, 3): 1}
+
+    # cap=2 keeps {1,2} of b1 — pair (1,3) loses b1's contribution
+    capped = {
+        (r["item_a"], r["item_b"]): r["support"]
+        for r in item_pairs(df, "bk", "it", max_items=2).collect()
+    }
+    assert capped == {(1, 2): 1, (1, 3): 2}
+
+    top = top_pairs(item_pairs(df, "bk", "it"), 2).collect()
+    assert [(r["item_a"], r["item_b"], r["support"]) for r in top] == [
+        (1, 3, 3), (1, 2, 1),  # ties broken by (item_a, item_b) asc
+    ]
+    with pytest.raises(ValueError):
+        item_pairs(df, "bk", "it", max_items=1)
+    with pytest.raises(ValueError):
+        top_pairs(item_pairs(df, "bk", "it"), 0)
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    """Per-node triangle counts on a random graph — with duplicate,
+    reversed, and self-loop edges thrown in — must equal the O(n^3)
+    python reference over the normalized simple undirected graph, and
+    the wedge/closing joins must be equi-joins (no cartesian)."""
+    import itertools
+    import random
+
+    from emf_spark.datax.graph import triangle_count
+    from tests.test_plans import plan_of
+
+    rng = random.Random(7)
+    und = {tuple(sorted(rng.sample(range(14), 2))) for _ in range(45)}
+    adj = {}
+    for u, v in und:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    want = {}
+    for a, b, c in itertools.combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for n in (a, b, c):
+                want[n] = want.get(n, 0) + 1
+
+    noisy = (
+        [(u, v) for u, v in und]
+        + [(v, u) for u, v in list(und)[:10]]   # reversed dups
+        + [(u, u) for u in range(5)]            # self-loops
+        + [(None, 1), (2, None)]
+    )
+    df = spark.createDataFrame(noisy, "src bigint, dst bigint")
+    got = {r["node"]: r["triangles"] for r in triangle_count(df).collect()}
+    assert got == want
+    p = plan_of(triangle_count(df), "simple")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p

@@ -1,0 +1,272 @@
+"""Telemetry time-series operators: reset-aware counter increase
+(the PromQL ``increase()`` primitive), gap-fill resampling with
+forward fill, exponentially-weighted smoothing on an integer lattice,
+and multi-window SLO burn-rate flags.
+
+These are the read-side queries every log/metric pipeline runs over
+what the EMF aggregation path writes (counters, gauges, error events),
+so they live beside the dedup/quality datax ops as first-class
+components. Reference analog: the aggregator's count/sum accumulation
+per flush window (fluent-bit-emf/aggregator.go) is the WRITE side of
+exactly these counters.
+
+Design rules shared by every function here:
+
+- **Integer lattice, exact oracles.** Gauge doubles are scaled to
+  integer cents (``round(value * scale)`` → BIGINT) at the boundary,
+  every subsequent step is integer arithmetic, and at most one final
+  double division happens after aggregation — so DuckDB replays every
+  row bit-for-bit and the driver's zero-tolerance hash compare holds.
+- **Deterministic order.** Every window orders by ``(ts, tiebreak)``
+  with a caller-named unique tiebreak column; two samples can share a
+  timestamp without making lag/last_value run-dependent.
+- **Per-series windows only.** All windows partition by the series
+  key; nothing ever funnels the whole stream through one partition.
+  A million series parallelize across executors; a single series'
+  samples co-locate, which is the correct (and unavoidable) unit of
+  sequential work for lag/ffill semantics. Grid generation is
+  ``sequence()`` off a per-series min/max AGGREGATE — O(series) rows
+  exploded to O(series x buckets), never a driver-side loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def _scaled(value_col: str, scale: int) -> Column:
+    """Gauge double -> integer lattice. ``round`` half-up on the
+    scaled double is IEEE-portable for 2-decimal fixtures; callers
+    with adversarial decimals should pre-scale upstream."""
+    return F.round(F.col(value_col) * scale).cast("long")
+
+
+def counter_increase(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-series reset-aware counter increase — PromQL ``increase()``
+    over the full input range. For consecutive samples ``prev -> cur``
+    (ordered by ``(ts, tiebreak)``): if ``cur >= prev`` the counter
+    grew by ``cur - prev``; if ``cur < prev`` the counter RESET
+    (process restart) and the growth since the reset is ``cur`` itself
+    (counters restart from 0). The first sample contributes nothing —
+    growth before the range started is unknowable.
+
+    Returns one row per series: ``(*key_cols, samples, resets,
+    increase_units, last_units)`` — all BIGINT on the ``scale``
+    lattice.
+
+    Scale shape: one window partitioned by the series key (per-series
+    lag is the semantic unit of work), then a map-side-combinable
+    aggregate on the same key — AQE reuses the window's hash
+    partitioning, so the whole operator is a single shuffle."""
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, tiebreak_col)
+    v = _scaled(value_col, scale)
+    prev = F.lag(v).over(w)
+    inc = (
+        F.when(prev.isNull(), F.lit(0))
+        .when(v >= prev, v - prev)
+        .otherwise(v)
+    )
+    reset = F.when(prev.isNotNull() & (v < prev), 1).otherwise(0)
+    return (
+        df.select(*key_cols, F.col(ts_col), F.col(tiebreak_col),
+                  inc.alias("_inc"), reset.alias("_rst"), v.alias("_v"))
+        .groupBy(*key_cols)
+        .agg(
+            F.count(F.lit(1)).alias("samples"),
+            F.sum("_rst").alias("resets"),
+            F.sum("_inc").alias("increase_units"),
+            F.max(
+                F.struct(F.col(ts_col), F.col(tiebreak_col),
+                         F.col("_v").alias("_v"))
+            ).getField("_v").alias("last_units"),
+        )
+    )
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    step_seconds: int,
+    scale: int = 100,
+) -> DataFrame:
+    """Gap-fill each series onto a regular ``step_seconds`` grid and
+    forward-fill missing buckets from the last observed value. Grid
+    spans each series' own ``[floor(min ts), floor(max ts)]`` bucket
+    range; within a bucket the LAST observation by ``(ts, tiebreak)``
+    wins; buckets before a series' first observation cannot occur by
+    construction (the grid starts at the first observed bucket).
+
+    Returns ``(*key_cols, bucket_start:long epoch-seconds,
+    value_units:long, filled:int)`` — ``filled=1`` marks rows whose
+    value was carried forward rather than observed.
+
+    Scale shape: bucket-last is an algebraic struct-max aggregate
+    (map-side combinable); the grid explodes off a per-series min/max
+    aggregate (O(series) rows in, O(series x buckets) out — never a
+    driver loop); the fill join is an equi-join on (key, bucket) and
+    the ffill window partitions by series. Bucket count per series is
+    bounded by range/step — choose ``step_seconds`` so that bound
+    holds (document: a 1-year span at 1s steps is 31M rows per series;
+    that is a caller bug, not an engine surprise)."""
+    if step_seconds <= 0:
+        raise ValueError("step_seconds must be positive")
+    u = F.unix_timestamp(F.col(ts_col))  # BIGINT; % stays integer-exact
+    bucket = u - u % step_seconds
+    obs = df.select(
+        *key_cols,
+        bucket.alias("bucket_start"),
+        F.struct(
+            F.col(ts_col), F.col(tiebreak_col),
+            _scaled(value_col, scale).alias("_v"),
+        ).alias("_p"),
+    )
+    last_per_bucket = (
+        obs.groupBy(*key_cols, "bucket_start")
+        .agg(F.max("_p").getField("_v").alias("_obs"))
+    )
+    grid = (
+        obs.groupBy(*key_cols)
+        .agg(F.min("bucket_start").alias("_lo"), F.max("bucket_start").alias("_hi"))
+        .select(
+            *key_cols,
+            F.explode(
+                F.sequence(F.col("_lo"), F.col("_hi"), F.lit(step_seconds))
+            ).alias("bucket_start"),
+        )
+    )
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("bucket_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(last_per_bucket, [*key_cols, "bucket_start"], "left")
+        .select(
+            *key_cols,
+            "bucket_start",
+            F.last("_obs", ignorenulls=True).over(w).alias("value_units"),
+            F.when(F.col("_obs").isNull(), 1).otherwise(0).alias("filled"),
+        )
+    )
+
+
+def ewma(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    alpha_num: int,
+    alpha_den: int,
+    scale: int = 100,
+) -> DataFrame:
+    """Exponentially-weighted moving average per series, final value
+    only, on the integer lattice: ``s_0 = x_0``; ``s_t = (alpha_num *
+    x_t + (alpha_den - alpha_num) * s_{t-1}) div alpha_den`` with
+    truncating integer division — every step exact, so any engine
+    folding the same ordered list reproduces the identical BIGINT.
+
+    Returns ``(*key_cols, samples, ewma_units)``.
+
+    The fold runs over ``sort_array(collect_list(...))`` per series —
+    a deliberate semantic choice, not a scale accident: EWMA is a
+    sequential recurrence, so one series is irreducibly one task's
+    work, exactly like the ffill window above. The collected array is
+    bounded by samples-per-series; for unbounded streams use the
+    streaming job's stateful path instead. Requires nonnegative
+    values (lattice trunc-div is engine-portable only away from the
+    sign boundary) — enforced with a filter documented to the caller."""
+    if not (0 < alpha_num < alpha_den):
+        raise ValueError("need 0 < alpha_num < alpha_den")
+    pts = df.filter(F.col(value_col) >= 0).select(
+        *key_cols,
+        F.struct(
+            F.col(ts_col), F.col(tiebreak_col),
+            _scaled(value_col, scale).alias("_v"),
+        ).alias("_p"),
+    )
+    a, b, d = alpha_num, alpha_den - alpha_num, alpha_den
+    # acc < 0 is the "no sample yet" sentinel; first sample seeds s_0.
+    # (e - e % d) / d is exact (numerator is a multiple of d and well
+    # under 2^53 for cent-scaled telemetry), then cast back to long.
+    def step(acc, p):
+        e = F.lit(a) * p.getField("_v") + F.lit(b) * acc
+        return F.when(acc < 0, p.getField("_v")).otherwise(
+            ((e - e % F.lit(d)) / F.lit(d)).cast("long")
+        )
+
+    return (
+        pts.groupBy(*key_cols)
+        .agg(F.sort_array(F.collect_list("_p")).alias("_ps"))
+        .select(
+            *key_cols,
+            F.size("_ps").alias("samples"),
+            F.aggregate("_ps", F.lit(-1).cast("long"), step).alias("ewma_units"),
+        )
+    )
+
+
+def burn_rate(
+    df: DataFrame,
+    ts_col: str,
+    error_pred: Column,
+    short_seconds: int,
+    long_seconds: int,
+    threshold_x: int = 2,
+) -> DataFrame:
+    """Multi-window SLO burn-rate flags: bucket events into SHORT
+    windows, compare each short window's error ratio against the
+    enclosing LONG window's ratio, and flag short windows burning
+    ``threshold_x`` times faster — the standard paging rule (short
+    window confirms the long window's budget burn is current).
+
+    Ratios stay exact: basis-point BIGINTs via ``errors * 10000 div
+    total`` (truncating); the flag compares ``short_bp >
+    threshold_x * long_bp`` in integers. Returns one row per short
+    bucket: ``(bucket_start, total, errors, short_bp, long_bp,
+    burning)``.
+
+    Scale shape: two algebraic COUNT aggregates (short keyed by short
+    bucket, long by long bucket) — both map-side combinable — and one
+    equi-join from short to its enclosing long bucket. The long side
+    is tiny (range/long_seconds rows) and broadcasts."""
+    if short_seconds <= 0 or long_seconds % short_seconds != 0:
+        raise ValueError("long_seconds must be a positive multiple of short_seconds")
+    u = F.unix_timestamp(F.col(ts_col))  # BIGINT; % stays integer-exact
+    sb = u - u % short_seconds
+    base = df.select(
+        sb.alias("bucket_start"),
+        (sb - sb % long_seconds).alias("_lb"),
+        F.when(error_pred, 1).otherwise(0).alias("_err"),
+    )
+    short = base.groupBy("bucket_start", "_lb").agg(
+        F.count(F.lit(1)).alias("total"), F.sum("_err").alias("errors")
+    )
+    long_ = base.groupBy("_lb").agg(
+        F.count(F.lit(1)).alias("_lt"), F.sum("_err").alias("_le")
+    )
+    bp = lambda e, t: ((e * 10000 - (e * 10000) % t) / t).cast("long")
+    return (
+        short.join(F.broadcast(long_), "_lb")
+        .select(
+            "bucket_start", "total", "errors",
+            bp(F.col("errors"), F.col("total")).alias("short_bp"),
+            bp(F.col("_le"), F.col("_lt")).alias("long_bp"),
+            F.when(
+                bp(F.col("errors"), F.col("total"))
+                > threshold_x * bp(F.col("_le"), F.col("_lt")),
+                1,
+            ).otherwise(0).alias("burning"),
+        )
+    )

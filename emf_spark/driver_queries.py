@@ -3609,6 +3609,136 @@ GROUP BY node
 """
 
 
+def q_ts_counter_increase(spark, sf):
+    """PromQL-style reset-aware counter increase
+    (datax/timeseries.counter_increase): per-user total growth of the
+    value series treating any drop as a counter reset (restart from 0
+    contributes the post-reset value). Integer-cent lattice end to
+    end; one per-series lag window + one same-key algebraic aggregate
+    (single shuffle). The read-side dual of the reference aggregator's
+    count/sum accumulation (fluent-bit-emf/aggregator.go)."""
+    from emf_spark.datax.timeseries import counter_increase
+
+    ev = _t(spark, sf, "events")
+    return counter_increase(ev, ["user_id"], "ts", "value", "event_id")
+
+
+SQL_TS_COUNTER_INCREASE = """
+WITH s AS (
+  SELECT user_id, ts, event_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS v,
+         LAG(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS pv
+  FROM events)
+SELECT user_id,
+       COUNT(*) AS samples,
+       CAST(SUM(CASE WHEN pv IS NOT NULL AND v < pv THEN 1 ELSE 0 END)
+            AS BIGINT) AS resets,
+       CAST(SUM(CASE WHEN pv IS NULL THEN 0
+                     WHEN v >= pv THEN v - pv ELSE v END)
+            AS BIGINT) AS increase_units,
+       (MAX(struct_pack(ts := ts, eid := event_id, v := v))).v
+         AS last_units
+FROM s GROUP BY user_id
+"""
+
+
+def q_ts_resample_ffill(spark, sf):
+    """Gap-fill resampling (datax/timeseries.resample_ffill): each
+    user's purchase-value series onto a 6-hour grid, forward-filling
+    empty buckets from the last observation (last-by-(ts, event_id)
+    wins inside a bucket). Grid explodes off a per-series min/max
+    aggregate -- O(series) in, O(series x buckets) out, never a driver
+    loop -- and the fill window partitions per series."""
+    from emf_spark.datax.timeseries import resample_ffill
+
+    ev = _t(spark, sf, "events").filter(F.col("event_type") == "purchase")
+    return resample_ffill(ev, ["user_id"], "ts", "value", "event_id", 21600)
+
+
+SQL_TS_RESAMPLE_FFILL = """
+WITH obs AS (
+  SELECT user_id, e - e % 21600 AS bucket_start, ts, event_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS v
+  FROM (SELECT *, CAST(FLOOR(epoch(ts)) AS BIGINT) AS e
+        FROM events WHERE event_type = 'purchase')),
+lastb AS (
+  SELECT user_id, bucket_start, v FROM (
+    SELECT user_id, bucket_start, v,
+           ROW_NUMBER() OVER (PARTITION BY user_id, bucket_start
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM obs) WHERE rn = 1),
+bounds AS (SELECT user_id, MIN(bucket_start) AS lo, MAX(bucket_start) AS hi
+           FROM obs GROUP BY user_id),
+grid AS (SELECT user_id,
+                UNNEST(range(lo, hi + 21600, 21600)) AS bucket_start
+         FROM bounds)
+SELECT g.user_id, g.bucket_start,
+       LAST_VALUE(l.v IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.bucket_start
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_units,
+       CASE WHEN l.v IS NULL THEN 1 ELSE 0 END AS filled
+FROM grid g LEFT JOIN lastb l USING (user_id, bucket_start)
+"""
+
+
+def q_ts_ewma(spark, sf):
+    """Integer-lattice EWMA (datax/timeseries.ewma), alpha = 3/10:
+    s_0 = x_0, s_t = (3*x_t + 7*s_{t-1}) div 10 with truncating
+    division -- every step exact, so DuckDB's list_reduce over the
+    identically-ordered list reproduces the final BIGINT bit-for-bit.
+    The recurrence is irreducibly sequential per series, so the fold
+    runs over a per-series sorted collect_list (series length bounded;
+    unbounded streams use the streaming stateful path)."""
+    from emf_spark.datax.timeseries import ewma
+
+    ev = _t(spark, sf, "events")
+    return ewma(ev, ["user_id"], "ts", "value", "event_id", 3, 10)
+
+
+SQL_TS_EWMA = """
+SELECT user_id, CAST(LEN(l) AS INTEGER) AS samples,
+       list_reduce(l, (acc, x) -> (3 * x + 7 * acc) // 10) AS ewma_units
+FROM (SELECT user_id,
+             list(CAST(ROUND(value * 100) AS BIGINT)
+                  ORDER BY ts, event_id) AS l
+      FROM events WHERE value >= 0 GROUP BY user_id)
+"""
+
+
+def q_ts_error_burn(spark, sf):
+    """Multi-window SLO burn-rate flags (datax/timeseries.burn_rate):
+    hourly error ratio vs the enclosing day's ratio, paging when the
+    hour burns > 2x the day -- ratios as exact basis-point BIGINTs
+    (errors*10000 div total), so the flag itself is oracle-checked.
+    Two map-side-combinable count aggregates + one broadcast join from
+    hours to their (tiny) day rollup."""
+    from emf_spark.datax.timeseries import burn_rate
+
+    ev = _t(spark, sf, "events")
+    return burn_rate(ev, "ts", F.col("event_type") == "error", 3600, 86400)
+
+
+SQL_TS_ERROR_BURN = """
+WITH b AS (
+  SELECT e - e % 3600 AS bucket_start, e - e % 86400 AS lb,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS err
+  FROM (SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) AS e, event_type
+        FROM events)),
+s AS (SELECT bucket_start, lb, COUNT(*) AS total,
+             CAST(SUM(err) AS BIGINT) AS errors
+      FROM b GROUP BY bucket_start, lb),
+l AS (SELECT lb, COUNT(*) AS lt, CAST(SUM(err) AS BIGINT) AS le
+      FROM b GROUP BY lb)
+SELECT bucket_start, total, errors,
+       errors * 10000 // total AS short_bp,
+       le * 10000 // lt AS long_bp,
+       CASE WHEN errors * 10000 // total > 2 * (le * 10000 // lt)
+            THEN 1 ELSE 0 END AS burning
+FROM s JOIN l USING (lb)
+"""
+
+
 def q_events_funnel(spark, sf):
     """Ordered-funnel operator (datax/funnel.py): per (user, day) unit,
     view -> click -> purchase with strict time ordering; long-form
@@ -4482,6 +4612,10 @@ QUERIES: dict[str, Callable] = {
     "multimodal_g711_decode": q_multimodal_g711_decode,
     "basket_item_pairs": q_basket_item_pairs,
     "graph_triangles": q_graph_triangles,
+    "ts_counter_increase": q_ts_counter_increase,
+    "ts_resample_ffill": q_ts_resample_ffill,
+    "ts_ewma": q_ts_ewma,
+    "ts_error_burn": q_ts_error_burn,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -4593,4 +4727,8 @@ ORACLE_SQL: dict[str, str] = {
     "multimodal_g711_decode": SQL_MULTIMODAL_G711_DECODE,
     "basket_item_pairs": SQL_BASKET_ITEM_PAIRS,
     "graph_triangles": SQL_GRAPH_TRIANGLES,
+    "ts_counter_increase": SQL_TS_COUNTER_INCREASE,
+    "ts_resample_ffill": SQL_TS_RESAMPLE_FFILL,
+    "ts_ewma": SQL_TS_EWMA,
+    "ts_error_burn": SQL_TS_ERROR_BURN,
 }

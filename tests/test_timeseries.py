@@ -1,0 +1,109 @@
+"""datax/timeseries: python-reference replays of the integer-lattice
+telemetry operators (reset-aware counter increase, gap-fill ffill,
+EWMA fold, burn-rate flags) plus guard/edge coverage. Reference
+analog: these are read-side queries over the counter/gauge shapes the
+EMF aggregator (fluent-bit-emf/aggregator.go) accumulates."""
+
+from datetime import datetime as DT, timedelta as TD
+
+import pytest
+from pyspark.sql import functions as F
+
+from emf_spark.datax import timeseries as TS
+
+
+def _rows(vals, t0=DT(2024, 1, 1)):
+    """(key, ts, id, value) rows: vals = {key: [v0, v1, ...]} spaced
+    10 min apart, ids unique and increasing."""
+    out, i = [], 0
+    for k, vs in vals.items():
+        for j, v in enumerate(vs):
+            out.append((k, t0 + TD(minutes=10 * j), i, v))
+            i += 1
+    return out
+
+
+def test_counter_increase_reset_semantics(spark):
+    """prev->cur drop is a reset contributing cur; first sample
+    contributes 0; ties on ts break by the tiebreak column."""
+    rows = _rows({"a": [1.00, 3.50, 0.40, 2.40], "b": [5.00]})
+    # a: +0, +250, reset(+40), +200 -> 490, 1 reset, last 240
+    rows.append(("c", DT(2024, 1, 1), 100, 2.00))
+    rows.append(("c", DT(2024, 1, 1), 101, 1.00))  # same ts, id-ordered
+    df = spark.createDataFrame(rows, "k string, ts timestamp, eid long, value double")
+    got = {r["k"]: r.asDict() for r in
+           TS.counter_increase(df, ["k"], "ts", "value", "eid").collect()}
+    assert got["a"]["increase_units"] == 490
+    assert (got["a"]["resets"], got["a"]["last_units"]) == (1, 240)
+    assert got["b"]["samples"] == 1 and got["b"]["increase_units"] == 0
+    # c: 200 -> 100 is a reset (tiebreak decides order), last = 100
+    assert (got["c"]["resets"], got["c"]["increase_units"],
+            got["c"]["last_units"]) == (1, 100, 100)
+
+
+def test_resample_ffill_grid_and_fill(spark):
+    """Grid spans [first, last] observed bucket per series; in-bucket
+    last-by-(ts, tiebreak) wins; gaps carry the previous value with
+    filled=1."""
+    t0 = DT(2024, 1, 1)
+    rows = [
+        ("a", t0, 1, 1.00),
+        ("a", t0 + TD(seconds=30), 2, 2.00),          # same bucket, later ts
+        ("a", t0 + TD(seconds=180), 3, 9.99),          # bucket 3 (gap 1,2)
+        ("b", t0 + TD(seconds=60), 4, 7.00),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, eid long, value double")
+    got = sorted(
+        (r["k"], r["bucket_start"], r["value_units"], r["filled"])
+        for r in TS.resample_ffill(df, ["k"], "ts", "value", "eid", 60).collect()
+    )
+    e0 = int(t0.timestamp())
+    assert got == [
+        ("a", e0, 200, 0), ("a", e0 + 60, 200, 1), ("a", e0 + 120, 200, 1),
+        ("a", e0 + 180, 999, 0), ("b", e0 + 60, 700, 0),
+    ]
+    with pytest.raises(ValueError):
+        TS.resample_ffill(df, ["k"], "ts", "value", "eid", 0)
+
+
+def test_ewma_matches_python_fold(spark):
+    """The engine's sentinel fold must equal the sequential python
+    recurrence s_t = (n*x + (d-n)*s) // d with s_0 = x_0."""
+    vals = {"a": [1.23, 4.56, 0.01, 9.99, 3.33], "b": [2.00]}
+    df = spark.createDataFrame(
+        _rows(vals), "k string, ts timestamp, eid long, value double")
+    got = {r["k"]: (r["samples"], r["ewma_units"]) for r in
+           TS.ewma(df, ["k"], "ts", "value", "eid", 3, 10).collect()}
+    for k, vs in vals.items():
+        cents = [round(v * 100) for v in vs]
+        s = cents[0]
+        for x in cents[1:]:
+            s = (3 * x + 7 * s) // 10
+        assert got[k] == (len(vs), s)
+    with pytest.raises(ValueError):
+        TS.ewma(df, ["k"], "ts", "value", "eid", 10, 10)
+    with pytest.raises(ValueError):
+        TS.ewma(df, ["k"], "ts", "value", "eid", 0, 10)
+
+
+def test_burn_rate_flags_and_guards(spark):
+    """Hour vs day basis-point ratios in pure integers; the > 2x flag
+    fires only where the short window really burns faster."""
+    t0 = DT(2024, 1, 1)
+    rows = []
+    eid = 0
+    # hour 0: 8 errors / 10 total (8000bp); hours 1..9: 0/10 each
+    for h in range(10):
+        for i in range(10):
+            rows.append((t0 + TD(hours=h, minutes=i), "error" if h == 0 and i < 8 else "ok", eid))
+            eid += 1
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, eid long")
+    out = {r["bucket_start"]: r.asDict() for r in
+           TS.burn_rate(df, "ts", F.col("event_type") == "error", 3600, 86400).collect()}
+    e0 = int(t0.timestamp())
+    day_bp = 8 * 10000 // 100
+    assert out[e0]["short_bp"] == 8000 and out[e0]["long_bp"] == day_bp
+    assert out[e0]["burning"] == 1
+    assert all(v["burning"] == 0 for k, v in out.items() if k != e0)
+    with pytest.raises(ValueError):
+        TS.burn_rate(df, "ts", F.col("event_type") == "error", 3600, 5000)

@@ -3739,6 +3739,137 @@ FROM s JOIN l USING (lb)
 """
 
 
+def q_entity_fuzzy_match(spark, sf):
+    """Blocked fuzzy entity matching (datax/entity.fuzzy_match): a
+    deterministically-dirtied copy of the customer master (one third
+    suffixed, one third last-char-mutated, one third clean) is linked
+    back to the clean list. Candidates come from an EQUI-join on the
+    noise-surviving name fragment substr(c_name, 10, 7) (blocks of
+    <= 100 ids sharing leading pad digits — the scale contract), the
+    levenshtein refine runs JVM-side, and best-per-dirty-record is an
+    algebraic struct-min. Both the dirt and the match decisions replay
+    exactly in the oracle."""
+    from emf_spark.datax.entity import fuzzy_match
+
+    cust = _t(spark, sf, "customer")
+    blk = F.substring("c_name", 10, 7)
+    k3 = F.col("c_custkey") % 3
+    dname = (
+        F.when(k3 == 0, F.concat(F.col("c_name"), F.lit("x")))
+        .when(k3 == 1, F.concat(F.substring("c_name", 1, 17), F.lit("Z")))
+        .otherwise(F.col("c_name"))
+    )
+    dirty = cust.select(
+        F.col("c_custkey").alias("dirty_id"), dname.alias("dname"),
+        blk.alias("blk"),
+    )
+    clean = cust.select("c_custkey", "c_name", blk.alias("blk"))
+    return fuzzy_match(
+        dirty, clean, "dirty_id", "dname", "c_custkey", "c_name", "blk", 1
+    )
+
+
+SQL_ENTITY_FUZZY_MATCH = """
+WITH clean AS (
+  SELECT c_custkey, c_name, substr(c_name, 10, 7) AS blk FROM customer),
+dirty AS (
+  SELECT c_custkey AS dirty_id,
+         CASE c_custkey % 3
+           WHEN 0 THEN c_name || 'x'
+           WHEN 1 THEN substr(c_name, 1, 17) || 'Z'
+           ELSE c_name END AS dname,
+         substr(c_name, 10, 7) AS blk
+  FROM customer),
+cand AS (
+  SELECT d.dirty_id, c.c_custkey, c.c_name,
+         CAST(levenshtein(d.dname, c.c_name) AS INTEGER) AS dist
+  FROM dirty d JOIN clean c USING (blk)
+  WHERE levenshtein(d.dname, c.c_name) <= 1)
+SELECT dirty_id, c_custkey, dist FROM (
+  SELECT dirty_id, c_custkey, dist,
+         ROW_NUMBER() OVER (PARTITION BY dirty_id
+                            ORDER BY dist, c_custkey, c_name) AS rn
+  FROM cand) WHERE rn = 1
+"""
+
+
+def q_data_profile(spark, sf):
+    """Column profiler (datax/profile.profile) over documents: one
+    scan, one aggregate (multi-count_distinct via a single Expand),
+    one driver-size row exploded to the long (column, stats) form —
+    adding a column adds expressions, never passes."""
+    from emf_spark.datax.profile import profile
+
+    docs = _t(spark, sf, "documents")
+    return profile(docs, ["doc_id", "lang", "source", "n_chars"])
+
+
+SQL_DATA_PROFILE = """
+SELECT 'doc_id' AS "column", COUNT(*) AS n_rows,
+       COUNT(*) - COUNT(doc_id) AS n_nulls,
+       COUNT(DISTINCT doc_id) AS n_distinct,
+       CAST(MIN(doc_id) AS VARCHAR) AS min_repr,
+       CAST(MAX(doc_id) AS VARCHAR) AS max_repr
+FROM documents
+UNION ALL
+SELECT 'lang', COUNT(*), COUNT(*) - COUNT(lang), COUNT(DISTINCT lang),
+       CAST(MIN(lang) AS VARCHAR), CAST(MAX(lang) AS VARCHAR)
+FROM documents
+UNION ALL
+SELECT 'source', COUNT(*), COUNT(*) - COUNT(source),
+       COUNT(DISTINCT source),
+       CAST(MIN(source) AS VARCHAR), CAST(MAX(source) AS VARCHAR)
+FROM documents
+UNION ALL
+SELECT 'n_chars', COUNT(*), COUNT(*) - COUNT(n_chars),
+       COUNT(DISTINCT n_chars),
+       CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
+FROM documents
+"""
+
+
+def q_rank_rrf_fusion(spark, sf):
+    """Reciprocal Rank Fusion (datax/rank.rrf_fuse) of two document
+    retrievers — longest-document (n_chars DESC) and an md5 pseudo-
+    relevance ordering — each cut to its top 200 by
+    TakeOrderedAndProject BEFORE the bounded rank window (the
+    limit-then-rank pattern), fused on the 10^12 integer lattice
+    (SCALE div (k + rank)), top 100 out. Every fused score is a
+    BIGINT the oracle reproduces bit-for-bit."""
+    from emf_spark.datax.rank import rrf_fuse, top_ranked
+
+    docs = _t(spark, sf, "documents")
+    r1 = top_ranked(
+        docs, "doc_id",
+        [F.col("n_chars").desc(), F.col("doc_id").asc()], 200,
+    )
+    r2 = top_ranked(
+        docs, "doc_id",
+        [F.md5(F.col("text").cast("binary")).asc(), F.col("doc_id").asc()],
+        200,
+    )
+    return rrf_fuse([r1, r2], k=60, top=100).select(
+        F.col("id").alias("doc_id"), "lists", "score_units"
+    )
+
+
+SQL_RANK_RRF_FUSION = """
+WITH r1 AS (
+  SELECT doc_id AS id,
+         ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS rank
+  FROM documents ORDER BY n_chars DESC, doc_id LIMIT 200),
+r2 AS (
+  SELECT doc_id AS id,
+         ROW_NUMBER() OVER (ORDER BY md5(text), doc_id) AS rank
+  FROM documents ORDER BY md5(text), doc_id LIMIT 200),
+u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+SELECT id AS doc_id, COUNT(*) AS lists,
+       CAST(SUM(1000000000000 // (60 + rank)) AS BIGINT) AS score_units
+FROM u GROUP BY id
+ORDER BY score_units DESC, doc_id LIMIT 100
+"""
+
+
 def q_events_funnel(spark, sf):
     """Ordered-funnel operator (datax/funnel.py): per (user, day) unit,
     view -> click -> purchase with strict time ordering; long-form
@@ -4616,6 +4747,9 @@ QUERIES: dict[str, Callable] = {
     "ts_resample_ffill": q_ts_resample_ffill,
     "ts_ewma": q_ts_ewma,
     "ts_error_burn": q_ts_error_burn,
+    "entity_fuzzy_match": q_entity_fuzzy_match,
+    "data_profile": q_data_profile,
+    "rank_rrf_fusion": q_rank_rrf_fusion,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -4731,4 +4865,7 @@ ORACLE_SQL: dict[str, str] = {
     "ts_resample_ffill": SQL_TS_RESAMPLE_FFILL,
     "ts_ewma": SQL_TS_EWMA,
     "ts_error_burn": SQL_TS_ERROR_BURN,
+    "entity_fuzzy_match": SQL_ENTITY_FUZZY_MATCH,
+    "data_profile": SQL_DATA_PROFILE,
+    "rank_rrf_fusion": SQL_RANK_RRF_FUSION,
 }

@@ -2505,3 +2505,78 @@ def test_triangle_count_matches_bruteforce(spark):
     assert got == want
     p = plan_of(triangle_count(df), "simple")
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+
+def test_fuzzy_match_blocking_and_best(spark):
+    """Candidates only within a block; dist > max_dist drops the
+    record entirely; ties break by (dist, right_id) so the winner is
+    data-deterministic."""
+    from emf_spark.datax.entity import fuzzy_match
+
+    left = spark.createDataFrame(
+        [(1, "smith", "s"), (2, "smyth", "s"), (3, "smith", "t"),
+         (4, "zzzzz", "s"), (5, "jones", None)],
+        "lid int, lname string, blk string",
+    )
+    right = spark.createDataFrame(
+        [(10, "smith", "s"), (11, "smith", "s"), (20, "smith", "t")],
+        "rid int, rname string, blk string",
+    )
+    got = {r["lid"]: (r["rid"], r["dist"]) for r in
+           fuzzy_match(left, right, "lid", "lname", "rid", "rname",
+                       "blk", 1).collect()}
+    # 1: exact dup names -> lowest rid wins; 2: dist 1; 3: other block;
+    # 4: nothing within 1; 5: NULL block excluded
+    assert got == {1: (10, 0), 2: (10, 1), 3: (20, 0)}
+    with pytest.raises(ValueError):
+        fuzzy_match(left, right, "lid", "lname", "rid", "rname", "blk", -1)
+
+
+def test_profile_counts_nulls_and_reprs(spark):
+    from emf_spark.datax.profile import profile
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b"), (None, "a")],
+        "x int, s string",
+    )
+    got = {r["column"]: r.asDict() for r in profile(df, ["x", "s"]).collect()}
+    assert got["x"] == {"column": "x", "n_rows": 4, "n_nulls": 1,
+                        "n_distinct": 2, "min_repr": "1", "max_repr": "2"}
+    assert got["s"] == {"column": "s", "n_rows": 4, "n_nulls": 1,
+                        "n_distinct": 2, "min_repr": "a", "max_repr": "b"}
+    with pytest.raises(ValueError):
+        profile(df, [])
+
+
+def test_rrf_fusion_matches_python(spark):
+    """Integer-lattice RRF vs a python replay; limit-then-rank keeps
+    the global window bounded (plan shows TakeOrderedAndProject for
+    the cut, no full-sort Exchange below it)."""
+    from emf_spark.datax.rank import RRF_SCALE, rrf_fuse, top_ranked
+    from tests.test_plans import plan_of
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 11, (i * 53) % 13) for i in range(40)],
+        "id long, a long, b long",
+    )
+    r1 = top_ranked(df, "id", [F.col("a").desc(), F.col("id").asc()], 10)
+    r2 = top_ranked(df, "id", [F.col("b").asc(), F.col("id").asc()], 10)
+    got = [(r["id"], r["lists"], r["score_units"])
+           for r in rrf_fuse([r1, r2], k=60, top=5).collect()]
+
+    rows = [(i, (i * 37) % 11, (i * 53) % 13) for i in range(40)]
+    pr1 = {i: n + 1 for n, (i, _, _) in
+           enumerate(sorted(rows, key=lambda r: (-r[1], r[0]))[:10])}
+    pr2 = {i: n + 1 for n, (i, _, _) in
+           enumerate(sorted(rows, key=lambda r: (r[2], r[0]))[:10])}
+    score = {}
+    for pr in (pr1, pr2):
+        for i, rk in pr.items():
+            score[i] = score.get(i, 0) + RRF_SCALE // (60 + rk)
+    want = sorted(score.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert got == [(i, (i in pr1) + (i in pr2), s) for i, s in want]
+    assert "TakeOrderedAndProject" in plan_of(r1, "simple")
+    with pytest.raises(ValueError):
+        rrf_fuse([], k=60)
+    with pytest.raises(ValueError):
+        top_ranked(df, "id", [F.col("a")], 0)

@@ -546,3 +546,157 @@ def kmeans_exact(
         F.col("_b.i").cast("int").alias("cluster"),
         F.col("_b.d").alias("dist"),
     )
+
+
+def _argmin_struct(sv: F.Column, cents: list[list[int]]) -> F.Column:
+    """(d, i) struct of the nearest centroid: lexicographic struct-min
+    == min exact squared L2 with lowest-index tie-break, as ONE
+    expression tree (see kmeans_exact for why single-tree matters)."""
+    d = _lattice_dists(sv, cents)
+    idx = F.sequence(F.lit(0), F.lit(len(cents) - 1))
+    return F.array_min(
+        F.zip_with(d, idx, lambda x, i: F.struct(x.alias("d"), i.alias("i")))
+    )
+
+
+def _sq_dist(a: list[int], b: list[int]) -> int:
+    return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+
+def pq_train(
+    df: DataFrame,
+    m_sub: int = 4,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10**6,
+) -> list[list[list[int]]]:
+    """Product-quantization codebooks: split each scaled vector into
+    ``m_sub`` contiguous subspaces and run exact integer-lattice Lloyd
+    k-means independently in each — same protocol as kmeans_exact
+    (lowest-id seeds, argmin with lowest-index tie-break, trunc-div
+    centroid means, empty clusters keep their centroid), so an
+    external SQL engine replays all ``m_sub`` trainings bit-for-bit.
+    Returns ``codebooks[s][c] = centroid ints`` (len dim/m_sub each).
+
+    Scale shape: all subspaces train in the SAME distributed pass per
+    iteration — one explode to (subspace, subvector) rows (m_sub x
+    fan-out of a column-pruned scan), one chained-CASE argmin keyed by
+    the subspace id, one (subspace, cluster) aggregate that
+    partial-combines map-side; m_sub*k rows reach the driver per
+    round. Compare IVF-PQ in Faiss/Spark ANN implementations — this
+    is the exact-arithmetic variant of the standard layout."""
+    if k < 1 or iters < 0 or m_sub < 1:
+        raise ValueError("k >= 1, iters >= 0, m_sub >= 1 required")
+    sv = df.select(
+        F.col(id_col).alias("_id"),
+        _scaled_vec(F.col(vec_col), scale).alias("_sv"),
+    )
+    seeds = sv.orderBy("_id").limit(k).collect()
+    if not seeds:
+        raise ValueError("input is empty")
+    dim = len(seeds[0]["_sv"])
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    d = dim // m_sub
+    books = [
+        [[int(x) for x in r["_sv"][s * d:(s + 1) * d]] for r in seeds]
+        for s in range(m_sub)
+    ]
+    subs = sv.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).alias("_s"),
+                    F.slice("_sv", s * d + 1, d).alias("_x"),
+                )
+                for s in range(m_sub)
+            ])
+        ).alias("_e")
+    ).select(F.col("_e._s").alias("_s"), F.col("_e._x").alias("_x"))
+    for _ in range(iters):
+        assign = F.when(
+            F.col("_s") == 0, _argmin_struct(F.col("_x"), books[0])["i"]
+        )
+        for s in range(1, m_sub):
+            assign = assign.when(
+                F.col("_s") == s, _argmin_struct(F.col("_x"), books[s])["i"]
+            )
+        rows = (
+            subs.select("_s", assign.alias("_c"), "_x")
+            .groupBy("_s", "_c")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                *[F.sum(F.col("_x")[i]).alias(f"s{i}") for i in range(d)],
+            )
+            .collect()
+        )
+        for r in rows:
+            books[int(r["_s"])][int(r["_c"])] = [
+                _trunc_div(int(r[f"s{i}"]), int(r["_n"])) for i in range(d)
+            ]
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    books: list[list[list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10**6,
+) -> DataFrame:
+    """``(id_col, codes:array<int>)`` — nearest-codebook-entry index
+    per subspace. Pure map (one projection of m_sub fused argmin
+    expressions, JVM codegen): dim floats compress to m_sub small ints
+    per row, the ~dim/m_sub-fold index-size reduction that makes
+    billion-vector ANN storable."""
+    m_sub, d = len(books), len(books[0][0])
+    codes = F.array(*[
+        _argmin_struct(
+            F.slice(_scaled_vec(F.col(vec_col), scale), s * d + 1, d),
+            books[s],
+        )["i"].cast("int")
+        for s in range(m_sub)
+    ])
+    return df.select(F.col(id_col), codes.alias("codes"))
+
+
+def pq_topk(
+    df: DataFrame,
+    books: list[list[list[int]]],
+    q_scaled: list[int],
+    topk: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10**6,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: per subspace the exact squared
+    L2 from the scaled query slice to each codebook entry is
+    precomputed driver-side into an m_sub x k literal lookup table, so
+    the scan costs m_sub array lookups + one add chain per row (no
+    per-row distance math), then TakeOrderedAndProject cuts to
+    ``topk`` by (approx dist, id). Returns ``(id_col, adist)`` —
+    BIGINT, oracle-exact. At 100 TB the scan reads only the codes
+    column of the encoded table; here encode fuses into the same pass
+    for a self-contained operator."""
+    if topk < 1:
+        raise ValueError("topk must be positive")
+    m_sub, d = len(books), len(books[0][0])
+    if len(q_scaled) != m_sub * d:
+        raise ValueError("query dimension mismatch")
+    luts = [
+        [_sq_dist(q_scaled[s * d:(s + 1) * d], cent) for cent in books[s]]
+        for s in range(m_sub)
+    ]
+    enc = pq_encode(df, books, id_col, vec_col, scale)
+    adist = None
+    for s in range(m_sub):
+        lut = F.array(*[F.lit(int(v)).cast("bigint") for v in luts[s]])
+        term = F.element_at(lut, F.col("codes")[s] + 1)
+        adist = term if adist is None else adist + term
+    return (
+        enc.select(F.col(id_col), adist.alias("adist"))
+        .orderBy(F.col("adist").asc(), F.col(id_col).asc())
+        .limit(topk)
+    )

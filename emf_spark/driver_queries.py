@@ -2753,6 +2753,98 @@ c{n + 1} AS (
     )
 
 
+def q_ann_pq_topk(spark, sf):
+    """Product-quantization ANN (similarity.pq_train/pq_topk): 4
+    subspaces x 4 centroids trained with 2 exact integer-lattice Lloyd
+    rounds EACH — all subspaces in the same distributed pass per round
+    (explode to (subspace, subvector), chained-CASE argmin, one
+    map-side-combinable aggregate) — then an asymmetric-distance scan
+    against vec_id 0's vector where the per-subspace query->centroid
+    distances are a driver-built literal LUT (the scan is m_sub array
+    lookups + adds per row, no distance math). The ORACLE REPLAYS THE
+    WHOLE THING: 4 unrolled subspace trainings, encode, LUT, top-50 —
+    every adist BIGINT must agree bit-for-bit. The Faiss IVF-PQ
+    layout's PQ half, on a provable lattice."""
+    from emf_spark.datax.similarity import _scaled_vec, pq_topk, pq_train
+
+    e = _t(spark, sf, "embeddings")
+    q_scaled = [
+        int(x)
+        for x in e.filter(F.col("vec_id") == 0)
+        .select(_scaled_vec(F.col("embedding"), 10**6).alias("q"))
+        .first()["q"]
+    ]
+    books = pq_train(e, m_sub=4, k=4, iters=2)
+    return pq_topk(e, books, q_scaled, topk=50)
+
+
+def _sql_pq(m_sub: int = 4, k: int = 4, iters: int = 2, dim: int = 64,
+            scale: int = 10**6, topk: int = 50, qid: int = 0) -> str:
+    d = dim // m_sub
+    rng = f"range(1, {d + 1})"
+    parts = [f"""sv AS (
+  SELECT vec_id, list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * {scale}, 0) AS BIGINT)) AS sv
+  FROM embeddings)"""]
+    for s in range(m_sub):
+        a, b = s * d + 1, (s + 1) * d
+        parts.append(f"""x{s} AS (SELECT vec_id, sv[{a}:{b}] AS x FROM sv),
+c{s}_0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+         x AS cl
+  FROM (SELECT vec_id, x FROM x{s} ORDER BY vec_id LIMIT {k}))""")
+        for n in range(iters + 1):
+            parts.append(f"""a{s}_{n} AS (
+  SELECT vec_id, x, cluster FROM (
+    SELECT vec_id, x, cluster,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY dist, cluster) AS rn
+    FROM (SELECT v.vec_id, v.x, c.cluster,
+                 CAST(list_sum(list_transform({rng},
+                      i -> (v.x[i] - c.cl[i]) * (v.x[i] - c.cl[i])))
+                      AS BIGINT) AS dist
+          FROM x{s} v, c{s}_{n} c)) WHERE rn = 1)""")
+            if n == iters:
+                break
+            parts.append(f"""u{s}_{n} AS (
+  SELECT cluster, UNNEST({rng}) AS i,
+         UNNEST(list_transform({rng}, j -> x[j])) AS v
+  FROM a{s}_{n}),
+g{s}_{n} AS (SELECT cluster, i, CAST(SUM(v) AS BIGINT) AS s, COUNT(*) AS n
+             FROM u{s}_{n} GROUP BY 1, 2),
+cr{s}_{n + 1} AS (
+  SELECT cluster,
+         list(CASE WHEN s < 0 THEN -(CAST(abs(s) AS BIGINT) // n)
+                   ELSE s // n END ORDER BY i) AS cl
+  FROM g{s}_{n} GROUP BY 1),
+c{s}_{n + 1} AS (
+  SELECT * FROM cr{s}_{n + 1}
+  UNION ALL
+  SELECT cluster, cl FROM c{s}_{n}
+  WHERE cluster NOT IN (SELECT cluster FROM cr{s}_{n + 1}))""")
+        parts.append(f"""q{s} AS (SELECT sv[{a}:{b}] AS x FROM sv
+                                  WHERE vec_id = {qid}),
+lut{s} AS (
+  SELECT c.cluster,
+         CAST(list_sum(list_transform({rng},
+              i -> (q.x[i] - c.cl[i]) * (q.x[i] - c.cl[i])))
+              AS BIGINT) AS ld
+  FROM c{s}_{iters} c, q{s} q)""")
+    joins = " ".join(
+        f"JOIN a{s}_{iters} a{s} ON a0.vec_id = a{s}.vec_id" for s in range(1, m_sub)
+    ) + " " + " ".join(
+        f"JOIN lut{s} l{s} ON a{s}.cluster = l{s}.cluster" for s in range(m_sub)
+    )
+    total = " + ".join(f"l{s}.ld" for s in range(m_sub))
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\n"
+        f"SELECT a0.vec_id, ({total}) AS adist\n"
+        f"FROM a0_{iters} a0 {joins}\n"
+        f"ORDER BY adist, a0.vec_id LIMIT {topk}"
+    )
+
+
 def q_tpch_order_priority_check(spark, sf):
     """TPC-H Q4 shape (order-priority check): EXISTS-style left-semi
     join of orders against late-shipping lineitems (this schema has no
@@ -4750,6 +4842,7 @@ QUERIES: dict[str, Callable] = {
     "entity_fuzzy_match": q_entity_fuzzy_match,
     "data_profile": q_data_profile,
     "rank_rrf_fusion": q_rank_rrf_fusion,
+    "ann_pq_topk": q_ann_pq_topk,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -4868,4 +4961,5 @@ ORACLE_SQL: dict[str, str] = {
     "entity_fuzzy_match": SQL_ENTITY_FUZZY_MATCH,
     "data_profile": SQL_DATA_PROFILE,
     "rank_rrf_fusion": SQL_RANK_RRF_FUSION,
+    "ann_pq_topk": _sql_pq(),
 }

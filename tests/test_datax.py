@@ -2580,3 +2580,68 @@ def test_rrf_fusion_matches_python(spark):
         rrf_fuse([], k=60)
     with pytest.raises(ValueError):
         top_ranked(df, "id", [F.col("a")], 0)
+
+
+def test_pq_train_encode_adc_matches_python(spark):
+    """Full PQ replay: per-subspace Lloyd training (lowest-id seeds,
+    lowest-index argmin tie-break, trunc-div means, empty-cluster
+    carry), encode, and the ADC lookup-table distance must all equal a
+    sequential python reference on the same lattice."""
+    import random
+
+    from emf_spark.datax.similarity import (
+        _sq_dist, _trunc_div, pq_encode, pq_topk, pq_train)
+
+    rng = random.Random(3)
+    dim, m, k, iters, scale = 8, 2, 3, 2, 100
+    vecs = {i: [rng.uniform(-1, 1) for _ in range(dim)] for i in range(30)}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>")
+
+    # python reference (round-half-up on the double, like F.round)
+    import decimal
+    sv = {i: [int(decimal.Decimal(v * scale).quantize(
+        0, rounding=decimal.ROUND_HALF_UP)) for v in vs]
+        for i, vs in vecs.items()}
+    d = dim // m
+    books = [[sv[i][s * d:(s + 1) * d] for i in sorted(sv)[:k]]
+             for s in range(m)]
+    def amin(x, cents):
+        ds = [_sq_dist(x, c) for c in cents]
+        return min(range(len(cents)), key=lambda j: (ds[j], j))
+    for _ in range(iters):
+        for s in range(m):
+            sums, ns = {}, {}
+            for i in sorted(sv):
+                x = sv[i][s * d:(s + 1) * d]
+                c = amin(x, books[s])
+                ns[c] = ns.get(c, 0) + 1
+                sums[c] = [a + b for a, b in zip(sums.get(c, [0] * d), x)]
+            for c in ns:
+                books[s][c] = [_trunc_div(v, ns[c]) for v in sums[c]]
+
+    got_books = pq_train(df, m, k, iters, scale=scale)
+    assert got_books == books
+
+    want_codes = {i: [amin(sv[i][s * d:(s + 1) * d], books[s])
+                      for s in range(m)] for i in sv}
+    got_codes = {r["vec_id"]: list(r["codes"]) for r in
+                 pq_encode(df, books, scale=scale).collect()}
+    assert got_codes == want_codes
+
+    q = sv[0]
+    luts = [[_sq_dist(q[s * d:(s + 1) * d], c) for c in books[s]]
+            for s in range(m)]
+    want = sorted(
+        ((sum(luts[s][want_codes[i][s]] for s in range(m)), i) for i in sv)
+    )[:5]
+    got = [(r["adist"], r["vec_id"]) for r in
+           pq_topk(df, books, q, topk=5, scale=scale).collect()]
+    assert got == [(a, i) for a, i in want]
+
+    with pytest.raises(ValueError):
+        pq_train(df, m_sub=3, k=k)   # 8 % 3 != 0
+    with pytest.raises(ValueError):
+        pq_topk(df, books, q[:-1], topk=5, scale=scale)
+    with pytest.raises(ValueError):
+        pq_topk(df, books, q, topk=0, scale=scale)

@@ -270,3 +270,53 @@ def burn_rate(
             ).otherwise(0).alias("burning"),
         )
     )
+
+
+def mad_anomalies(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    threshold_x: int = 3,
+    scale: int = 100,
+) -> DataFrame:
+    """Robust per-series anomaly detection: a sample is anomalous when
+    ``|x - median| > threshold_x * MAD`` (MAD = median absolute
+    deviation) — the outlier rule that, unlike z-scores, is not itself
+    dragged by the outliers it hunts. Returns one row per series:
+    ``(*key_cols, samples, med_units, mad_units, anomalies)``.
+
+    Exactness: values on the integer-cent lattice; medians use exact
+    interpolation (``a + (b-a)*0.5``), so on integer inputs every
+    median/MAD is a whole or half unit — double-exact and
+    engine-portable (DuckDB's quantile_cont computes the identical
+    value); the comparison therefore needs no tolerance.
+
+    Scale shape: ONE exchange total — both whole-partition percentile
+    windows and the final aggregate share the series-key hash
+    partitioning, so Catalyst plans window -> window -> partial-free
+    agg without re-shuffling. Per-series data co-locates (required by
+    median semantics); millions of series parallelize."""
+    if threshold_x <= 0:
+        raise ValueError("threshold_x must be positive")
+    wk = Window.partitionBy(*key_cols)
+    v = _scaled(value_col, scale)
+    med = F.percentile(F.col("_v"), F.lit(0.5)).over(wk)
+    dev = F.abs(F.col("_v") - F.col("_med"))
+    mad = F.percentile(F.col("_dev"), F.lit(0.5)).over(wk)
+    return (
+        df.select(*key_cols, v.alias("_v"))
+        .withColumn("_med", med)
+        .withColumn("_dev", dev)
+        .withColumn("_mad", mad)
+        .groupBy(*key_cols)
+        .agg(
+            F.count(F.lit(1)).alias("samples"),
+            F.min("_med").alias("med_units"),
+            F.min("_mad").alias("mad_units"),
+            F.sum(
+                F.when(
+                    F.col("_dev") > threshold_x * F.col("_mad"), 1
+                ).otherwise(0)
+            ).alias("anomalies"),
+        )
+    )

@@ -3831,6 +3831,37 @@ FROM s JOIN l USING (lb)
 """
 
 
+def q_ts_mad_anomalies(spark, sf):
+    """Robust anomaly detection (datax/timeseries.mad_anomalies):
+    per-user median + MAD on the integer-cent lattice, flagging
+    samples with |x - median| > 3 * MAD. Exact-interpolated medians on
+    integer inputs are whole/half units — double-exact in BOTH engines
+    — so even this 'statistical' query is zero-tolerance oracled. One
+    exchange: both percentile windows and the final aggregate share
+    the series-key partitioning."""
+    from emf_spark.datax.timeseries import mad_anomalies
+
+    ev = _t(spark, sf, "events")
+    return mad_anomalies(ev, ["user_id"], "value", 3)
+
+
+SQL_TS_MAD_ANOMALIES = """
+WITH s AS (SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS v
+           FROM events),
+m AS (SELECT user_id, quantile_cont(v, 0.5) AS med FROM s GROUP BY user_id),
+d AS (SELECT s.user_id, v, med, abs(v - med) AS dev
+      FROM s JOIN m USING (user_id)),
+md AS (SELECT user_id, quantile_cont(dev, 0.5) AS mad
+       FROM d GROUP BY user_id)
+SELECT d.user_id, COUNT(*) AS samples,
+       MIN(med) AS med_units, MIN(mad) AS mad_units,
+       CAST(SUM(CASE WHEN dev > 3 * mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS anomalies
+FROM d JOIN md USING (user_id)
+GROUP BY d.user_id
+"""
+
+
 def q_entity_fuzzy_match(spark, sf):
     """Blocked fuzzy entity matching (datax/entity.fuzzy_match): a
     deterministically-dirtied copy of the customer master (one third
@@ -4839,6 +4870,7 @@ QUERIES: dict[str, Callable] = {
     "ts_resample_ffill": q_ts_resample_ffill,
     "ts_ewma": q_ts_ewma,
     "ts_error_burn": q_ts_error_burn,
+    "ts_mad_anomalies": q_ts_mad_anomalies,
     "entity_fuzzy_match": q_entity_fuzzy_match,
     "data_profile": q_data_profile,
     "rank_rrf_fusion": q_rank_rrf_fusion,
@@ -4958,6 +4990,7 @@ ORACLE_SQL: dict[str, str] = {
     "ts_resample_ffill": SQL_TS_RESAMPLE_FFILL,
     "ts_ewma": SQL_TS_EWMA,
     "ts_error_burn": SQL_TS_ERROR_BURN,
+    "ts_mad_anomalies": SQL_TS_MAD_ANOMALIES,
     "entity_fuzzy_match": SQL_ENTITY_FUZZY_MATCH,
     "data_profile": SQL_DATA_PROFILE,
     "rank_rrf_fusion": SQL_RANK_RRF_FUSION,

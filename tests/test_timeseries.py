@@ -107,3 +107,37 @@ def test_burn_rate_flags_and_guards(spark):
     assert all(v["burning"] == 0 for k, v in out.items() if k != e0)
     with pytest.raises(ValueError):
         TS.burn_rate(df, "ts", F.col("event_type") == "error", 3600, 5000)
+
+
+def test_mad_anomalies_matches_python(spark):
+    """Median/MAD/flag replayed in python (exact half/quarter-lattice
+    interpolation), plus the one-exchange plan claim: a single
+    shuffle Exchange feeds window -> window -> final aggregate."""
+    import statistics
+
+    vals = {"a": [1.00, 1.10, 0.90, 1.05, 50.00, 0.95],
+            "b": [2.00, 2.00, 2.00], "c": [7.77]}
+    df = spark.createDataFrame(
+        [(k, v) for k, vs in vals.items() for v in vs],
+        "k string, value double")
+    got = {r["k"]: r.asDict() for r in
+           TS.mad_anomalies(df, ["k"], "value", 3).collect()}
+    for k, vs in vals.items():
+        cents = [round(v * 100) for v in vs]
+        med = statistics.median(cents)
+        devs = [abs(c - med) for c in cents]
+        mad = statistics.median(devs)
+        n_anom = sum(1 for d in devs if d > 3 * mad)
+        assert got[k]["samples"] == len(vs)
+        assert got[k]["med_units"] == float(med)
+        assert got[k]["mad_units"] == float(mad)
+        assert got[k]["anomalies"] == n_anom, k
+    # MAD=0 series (b, c): only strictly-positive deviations flag
+    assert got["b"]["anomalies"] == 0 and got["c"]["anomalies"] == 0
+    assert got["a"]["anomalies"] == 1
+
+    from tests.test_plans import plan_of
+    p = plan_of(TS.mad_anomalies(df, ["k"], "value", 3), "simple")
+    assert p.count("Exchange hashpartitioning") == 1, p[:2000]
+    with pytest.raises(ValueError):
+        TS.mad_anomalies(df, ["k"], "value", 0)

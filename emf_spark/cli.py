@@ -73,6 +73,14 @@ def datax_main(argv) -> int:
     python -m emf_spark.cli datax retention --events E --out O [--period week]
     python -m emf_spark.cli datax pagerank --edges G --out O [--iters 10]
     python -m emf_spark.cli datax index --docs D --out O [--max-postings 20]
+    python -m emf_spark.cli datax profile --path P --cols a,b,c --out O
+    python -m emf_spark.cli datax match --left L --right R --block-col b --out O [--max-dist 2]
+    python -m emf_spark.cli datax rate --events E --keys user_id --out O
+    python -m emf_spark.cli datax resample --events E --keys user_id --step 3600 --out O
+    python -m emf_spark.cli datax burn --events E --error-type error --out O
+    python -m emf_spark.cli datax anomalies --events E --keys user_id --out O [--threshold-x 3]
+    python -m emf_spark.cli datax triangles --edges G --out O
+    python -m emf_spark.cli datax pairs --baskets B --basket-col bk --item-col it --out O
     """
     ap = argparse.ArgumentParser(prog="emf_spark.cli datax")
     sub = ap.add_subparsers(dest="op", required=True)
@@ -170,7 +178,63 @@ def datax_main(argv) -> int:
     ix.add_argument("--max-postings", type=int, default=20)
     ix.add_argument("--min-df", type=int, default=1)
     ix.add_argument("--out", required=True)
-    for p in (d, dc, ts, ab, pi, vo, ig, co, bp, fu, sa, se, ch, mx, re_, pr, ix):
+    pf = sub.add_parser("profile", help="per-column null/distinct/min/max profile")
+    pf.add_argument("--path", required=True)
+    pf.add_argument("--cols", required=True, help="comma-separated column names")
+    pf.add_argument("--out", required=True)
+    fm = sub.add_parser("match", help="blocked fuzzy entity matching")
+    fm.add_argument("--left", required=True)
+    fm.add_argument("--right", required=True)
+    fm.add_argument("--left-id", default="id")
+    fm.add_argument("--left-name", default="name")
+    fm.add_argument("--right-id", default="id")
+    fm.add_argument("--right-name", default="name")
+    fm.add_argument("--block-col", required=True)
+    fm.add_argument("--max-dist", type=int, default=2)
+    fm.add_argument("--out", required=True)
+    ra = sub.add_parser("rate", help="reset-aware counter increase per series")
+    ra.add_argument("--events", required=True)
+    ra.add_argument("--keys", default="user_id")
+    ra.add_argument("--ts-col", default="ts")
+    ra.add_argument("--value-col", default="value")
+    ra.add_argument("--tiebreak-col", default="event_id")
+    ra.add_argument("--out", required=True)
+    rs = sub.add_parser("resample", help="gap-fill to a regular grid + forward fill")
+    rs.add_argument("--events", required=True)
+    rs.add_argument("--keys", default="user_id")
+    rs.add_argument("--ts-col", default="ts")
+    rs.add_argument("--value-col", default="value")
+    rs.add_argument("--tiebreak-col", default="event_id")
+    rs.add_argument("--step", type=int, default=3600)
+    rs.add_argument("--out", required=True)
+    bu = sub.add_parser("burn", help="multi-window SLO burn-rate flags")
+    bu.add_argument("--events", required=True)
+    bu.add_argument("--ts-col", default="ts")
+    bu.add_argument("--type-col", default="event_type")
+    bu.add_argument("--error-type", default="error")
+    bu.add_argument("--short", type=int, default=3600)
+    bu.add_argument("--long", type=int, default=86400)
+    bu.add_argument("--out", required=True)
+    an = sub.add_parser("anomalies", help="median/MAD robust outlier counts per series")
+    an.add_argument("--events", required=True)
+    an.add_argument("--keys", default="user_id")
+    an.add_argument("--value-col", default="value")
+    an.add_argument("--threshold-x", type=int, default=3)
+    an.add_argument("--out", required=True)
+    tr = sub.add_parser("triangles", help="per-node triangle counts (degree-ordered)")
+    tr.add_argument("--edges", required=True)
+    tr.add_argument("--src-col", default="src")
+    tr.add_argument("--dst-col", default="dst")
+    tr.add_argument("--out", required=True)
+    pa = sub.add_parser("pairs", help="market-basket co-occurrence top pairs")
+    pa.add_argument("--baskets", required=True)
+    pa.add_argument("--basket-col", default="basket_id")
+    pa.add_argument("--item-col", default="item_id")
+    pa.add_argument("--max-items", type=int, default=100)
+    pa.add_argument("--top", type=int, default=1000)
+    pa.add_argument("--out", required=True)
+    for p in (d, dc, ts, ab, pi, vo, ig, co, bp, fu, sa, se, ch, mx, re_, pr,
+              ix, pf, fm, ra, rs, bu, an, tr, pa):
         p.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args(argv)
     spark = _get_session(args.cpus)
@@ -344,6 +408,87 @@ def datax_main(argv) -> int:
         ).write.mode("overwrite").parquet(args.out)
         print(json.dumps({"op": "index",
                           "tokens": spark.read.parquet(args.out).count()}))
+    elif args.op == "profile":
+        from emf_spark.datax.profile import profile
+
+        profile(
+            spark.read.parquet(args.path),
+            [c for c in args.cols.split(",") if c],
+        ).write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"op": "profile",
+                          "columns": spark.read.parquet(args.out).count()}))
+    elif args.op == "match":
+        from emf_spark.datax.entity import fuzzy_match
+
+        fuzzy_match(
+            spark.read.parquet(args.left), spark.read.parquet(args.right),
+            args.left_id, args.left_name, args.right_id, args.right_name,
+            args.block_col, args.max_dist,
+        ).write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"op": "match", "max_dist": args.max_dist,
+                          "matched": spark.read.parquet(args.out).count()}))
+    elif args.op == "rate":
+        from emf_spark.datax.timeseries import counter_increase
+
+        counter_increase(
+            spark.read.parquet(args.events),
+            [k for k in args.keys.split(",") if k],
+            args.ts_col, args.value_col, args.tiebreak_col,
+        ).write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"op": "rate",
+                          "series": spark.read.parquet(args.out).count()}))
+    elif args.op == "resample":
+        from emf_spark.datax.timeseries import resample_ffill
+
+        resample_ffill(
+            spark.read.parquet(args.events),
+            [k for k in args.keys.split(",") if k],
+            args.ts_col, args.value_col, args.tiebreak_col, args.step,
+        ).write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"op": "resample", "step": args.step,
+                          "rows": spark.read.parquet(args.out).count()}))
+    elif args.op == "burn":
+        from pyspark.sql import functions as SF
+
+        from emf_spark.datax.timeseries import burn_rate
+
+        burn_rate(
+            spark.read.parquet(args.events), args.ts_col,
+            SF.col(args.type_col) == args.error_type,
+            args.short, args.long,
+        ).write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"op": "burn",
+                          "windows": spark.read.parquet(args.out).count()}))
+    elif args.op == "anomalies":
+        from emf_spark.datax.timeseries import mad_anomalies
+
+        mad_anomalies(
+            spark.read.parquet(args.events),
+            [k for k in args.keys.split(",") if k],
+            args.value_col, args.threshold_x,
+        ).write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"op": "anomalies",
+                          "series": spark.read.parquet(args.out).count()}))
+    elif args.op == "triangles":
+        from emf_spark.datax.graph import triangle_count
+
+        triangle_count(
+            spark.read.parquet(args.edges), args.src_col, args.dst_col
+        ).write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"op": "triangles",
+                          "nodes": spark.read.parquet(args.out).count()}))
+    elif args.op == "pairs":
+        from emf_spark.datax.baskets import item_pairs, top_pairs
+
+        top_pairs(
+            item_pairs(
+                spark.read.parquet(args.baskets), args.basket_col,
+                args.item_col, max_items=args.max_items,
+            ),
+            args.top,
+        ).write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"op": "pairs",
+                          "pairs": spark.read.parquet(args.out).count()}))
     elif args.op == "bpe":
         from pathlib import Path
 

@@ -2645,3 +2645,69 @@ def test_pq_train_encode_adc_matches_python(spark):
         pq_topk(df, books, q[:-1], topk=5, scale=scale)
     with pytest.raises(ValueError):
         pq_topk(df, books, q, topk=0, scale=scale)
+
+
+def test_cli_datax_third_session_ops(spark, tmp_path):
+    """This session's additions reachable from the CLI: profile /
+    match / rate / resample / burn / anomalies / triangles / pairs."""
+    from datetime import datetime as DT, timedelta as TD
+
+    from emf_spark import cli
+
+    ev = spark.createDataFrame(
+        [(i, i % 4, DT(2024, 1, 1) + TD(minutes=20 * i),
+          ["ok", "error"][i % 5 == 0], float(i % 9) + 0.25)
+         for i in range(60)],
+        "event_id bigint, user_id bigint, ts timestamp, "
+        "event_type string, value double",
+    )
+    epath = str(tmp_path / "ev.parquet")
+    ev.write.parquet(epath)
+    assert cli.main(["datax", "rate", "--events", epath,
+                     "--out", str(tmp_path / "o1")]) == 0
+    assert spark.read.parquet(str(tmp_path / "o1")).count() == 4
+    assert cli.main(["datax", "resample", "--events", epath, "--step", "7200",
+                     "--out", str(tmp_path / "o2")]) == 0
+    assert spark.read.parquet(str(tmp_path / "o2")).count() >= 4
+    assert cli.main(["datax", "burn", "--events", epath, "--error-type",
+                     "True", "--out", str(tmp_path / "o3")]) == 0
+    assert spark.read.parquet(str(tmp_path / "o3")).count() > 0
+    assert cli.main(["datax", "anomalies", "--events", epath,
+                     "--out", str(tmp_path / "o4")]) == 0
+    assert spark.read.parquet(str(tmp_path / "o4")).count() == 4
+    assert cli.main(["datax", "profile", "--path", epath, "--cols",
+                     "user_id,event_type", "--out", str(tmp_path / "o5")]) == 0
+    prof = spark.read.parquet(str(tmp_path / "o5"))
+    assert prof.count() == 2 and "n_distinct" in prof.columns
+
+    names = spark.createDataFrame(
+        [(i, f"name{i:03d}", f"b{i % 3}") for i in range(30)],
+        "id bigint, name string, blk string",
+    )
+    npath = str(tmp_path / "names.parquet")
+    names.write.parquet(npath)
+    assert cli.main(["datax", "match", "--left", npath, "--right", npath,
+                     "--block-col", "blk", "--max-dist", "0",
+                     "--out", str(tmp_path / "o6")]) == 0
+    m = spark.read.parquet(str(tmp_path / "o6"))
+    assert m.count() == 30 and m.filter("dist != 0").count() == 0
+
+    edges = spark.createDataFrame(
+        [(i % 6, (i * 5 + 1) % 6) for i in range(25)],
+        "src bigint, dst bigint",
+    )
+    gpath = str(tmp_path / "g.parquet")
+    edges.write.parquet(gpath)
+    assert cli.main(["datax", "triangles", "--edges", gpath,
+                     "--out", str(tmp_path / "o7")]) == 0
+    assert spark.read.parquet(str(tmp_path / "o7")).count() >= 0
+
+    bks = spark.createDataFrame(
+        [(i % 8, (i * 7) % 5) for i in range(40)],
+        "basket_id bigint, item_id bigint",
+    )
+    bpath = str(tmp_path / "b.parquet")
+    bks.write.parquet(bpath)
+    assert cli.main(["datax", "pairs", "--baskets", bpath, "--top", "5",
+                     "--out", str(tmp_path / "o8")]) == 0
+    assert spark.read.parquet(str(tmp_path / "o8")).count() == 5

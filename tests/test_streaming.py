@@ -535,3 +535,98 @@ def test_streaming_dedup_first_seen_once(spark, tmp_path):
         for r in spark.read.parquet(f"{one_out}/unique").collect()
     }
     assert stream1 == batch
+
+
+def test_streaming_counter_increase_parity(spark, tmp_path):
+    """Cross-micro-batch counter accumulation: after three event-time-
+    ordered micro-batches, each series' max-batch_seq row equals the
+    batch counter_increase over the full input (resets included);
+    checkpoint re-run emits nothing new."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from emf_spark.datax.timeseries import counter_increase
+    from emf_spark.streaming.counters import streaming_counter_increase
+
+    base = 1_700_000_000_000_000  # micros
+    rows = []
+    for i in range(30):
+        # user 0: rising then reset at i=20; user 1: sawtooth resets
+        u = i % 2
+        v = (i * 7) % 40 + 1.25 if u else (i if i < 20 else i - 20) + 0.50
+        rows.append((i, u, base + i * 60_000_000, float(v)))
+    batches = [rows[:10], rows[10:20], rows[20:]]
+
+    ind = str(tmp_path / "in")
+    os.makedirs(ind, exist_ok=True)
+    for i, b in enumerate(batches):
+        ids, us, tss, vs = zip(*b)
+        pq.write_table(
+            pa.table({
+                "event_id": pa.array(ids, pa.int64()),
+                "user_id": pa.array(us, pa.int64()),
+                "ts": pa.array(list(tss), pa.timestamp("us")),
+                "value": pa.array(vs, pa.float64()),
+            }),
+            f"{ind}/b{i}.parquet",
+        )
+        os.utime(f"{ind}/b{i}.parquet", (1_700_000_000 + i,) * 2)
+
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, user_id bigint, ts timestamp, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ind)
+    )
+    out = str(tmp_path / "out")
+    q = (
+        streaming_counter_increase(
+            stream, ["user_id"], "ts", "value", "event_id"
+        )
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    emitted = spark.read.parquet(out).collect()
+    assert len(emitted) == 6  # 2 series x 3 batches
+    final = {}
+    for r in emitted:
+        cur = final.get(r["user_id"])
+        if cur is None or r["batch_seq"] > cur["batch_seq"]:
+            final[r["user_id"]] = r
+
+    bdf = spark.createDataFrame(
+        [(i, u, __import__("datetime").datetime.utcfromtimestamp(t / 1e6), v)
+         for i, u, t, v in rows],
+        "event_id bigint, user_id bigint, ts timestamp, value double",
+    )
+    want = {r["user_id"]: r for r in
+            counter_increase(bdf, ["user_id"], "ts", "value",
+                             "event_id").collect()}
+    for u in (0, 1):
+        for c in ("samples", "resets", "increase_units", "last_units"):
+            assert final[u][c] == want[u][c], (u, c)
+
+    # checkpoint resume, no new files: no new rows
+    n = spark.read.parquet(out).count()
+    q2 = (
+        streaming_counter_increase(
+            stream, ["user_id"], "ts", "value", "event_id"
+        )
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(300)
+    assert spark.read.parquet(out).count() == n

@@ -75,3 +75,47 @@ def sql_scrub_exprs(
         counts[name] = f"len(regexp_extract_all({cur}, '{pat}'))"
         cur = f"regexp_replace({cur}, '{pat}', '{repl}', 'g')"
     return cur, counts
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int,
+    flag_col: str = "suppressed",
+    size_col: str = "group_size",
+) -> DataFrame:
+    """k-anonymity suppression flag: a row is ``suppressed`` when its
+    quasi-identifier combination is shared by fewer than ``k`` rows —
+    releasing it would single out < k individuals. (Sweeney 2002; the
+    release-side counterpart of :func:`pii_scrub`'s substring pass.)
+
+    Plan: one map-side-combinable count over the quasi columns, joined
+    back on the same keys. Both sides shuffle on identical keys, so at
+    scale AQE plans this as one exchange-reusing shuffled join; the
+    counts side has one row per DISTINCT quasi combination (usually
+    orders of magnitude smaller than the data — often broadcastable,
+    which Catalyst decides from its size). NULL quasi values group as
+    their own cohort (null-safe key compare), matching the SQL
+    GROUP BY treatment an auditor would run.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if not quasi_cols:
+        raise ValueError("k_anonymity needs at least one quasi column")
+    for c in (flag_col, size_col):
+        if c in df.columns:
+            raise ValueError(f"column {c!r} collides with k_anonymity outputs")
+    # rename the count side's keys up front — a self-join against an
+    # aggregate of the same frame trips Spark's ambiguous-attribute
+    # resolution if both sides keep the original names
+    counts = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias(size_col))
+    renamed = counts.select(
+        *[F.col(c).alias(f"_ka_{c}") for c in quasi_cols], size_col
+    )
+    # null-safe equi-join: NULL quasi values must meet their own count
+    cond = None
+    for c in quasi_cols:
+        eq = F.col(c).eqNullSafe(F.col(f"_ka_{c}"))
+        cond = eq if cond is None else cond & eq
+    joined = df.join(renamed, cond).drop(*[f"_ka_{c}" for c in quasi_cols])
+    return joined.withColumn(flag_col, F.col(size_col) < F.lit(k))

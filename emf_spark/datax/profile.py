@@ -51,3 +51,40 @@ def profile(df: DataFrame, cols: list[str]) -> DataFrame:
         ]
     )
     return one.select(F.explode(per_col).alias("_p")).select("_p.*")
+
+
+def mode_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    out_col: str = "mode_value",
+    count_col: str = "mode_count",
+) -> DataFrame:
+    """Most frequent ``value_col`` per group (majority label — the
+    label-consolidation step of weak supervision / multi-annotator
+    training sets). Deterministic tie-break: among equally frequent
+    values the LEXICOGRAPHICALLY LARGEST wins (struct-max order).
+
+    Plan: two algebraic aggregates, no window. The first counts
+    (group, value) pairs map-side-combinably; the second struct-max
+    collapses each group's candidate values. Both shuffles are keyed
+    on (subsets of) the group columns, so a hot group costs one
+    reducer O(distinct values in that group) — never O(rows).
+    NULL values are ignored (never elected mode); all-NULL groups
+    drop out, matching the SQL oracle's WHERE value IS NOT NULL.
+    """
+    if not group_cols:
+        raise ValueError("mode_per_group needs at least one group column")
+    pair = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, value_col)
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    best = pair.groupBy(*group_cols).agg(
+        F.max(F.struct(F.col("_c"), F.col(value_col))).alias("_b")
+    )
+    return best.select(
+        *group_cols,
+        F.col(f"_b.{value_col}").alias(out_col),
+        F.col("_b._c").alias(count_col),
+    )

@@ -4759,6 +4759,138 @@ FROM per
 """
 
 
+def q_events_salted_join(spark, sf):
+    """Skew-salted equi-join (operators/skew.salted_join): events fan
+    out to a 10-rows-per-key customer dim on user_id with an 8-way
+    salt, so a hot key's rows spread over 8 reducers; the aggregate
+    after the join proves result-equality with the oracle's PLAIN
+    join — the salt is pure physical layout."""
+    from emf_spark.operators.skew import salted_join
+
+    ev = _t(spark, sf, "events").select(
+        F.col("user_id").alias("k"), "event_type", "value"
+    )
+    cust = _t(spark, sf, "customer").select(
+        (F.col("c_custkey") % 150).alias("k"), "c_mktsegment"
+    )
+    j = salted_join(ev, cust, ["k"], n_salt=8)
+    return j.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_c"),
+    )
+
+
+SQL_EVENTS_SALTED_JOIN = """
+SELECT c.c_mktsegment, e.event_type, COUNT(*) AS cnt,
+       CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT) AS value_c
+FROM events e
+JOIN (SELECT c_custkey % 150 AS k, c_mktsegment FROM customer) c
+  ON e.user_id = c.k
+GROUP BY 1, 2
+"""
+
+
+def q_data_global_index(spark, sf):
+    """Scalable global row numbering (datax/ordering.global_index):
+    contiguous 0-based index in doc_id order via value-range buckets +
+    parallel in-bucket ranks + broadcast offsets — never the oracle's
+    single-partition ROW_NUMBER window, but bit-identical to it."""
+    from emf_spark.datax.ordering import global_index
+
+    d = _t(spark, sf, "documents")
+    return global_index(d, "doc_id", n_buckets=64).select("doc_id", "row_idx")
+
+
+SQL_DATA_GLOBAL_INDEX = """
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS row_idx
+FROM documents
+"""
+
+
+# ceil(2^56 / 8) — 8 shards over the portable 56-bit hash space
+_EPOCH_SHARD_W = -(-(1 << 56) // 8)
+
+
+def q_data_epoch_shuffle(spark, sf):
+    """Deterministic training-epoch shuffle (ordering.epoch_shuffle):
+    order-preserving hash-range shards + in-shard positions replay the
+    exact global permutation ORDER BY (md5-56(id:epoch), id) with no
+    cross-shard sort; integer DIV sharding (hashes exceed 2^53, float
+    division would flip boundary rows)."""
+    from emf_spark.datax.ordering import epoch_shuffle
+
+    d = _t(spark, sf, "documents")
+    return epoch_shuffle(d, "doc_id", epoch=3, n_shards=8).select(
+        "doc_id", "shard", "pos"
+    )
+
+
+SQL_DATA_EPOCH_SHUFFLE = f"""
+WITH h AS (
+  SELECT doc_id,
+    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':3'), 1, 14) AS BIGINT)
+      AS eh
+  FROM documents)
+SELECT doc_id,
+       CAST(eh // {_EPOCH_SHARD_W} AS INTEGER) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY eh // {_EPOCH_SHARD_W}
+                               ORDER BY eh, doc_id) - 1 AS BIGINT) AS pos
+FROM h
+"""
+
+
+def q_data_k_anonymity(spark, sf):
+    """k-anonymity suppression (datax/pii.k_anonymity): rows whose
+    (lang, source, length-bucket) quasi-identifier cohort has < 5
+    members are flagged for suppression; one grouped count + null-safe
+    join back."""
+    from emf_spark.datax.pii import k_anonymity
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", "lang", "source", F.expr("n_chars DIV 200").alias("size_b")
+    )
+    return k_anonymity(d, ["lang", "source", "size_b"], k=5).select(
+        "doc_id", "group_size", "suppressed"
+    )
+
+
+SQL_DATA_K_ANONYMITY = """
+WITH g AS (SELECT doc_id, lang, source, n_chars // 200 AS size_b
+           FROM documents),
+c AS (SELECT lang, source, size_b, COUNT(*) AS group_size
+      FROM g GROUP BY 1, 2, 3)
+SELECT g.doc_id, c.group_size, c.group_size < 5 AS suppressed
+FROM g JOIN c
+  ON g.lang IS NOT DISTINCT FROM c.lang
+ AND g.source IS NOT DISTINCT FROM c.source
+ AND g.size_b IS NOT DISTINCT FROM c.size_b
+"""
+
+
+def q_events_majority_type(spark, sf):
+    """Majority label per group (datax/profile.mode_per_group): most
+    frequent event_type per user via two algebraic aggregates (pair
+    count, struct-max) — no window, no per-row state; tie-break is the
+    lexicographically largest value on both engines."""
+    from emf_spark.datax.profile import mode_per_group
+
+    ev = _t(spark, sf, "events")
+    return mode_per_group(ev, ["user_id"], "event_type")
+
+
+SQL_EVENTS_MAJORITY_TYPE = """
+WITH c AS (SELECT user_id, event_type, COUNT(*) AS c
+           FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+r AS (SELECT user_id, event_type, c,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY c DESC, event_type DESC) AS rk
+      FROM c)
+SELECT user_id, event_type AS mode_value, c AS mode_count
+FROM r WHERE rk = 1
+"""
+
+
 QUERIES: dict[str, Callable] = {
     "emf_dim_hash_group": q_dim_hash_group,
     "emf_value_count_hist": q_value_count_hist,
@@ -4875,6 +5007,11 @@ QUERIES: dict[str, Callable] = {
     "data_profile": q_data_profile,
     "rank_rrf_fusion": q_rank_rrf_fusion,
     "ann_pq_topk": q_ann_pq_topk,
+    "events_salted_join": q_events_salted_join,
+    "data_global_index": q_data_global_index,
+    "data_epoch_shuffle": q_data_epoch_shuffle,
+    "data_k_anonymity": q_data_k_anonymity,
+    "events_majority_type": q_events_majority_type,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -4995,4 +5132,9 @@ ORACLE_SQL: dict[str, str] = {
     "data_profile": SQL_DATA_PROFILE,
     "rank_rrf_fusion": SQL_RANK_RRF_FUSION,
     "ann_pq_topk": _sql_pq(),
+    "events_salted_join": SQL_EVENTS_SALTED_JOIN,
+    "data_global_index": SQL_DATA_GLOBAL_INDEX,
+    "data_epoch_shuffle": SQL_DATA_EPOCH_SHUFFLE,
+    "data_k_anonymity": SQL_DATA_K_ANONYMITY,
+    "events_majority_type": SQL_EVENTS_MAJORITY_TYPE,
 }

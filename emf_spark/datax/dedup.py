@@ -1137,3 +1137,68 @@ def exact_dedup_incremental(
             )
         store.unpersist()
     return j
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int = 10,
+    delimiter: str = "\n",
+    out_col: str = "text_deduped",
+) -> DataFrame:
+    """Corpus-frequency line/segment removal (the CCNet/C4 boilerplate
+    pass): split each document into segments on ``delimiter``, count
+    how many DISTINCT documents contain each non-empty segment, and
+    drop from every document the segments appearing in more than
+    ``max_df`` documents (cookie banners, nav bars, license footers).
+    Empty/whitespace-only segments never participate and are preserved
+    in place. Complements duplicated_ngram_spans: that one exempts the
+    FIRST occurrence of exact n-gram runs; this one removes ALL copies
+    of corpus-common segments including the first.
+
+    Plan: posexplode (linear), doc-distinct collapse + segment count
+    (two keyed aggregates, map-side combinable), hash anti-join of the
+    over-frequent segment set, order-preserving rebuild via
+    array_sort(collect_list(struct(pos, seg))) keyed by ``id_col``, and
+    a left join back to the id frame so documents whose EVERY segment
+    was boilerplate come back as '' instead of vanishing — five bounded
+    shuffles (two share the id key), no step quadratic in docs or
+    segments.
+    """
+    for c in ("_pos", "_seg", "_df"):
+        if c in df.columns:
+            raise ValueError(f"column {c!r} collides with line_dedup internals")
+    if out_col in df.columns:
+        raise ValueError(f"out_col {out_col!r} already exists")
+    rest = [c for c in df.columns if c != text_col]
+    segs = df.select(
+        id_col,
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")),
+                             F.lit(delimiter), -1)).alias("_pos", "_seg"),
+    )
+    nonblank = F.trim(F.col("_seg")) != ""
+    # document frequency per distinct non-empty segment
+    seg_df = (
+        segs.filter(nonblank)
+        .select("_seg", id_col).distinct()
+        .groupBy("_seg").agg(F.count(F.lit(1)).alias("_df"))
+    )
+    frequent = seg_df.filter(F.col("_df") > F.lit(max_df)).select("_seg")
+    kept = segs.filter(~nonblank).unionByName(
+        segs.filter(nonblank).join(frequent, "_seg", "left_anti")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_seg"))),
+                lambda x: x["_seg"],
+            ),
+            delimiter,
+        ).alias(out_col)
+    )
+    return (
+        df.select(*rest)
+        .join(rebuilt, id_col, "left")
+        .withColumn(out_col, F.coalesce(F.col(out_col), F.lit("")))
+    )

@@ -4891,6 +4891,125 @@ FROM r WHERE rk = 1
 """
 
 
+def q_dedup_line_boilerplate(spark, sf):
+    """CCNet/C4-style corpus-frequency segment removal
+    (datax/dedup.line_dedup): drop from every document the segments
+    (here ' a '-bounded phrases — the testdata corpus has no newlines)
+    that appear in more than max_df=1 distinct documents, preserving
+    segment order; rolled up per source so removed-char totals and the
+    changed-doc count are the checked values."""
+    from emf_spark.datax.dedup import line_dedup
+
+    d = _t(spark, sf, "documents")
+    out = line_dedup(
+        d, text_col="text", id_col="doc_id", max_df=1,
+        delimiter=" a ", out_col="text_deduped",
+    )
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_chars").alias("chars_before"),
+        F.sum(F.length("text_deduped")).alias("chars_after"),
+        F.sum(
+            F.when(F.length("text_deduped") != F.col("n_chars"), 1).otherwise(0)
+        ).alias("docs_changed"),
+    )
+
+
+SQL_DEDUP_LINE_BOILERPLATE = """
+WITH segs AS (
+  SELECT doc_id, unnest(parts) AS seg,
+         unnest(generate_series(1, len(parts))) AS pos
+  FROM (SELECT doc_id,
+               string_split(COALESCE(text, ''), ' a ') AS parts
+        FROM documents) d
+),
+freq AS (
+  SELECT seg FROM (
+    SELECT seg, COUNT(DISTINCT doc_id) AS df
+    FROM segs WHERE TRIM(seg) <> '' GROUP BY 1)
+  WHERE df > 1
+),
+kept AS (
+  SELECT * FROM segs WHERE TRIM(seg) = ''
+  UNION ALL
+  SELECT * FROM segs
+  WHERE TRIM(seg) <> '' AND seg NOT IN (SELECT seg FROM freq)
+),
+rebuilt AS (
+  SELECT d.doc_id, d.source, d.n_chars, COALESCE(k.td, '') AS text_deduped
+  FROM documents d LEFT JOIN (
+    SELECT doc_id, string_agg(seg, ' a ' ORDER BY pos) AS td
+    FROM kept GROUP BY 1) k USING (doc_id)
+)
+SELECT source, COUNT(*) AS docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_before,
+       CAST(SUM(LENGTH(text_deduped)) AS BIGINT) AS chars_after,
+       CAST(SUM(CASE WHEN LENGTH(text_deduped) <> n_chars
+                     THEN 1 ELSE 0 END) AS BIGINT) AS docs_changed
+FROM rebuilt GROUP BY source
+"""
+
+
+def q_data_quality_checks(spark, sf):
+    """Deequ-style one-pass constraint suite (datax/quality.py): four
+    assertions over orders — completeness, key uniqueness, a range
+    check chosen to FAIL (o_totalprice tops out near 500k) and a
+    values_in check that FAILS on status 'P' — evaluated in a single
+    aggregate; metrics are exact integer num/den pairs and verdicts
+    integer-compared, so everything replays bit-for-bit."""
+    from emf_spark.datax.quality import check_constraints
+
+    o = _t(spark, sf, "orders")
+    res = check_constraints(o, [
+        ("completeness", "o_custkey", 999, 1000),
+        ("unique", "o_orderkey"),
+        ("range", "o_totalprice", 0, 400000),
+        ("values_in", "o_orderstatus", ["O", "F"]),
+    ])
+    return res.select(
+        F.col("check").alias("chk"),
+        F.col("column").alias("col_name"),
+        "metric_num",
+        "metric_den",
+        F.col("passed").cast("int").alias("passed"),
+    )
+
+
+SQL_DATA_QUALITY_CHECKS = """
+SELECT 'completeness' AS chk, 'o_custkey' AS col_name,
+       CAST(COUNT(o_custkey) AS BIGINT) AS metric_num,
+       CAST(COUNT(*) AS BIGINT) AS metric_den,
+       CAST(CASE WHEN COUNT(o_custkey) * 1000 >= 999 * COUNT(*)
+                 THEN 1 ELSE 0 END AS INT) AS passed
+FROM orders
+UNION ALL
+SELECT 'unique', 'o_orderkey',
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT),
+       CAST(COUNT(o_orderkey) AS BIGINT),
+       CAST(CASE WHEN COUNT(DISTINCT o_orderkey) = COUNT(o_orderkey)
+                 THEN 1 ELSE 0 END AS INT)
+FROM orders
+UNION ALL
+SELECT 'range', 'o_totalprice',
+       CAST(COUNT(CASE WHEN o_totalprice BETWEEN 0 AND 400000
+                       THEN 1 END) AS BIGINT),
+       CAST(COUNT(o_totalprice) AS BIGINT),
+       CAST(CASE WHEN COUNT(CASE WHEN o_totalprice BETWEEN 0 AND 400000
+                                 THEN 1 END) = COUNT(o_totalprice)
+                 THEN 1 ELSE 0 END AS INT)
+FROM orders
+UNION ALL
+SELECT 'values_in', 'o_orderstatus',
+       CAST(COUNT(CASE WHEN o_orderstatus IN ('O', 'F')
+                       THEN 1 END) AS BIGINT),
+       CAST(COUNT(o_orderstatus) AS BIGINT),
+       CAST(CASE WHEN COUNT(CASE WHEN o_orderstatus IN ('O', 'F')
+                                 THEN 1 END) = COUNT(o_orderstatus)
+                 THEN 1 ELSE 0 END AS INT)
+FROM orders
+"""
+
+
 QUERIES: dict[str, Callable] = {
     "emf_dim_hash_group": q_dim_hash_group,
     "emf_value_count_hist": q_value_count_hist,
@@ -4963,6 +5082,8 @@ QUERIES: dict[str, Callable] = {
     "dedup_cluster_labels": q_dedup_cluster_labels,
     "data_snapshot_diff": q_data_snapshot_diff,
     "data_scd2_snapshot": q_data_scd2_snapshot,
+    "dedup_line_boilerplate": q_dedup_line_boilerplate,
+    "data_quality_checks": q_data_quality_checks,
     "tpch_returned_item_revenue": q_tpch_returned_item_revenue,
     "tpch_promo_revenue": q_tpch_promo_revenue,
     "emf_moving_avg": q_emf_moving_avg,
@@ -5089,6 +5210,8 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_cluster_labels": _sql_dedup_cluster_labels(),
     "data_snapshot_diff": SQL_DATA_SNAPSHOT_DIFF,
     "data_scd2_snapshot": SQL_DATA_SCD2_SNAPSHOT,
+    "dedup_line_boilerplate": SQL_DEDUP_LINE_BOILERPLATE,
+    "data_quality_checks": SQL_DATA_QUALITY_CHECKS,
     "tpch_returned_item_revenue": SQL_TPCH_RETURNED_ITEM_REVENUE,
     "tpch_promo_revenue": SQL_TPCH_PROMO_REVENUE,
     "emf_moving_avg": SQL_EMF_MOVING_AVG,

@@ -2711,3 +2711,168 @@ def test_cli_datax_third_session_ops(spark, tmp_path):
     assert cli.main(["datax", "pairs", "--baskets", bpath, "--top", "5",
                      "--out", str(tmp_path / "o8")]) == 0
     assert spark.read.parquet(str(tmp_path / "o8")).count() == 5
+
+
+# ---------------------------------------------------------------------------
+# line_dedup (corpus-frequency boilerplate segment removal)
+# ---------------------------------------------------------------------------
+
+
+def test_line_dedup_removes_frequent_segments_preserving_order(spark):
+    from emf_spark.datax.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "intro one\nCOOKIE BANNER\nbody alpha"),
+            (2, "COOKIE BANNER\nbody beta\noutro two"),
+            (3, "body gamma\nCOOKIE BANNER"),
+            (4, "standalone text\nunique line"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: r["text_deduped"]
+        for r in line_dedup(docs, max_df=2).collect()
+    }
+    # COOKIE BANNER appears in 3 docs > max_df=2 -> removed everywhere
+    assert out[1] == "intro one\nbody alpha"
+    assert out[2] == "body beta\noutro two"
+    assert out[3] == "body gamma"
+    assert out[4] == "standalone text\nunique line"
+
+
+def test_line_dedup_all_boilerplate_empty_and_null(spark):
+    from emf_spark.datax.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "SPAM"),
+            (2, "SPAM"),
+            (3, "SPAM"),  # every segment boilerplate -> ''
+            (4, ""),      # empty text preserved as ''
+            (5, None),    # null text -> ''
+            (6, "keep me\n\nSPAM"),  # blank segment preserved in place
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: r["text_deduped"]
+        for r in line_dedup(docs, max_df=1).collect()
+    }
+    assert len(out) == 6  # no doc vanishes
+    assert out[1] == out[2] == out[3] == ""
+    assert out[4] == ""
+    assert out[5] == ""
+    assert out[6] == "keep me\n"
+
+
+def test_line_dedup_df_boundary_is_distinct_docs(spark):
+    from emf_spark.datax.dedup import line_dedup
+
+    # 'dup' appears TWICE in doc 1 but in only 2 distinct docs:
+    # with max_df=2 it must survive (df counts documents, not rows)
+    docs = spark.createDataFrame(
+        [(1, "dup\nmid\ndup"), (2, "dup\nother")],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: r["text_deduped"]
+        for r in line_dedup(docs, max_df=2).collect()
+    }
+    assert out[1] == "dup\nmid\ndup"
+    assert out[2] == "dup\nother"
+    # and with max_df=1 it is removed from both, both copies in doc 1
+    out1 = {
+        r["doc_id"]: r["text_deduped"]
+        for r in line_dedup(docs, max_df=1).collect()
+    }
+    assert out1[1] == "mid" and out1[2] == "other"
+
+
+def test_line_dedup_guards(spark):
+    import pytest as _pytest
+
+    from emf_spark.datax.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a", "x")], "doc_id bigint, text string, _seg string"
+    )
+    with _pytest.raises(ValueError, match="_seg"):
+        line_dedup(docs)
+    docs2 = spark.createDataFrame(
+        [(1, "a", "x")], "doc_id bigint, text string, text_deduped string"
+    )
+    with _pytest.raises(ValueError, match="out_col"):
+        line_dedup(docs2)
+
+
+# ---------------------------------------------------------------------------
+# quality.check_constraints (Deequ-style one-pass constraint suite)
+# ---------------------------------------------------------------------------
+
+
+def test_check_constraints_all_kinds_pass_and_fail(spark):
+    from emf_spark.datax.quality import check_constraints
+
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, "A"),
+            (2, 20.0, "B"),
+            (2, None, "C"),   # duplicate id, null v
+            (4, 999.0, None),  # out-of-range v, null cat
+        ],
+        "id bigint, v double, cat string",
+    )
+    res = check_constraints(df, [
+        ("completeness", "v", 3, 4),        # 3/4 >= 3/4 -> pass
+        ("completeness", "cat", 4, 4),      # 3/4 < 1 -> fail
+        ("unique", "id"),                   # dup 2 -> fail
+        ("unique", "cat"),                  # A,B,C distinct -> pass
+        ("range", "v", 0, 100),             # 999 out -> fail
+        ("range", "v", 0, 1000),            # pass
+        ("values_in", "cat", ["A", "B", "C"]),  # pass (nulls ignored)
+        ("values_in", "cat", ["A", "B"]),       # C -> fail
+    ])
+    rows = {
+        (r["check"], r["column"], r["metric_num"], r["metric_den"]): r["passed"]
+        for r in res.collect()
+    }
+    assert rows[("completeness", "v", 3, 4)] is True
+    assert rows[("completeness", "cat", 3, 4)] is False
+    assert rows[("unique", "id", 3, 4)] is False
+    assert rows[("unique", "cat", 3, 3)] is True
+    assert rows[("range", "v", 2, 3)] is False
+    assert rows[("range", "v", 3, 3)] is True
+    assert rows[("values_in", "cat", 3, 3)] is True
+    assert rows[("values_in", "cat", 2, 3)] is False
+    assert len(rows) == 8
+
+
+def test_check_constraints_single_pass_plan_and_guards(spark):
+    import pytest as _pytest
+
+    from emf_spark.datax.quality import check_constraints
+
+    df = spark.createDataFrame(
+        [(i, float(i % 7), str(i % 3)) for i in range(50)],
+        "id bigint, v double, cat string",
+    )
+    res = check_constraints(df, [
+        ("completeness", "v", 1, 2),
+        ("unique", "id"),
+        ("unique", "cat"),
+        ("range", "v", 0, 6),
+        ("values_in", "cat", ["0", "1", "2"]),
+    ])
+    # ONE job over the data: a single aggregate, no join/union of
+    # per-check scans — the plan must contain exactly one scan of the
+    # input relation (Deequ's core promise re-expressed in Catalyst)
+    plan = res._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("LogicalRDD") == 1
+    assert res.count() == 5
+    with _pytest.raises(ValueError, match="at least one"):
+        check_constraints(df, [])
+    with _pytest.raises(ValueError, match="unknown constraint"):
+        check_constraints(df, [("bogus", "v")])
+    with _pytest.raises(ValueError, match="bad threshold"):
+        check_constraints(df, [("completeness", "v", 1, 0)])

@@ -81,6 +81,8 @@ def datax_main(argv) -> int:
     python -m emf_spark.cli datax anomalies --events E --keys user_id --out O [--threshold-x 3]
     python -m emf_spark.cli datax triangles --edges G --out O
     python -m emf_spark.cli datax pairs --baskets B --basket-col bk --item-col it --out O
+    python -m emf_spark.cli datax linededup --docs D --out O [--max-df 10 --delimiter $'\\n']
+    python -m emf_spark.cli datax quality --path P --checks "completeness:c:99:100,unique:id" --out O
     """
     ap = argparse.ArgumentParser(prog="emf_spark.cli datax")
     sub = ap.add_subparsers(dest="op", required=True)
@@ -233,8 +235,27 @@ def datax_main(argv) -> int:
     pa.add_argument("--max-items", type=int, default=100)
     pa.add_argument("--top", type=int, default=1000)
     pa.add_argument("--out", required=True)
+    ld = sub.add_parser(
+        "linededup", help="remove corpus-frequent boilerplate lines/segments"
+    )
+    ld.add_argument("--docs", required=True)
+    ld.add_argument("--max-df", type=int, default=10,
+                    help="drop segments in more than this many distinct docs")
+    ld.add_argument("--delimiter", default="\n")
+    ld.add_argument("--id-col", default="doc_id")
+    ld.add_argument("--out", required=True)
+    qu = sub.add_parser(
+        "quality", help="one-pass Deequ-style constraint suite"
+    )
+    qu.add_argument("--path", required=True)
+    qu.add_argument(
+        "--checks", required=True,
+        help="comma-separated: completeness:col:num:den | unique:col | "
+             "range:col:lo:hi | in:col:v1|v2|...",
+    )
+    qu.add_argument("--out", required=True)
     for p in (d, dc, ts, ab, pi, vo, ig, co, bp, fu, sa, se, ch, mx, re_, pr,
-              ix, pf, fm, ra, rs, bu, an, tr, pa):
+              ix, pf, fm, ra, rs, bu, an, tr, pa, ld, qu):
         p.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args(argv)
     spark = _get_session(args.cpus)
@@ -499,6 +520,51 @@ def datax_main(argv) -> int:
         )
         Path(args.out).write_text(json.dumps(merges))
         print(json.dumps({"op": "bpe", "merges": len(merges)}))
+    elif args.op == "linededup":
+        from emf_spark.datax.dedup import line_dedup
+
+        res = line_dedup(
+            spark.read.parquet(args.docs),
+            id_col=args.id_col,
+            max_df=args.max_df,
+            delimiter=args.delimiter,
+        )
+        res.write.mode("overwrite").parquet(args.out)
+        out = spark.read.parquet(args.out)
+        print(json.dumps({
+            "op": "linededup",
+            "docs": out.count(),
+            "emptied": out.filter("text_deduped = ''").count(),
+        }))
+    elif args.op == "quality":
+        from emf_spark.datax.quality import check_constraints
+
+        constraints = []
+        for spec in args.checks.split(","):
+            parts = spec.split(":")
+            kind = parts[0]
+            if kind == "completeness":
+                constraints.append(
+                    ("completeness", parts[1], int(parts[2]), int(parts[3]))
+                )
+            elif kind == "unique":
+                constraints.append(("unique", parts[1]))
+            elif kind == "range":
+                constraints.append(
+                    ("range", parts[1], float(parts[2]), float(parts[3]))
+                )
+            elif kind == "in":
+                constraints.append(("values_in", parts[1], parts[2].split("|")))
+            else:
+                raise SystemExit(f"unknown check kind {kind!r} in --checks")
+        res = check_constraints(spark.read.parquet(args.path), constraints)
+        res.write.mode("overwrite").parquet(args.out)
+        rows = spark.read.parquet(args.out).collect()
+        print(json.dumps({
+            "op": "quality",
+            "checks": len(rows),
+            "failed": sum(0 if r["passed"] else 1 for r in rows),
+        }))
     else:
         from emf_spark.datax import similarity as sim
 

@@ -2876,3 +2876,28 @@ def test_check_constraints_single_pass_plan_and_guards(spark):
         check_constraints(df, [("bogus", "v")])
     with _pytest.raises(ValueError, match="bad threshold"):
         check_constraints(df, [("completeness", "v", 1, 0)])
+
+
+def test_cli_linededup_and_quality(spark, tmp_path):
+    from emf_spark import cli
+
+    docs = spark.createDataFrame(
+        [(1, "keep one\nBANNER"), (2, "BANNER\nkeep two"), (3, "BANNER")],
+        "doc_id bigint, text string",
+    )
+    dpath = str(tmp_path / "docs.parquet")
+    docs.write.parquet(dpath)
+    assert cli.main(["datax", "linededup", "--docs", dpath, "--max-df", "2",
+                     "--out", str(tmp_path / "o1")]) == 0
+    out = {r["doc_id"]: r["text_deduped"]
+           for r in spark.read.parquet(str(tmp_path / "o1")).collect()}
+    assert out == {1: "keep one", 2: "keep two", 3: ""}
+
+    assert cli.main([
+        "datax", "quality", "--path", dpath,
+        "--checks", "completeness:text:1:1,unique:doc_id,in:text:BANNER",
+        "--out", str(tmp_path / "o2"),
+    ]) == 0
+    rows = {r["check"]: r["passed"]
+            for r in spark.read.parquet(str(tmp_path / "o2")).collect()}
+    assert rows == {"completeness": True, "unique": True, "values_in": False}

@@ -700,3 +700,108 @@ def pq_topk(
         .orderBy(F.col("adist").asc(), F.col(id_col).asc())
         .limit(topk)
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10**6,
+    max_cluster: int | None = 100_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster embeddings with exact
+    integer-lattice k-means, then search for near-duplicate pairs only
+    WITHIN each cluster — the clustering turns the O(n^2) all-pairs
+    cosine scan into k independent O((n/k)^2) blocks, which is the
+    entire scale story of the method (at 100 TB, k is sized so a
+    cluster's pair block fits one task's budget; the cluster id is the
+    shuffle key so blocks never cross executors). Within a neighborhood
+    of mutually-similar rows the survivor is the row FARTHEST from its
+    cluster centroid — the paper's diversity-preserving choice — with
+    the exact int64 lattice distance as the metric and the smaller id
+    winning ties, so the verdicts are engine-portable.
+
+    Returns one row per input row: ``(id_col, cluster, centroid_dist,
+    n_dups, kept)`` where n_dups counts within-cluster neighbors with
+    cosine >= threshold and kept=false iff some such neighbor is
+    strictly greater under (centroid_dist, then lower id). The drop
+    rule is evaluated pairwise-locally (one aggregate over the
+    neighbor edges), not by iterating connected components: the
+    maximal row of every duplicate component is always kept, and a
+    row is dropped exactly when a better representative of its own
+    neighborhood exists — the standard SemDeDup implementation
+    shortcut, deterministic and single-pass.
+
+    Cross-cluster near-duplicates are NOT examined — that
+    approximation is the method's definition, not a shortcut of this
+    implementation. ``max_cluster`` bounds the per-cluster pair block:
+    rows ranked beyond it (by id, deterministic) skip pair generation
+    and are always kept with n_dups=0; pass None to disable.
+    """
+    if not (0.0 <= threshold <= 1.0):
+        raise ValueError("threshold must be in [0, 1]")
+    lab = kmeans_exact(
+        df, k=k, iters=iters, id_col=id_col, vec_col=vec_col, scale=scale
+    )
+    v = (
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .join(
+            lab.select(
+                F.col(id_col).alias("_id"), "cluster",
+                F.col("dist").alias("_d"),
+            ),
+            "_id",
+        )
+    )
+    part = v
+    if max_cluster is not None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("cluster").orderBy("_id")
+        part = (
+            v.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= F.lit(max_cluster))
+            .drop("_rk")
+        )
+    a = part.select(
+        F.col("_id").alias("_ida"), F.col("_v").alias("_va"),
+        "cluster", F.col("_d").alias("_da"),
+    )
+    b = part.select(
+        F.col("_id").alias("_idb"), F.col("_v").alias("_vb"),
+        "cluster", F.col("_d").alias("_db"),
+    )
+    cos = F.round(
+        _dot_cols("_va", "_vb") / (_norm(F.col("_va")) * _norm(F.col("_vb"))),
+        6,
+    )
+    nbr = (
+        a.join(b, "cluster")
+        .filter(F.col("_ida") != F.col("_idb"))
+        .select("_ida", "_da", "_db", "_idb", cos.alias("_cos"))
+        .filter(F.col("_cos") >= F.lit(threshold))
+    )
+    per = nbr.groupBy("_ida").agg(
+        F.count(F.lit(1)).alias("n_dups"),
+        F.max(
+            F.when(
+                (F.col("_db") > F.col("_da"))
+                | ((F.col("_db") == F.col("_da"))
+                   & (F.col("_idb") < F.col("_ida"))),
+                1,
+            ).otherwise(0)
+        ).alias("_dropf"),
+    )
+    return (
+        v.join(per, v["_id"] == per["_ida"], "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "cluster",
+            F.col("_d").alias("centroid_dist"),
+            F.coalesce("n_dups", F.lit(0)).alias("n_dups"),
+            (F.coalesce("_dropf", F.lit(0)) == 0).alias("kept"),
+        )
+    )

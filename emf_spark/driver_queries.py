@@ -2707,12 +2707,24 @@ def q_ann_kmeans_clusters(spark, sf):
 
 
 def _sql_kmeans(k: int = 8, iters: int = 2, dim: int = 64,
-                scale: int = 10**6) -> str:
+                scale: int = 10**6, source: str = "embeddings") -> str:
+    parts = _sql_kmeans_parts(k, iters, dim, scale, source)
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\n"
+        f"SELECT vec_id, CAST(cluster AS INT) AS cluster, dist FROM a{iters}"
+    )
+
+
+def _sql_kmeans_parts(k: int, iters: int, dim: int, scale: int,
+                      source: str) -> list[str]:
+    """CTE chain replaying kmeans_exact over ``source(vec_id,
+    embedding)``; the final assignment relation is ``a{iters}``."""
     rng = f"range(1, {dim + 1})"
     parts = [f"""sv AS (
   SELECT vec_id, list_transform(embedding,
            x -> CAST(round(CAST(x AS DOUBLE) * {scale}, 0) AS BIGINT)) AS sv
-  FROM embeddings),
+  FROM {source}),
 c0 AS (
   SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
          sv AS cl
@@ -2746,11 +2758,7 @@ c{n + 1} AS (
   UNION ALL
   SELECT cluster, cl FROM c{n}
   WHERE cluster NOT IN (SELECT cluster FROM cr{n + 1}))""")
-    body = ",\n".join(parts)
-    return (
-        f"WITH {body}\n"
-        f"SELECT vec_id, CAST(cluster AS INT) AS cluster, dist FROM a{iters}"
-    )
+    return parts
 
 
 def q_ann_pq_topk(spark, sf):
@@ -4891,6 +4899,89 @@ FROM r WHERE rk = 1
 """
 
 
+def q_dedup_semantic(spark, sf):
+    """SemDeDup (similarity.semantic_dedup — Abbas et al. 2023):
+    embeddings plus deterministically-perturbed near-dup copies of
+    every 10th vector (+0.05 on coordinate 0, cosine ~0.9999 vs the
+    original while unrelated pairs top out ~0.51), clustered with 2
+    exact-lattice Lloyd rounds, near-dup pairs searched WITHIN clusters
+    only, survivor = farthest-from-centroid. The oracle replays the
+    synthesis, BOTH unrolled k-means rounds, every within-cluster
+    cosine, and the drop verdicts; the per-cluster rollup pins counts,
+    dup edges, and the int64 kept-distance sum bit-for-bit."""
+    from emf_spark.datax.similarity import semantic_dedup
+
+    e = _t(spark, sf, "embeddings")
+    base = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    copies = e.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x.cast("double")
+            + F.when(i == 0, F.lit(0.05)).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+    res = semantic_dedup(
+        base.unionByName(copies), k=8, iters=2, threshold=0.95
+    )
+    return res.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.when(~F.col("kept"), 1).otherwise(0)).alias("n_dropped"),
+        F.sum("n_dups").alias("dup_edges"),
+        F.sum(
+            F.when(F.col("kept"), F.col("centroid_dist")).otherwise(F.lit(0))
+        ).alias("kept_dist_sum"),
+    )
+
+
+def _sql_dedup_semantic(k: int = 8, iters: int = 2, dim: int = 64,
+                        scale: int = 10**6, threshold: float = 0.95) -> str:
+    rng = f"range(1, {dim + 1})"
+    km = ",\n".join(_sql_kmeans_parts(k, iters, dim, scale, "synth"))
+    return f"""
+WITH synth AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000,
+         list_transform({rng},
+           i -> CAST(embedding[i] AS DOUBLE)
+                + CASE WHEN i = 1 THEN 0.05 ELSE 0.0 END)
+  FROM embeddings WHERE vec_id % 10 = 0),
+{km},
+nbr AS (
+  SELECT x.vec_id AS ida, x.dist AS da, y.dist AS db, y.vec_id AS idb
+  FROM a{iters} x JOIN a{iters} y
+    ON x.cluster = y.cluster AND x.vec_id <> y.vec_id
+  JOIN synth sx ON sx.vec_id = x.vec_id
+  JOIN synth sy ON sy.vec_id = y.vec_id
+  WHERE ROUND(
+    list_sum(list_transform({rng}, i -> sx.embedding[i] * sy.embedding[i]))
+    / (SQRT(list_sum(list_transform(sx.embedding, v -> v * v)))
+       * SQRT(list_sum(list_transform(sy.embedding, v -> v * v)))),
+    6) >= {threshold}),
+per AS (
+  SELECT ida, COUNT(*) AS n_dups,
+         MAX(CASE WHEN db > da OR (db = da AND idb < ida)
+                  THEN 1 ELSE 0 END) AS dropf
+  FROM nbr GROUP BY 1),
+fin AS (
+  SELECT v.cluster, v.dist,
+         COALESCE(p.n_dups, 0) AS n_dups, COALESCE(p.dropf, 0) AS dropf
+  FROM a{iters} v LEFT JOIN per p ON v.vec_id = p.ida)
+SELECT CAST(cluster AS INT) AS cluster, COUNT(*) AS n_vecs,
+       CAST(SUM(dropf) AS BIGINT) AS n_dropped,
+       CAST(SUM(n_dups) AS BIGINT) AS dup_edges,
+       CAST(SUM(CASE WHEN dropf = 0 THEN dist ELSE 0 END) AS BIGINT)
+         AS kept_dist_sum
+FROM fin GROUP BY 1
+"""
+
+
 def q_dedup_line_boilerplate(spark, sf):
     """CCNet/C4-style corpus-frequency segment removal
     (datax/dedup.line_dedup): drop from every document the segments
@@ -5083,6 +5174,7 @@ QUERIES: dict[str, Callable] = {
     "data_snapshot_diff": q_data_snapshot_diff,
     "data_scd2_snapshot": q_data_scd2_snapshot,
     "dedup_line_boilerplate": q_dedup_line_boilerplate,
+    "dedup_semantic": q_dedup_semantic,
     "data_quality_checks": q_data_quality_checks,
     "tpch_returned_item_revenue": q_tpch_returned_item_revenue,
     "tpch_promo_revenue": q_tpch_promo_revenue,
@@ -5211,6 +5303,7 @@ ORACLE_SQL: dict[str, str] = {
     "data_snapshot_diff": SQL_DATA_SNAPSHOT_DIFF,
     "data_scd2_snapshot": SQL_DATA_SCD2_SNAPSHOT,
     "dedup_line_boilerplate": SQL_DEDUP_LINE_BOILERPLATE,
+    "dedup_semantic": _sql_dedup_semantic(),
     "data_quality_checks": SQL_DATA_QUALITY_CHECKS,
     "tpch_returned_item_revenue": SQL_TPCH_RETURNED_ITEM_REVENUE,
     "tpch_promo_revenue": SQL_TPCH_PROMO_REVENUE,

@@ -2901,3 +2901,93 @@ def test_cli_linededup_and_quality(spark, tmp_path):
     rows = {r["check"]: r["passed"]
             for r in spark.read.parquet(str(tmp_path / "o2")).collect()}
     assert rows == {"completeness": True, "unique": True, "values_in": False}
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup (SemDeDup: cluster-then-within-cluster near-dup)
+# ---------------------------------------------------------------------------
+
+
+def _semdedup_fixture(spark):
+    # two well-separated lattice clusters; within each, vectors 'a' and
+    # 'b' are near-identical (cosine ~1) while 'c' points elsewhere
+    rows = [
+        (1, [10.0, 0.0, 0.0]),     # cluster A, dup of 2
+        (2, [10.0, 0.1, 0.0]),     # cluster A, dup of 1 (farther or nearer?)
+        (3, [0.0, 10.0, 0.0]),     # cluster A outlier direction
+        (11, [-10.0, 0.0, 0.0]),   # cluster B, dup of 12
+        (12, [-10.0, -0.1, 0.0]),  # cluster B
+        (13, [0.0, -10.0, 0.0]),   # cluster B outlier direction
+    ]
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+
+def test_semantic_dedup_keeps_farthest_from_centroid(spark):
+    from emf_spark.datax.similarity import semantic_dedup
+
+    df = _semdedup_fixture(spark)
+    out = {r["vec_id"]: r for r in semantic_dedup(
+        df, k=2, iters=2, threshold=0.95).collect()}
+    assert len(out) == 6
+    # within each dup pair exactly one survives, and it is the one with
+    # the larger exact centroid distance (SemDeDup's diversity choice)
+    for a, b in ((1, 2), (11, 12)):
+        ka, kb = out[a]["kept"], out[b]["kept"]
+        assert ka != kb
+        da, db = out[a]["centroid_dist"], out[b]["centroid_dist"]
+        kept = a if ka else b
+        far = a if (da, -a) > (db, -b) else b
+        assert kept == far
+        assert out[a]["n_dups"] == out[b]["n_dups"] == 1
+    # non-duplicates untouched
+    assert out[3]["kept"] and out[13]["kept"]
+    assert out[3]["n_dups"] == 0 and out[13]["n_dups"] == 0
+
+
+def test_semantic_dedup_tie_breaks_on_lower_id(spark):
+    from emf_spark.datax.similarity import semantic_dedup
+
+    # identical vectors => identical centroid distance; lower id wins
+    df = spark.createDataFrame(
+        [(5, [1.0, 1.0]), (9, [1.0, 1.0]), (7, [1.0, 1.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = {r["vec_id"]: r["kept"] for r in semantic_dedup(
+        df, k=1, iters=1, threshold=0.99).collect()}
+    assert out == {5: True, 7: False, 9: False}
+
+
+def test_semantic_dedup_cross_cluster_pairs_not_examined(spark):
+    from emf_spark.datax.similarity import semantic_dedup
+
+    # seeds are the 2 lowest ids => 1 and 2 seed DIFFERENT clusters;
+    # they are near-dups but land apart, so SemDeDup (by definition)
+    # does not pair them — both kept
+    df = spark.createDataFrame(
+        [(1, [10.0, 0.0]), (2, [10.0, 0.1]), (3, [10.0, 0.2])],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = semantic_dedup(df, k=2, iters=0, threshold=0.95)
+    rows = {r["vec_id"]: r for r in out.collect()}
+    assert rows[1]["cluster"] != rows[2]["cluster"]
+    assert rows[1]["kept"] and rows[1]["n_dups"] == 0
+
+
+def test_semantic_dedup_max_cluster_cap_and_guard(spark):
+    import pytest as _pytest
+
+    from emf_spark.datax.similarity import semantic_dedup
+
+    df = spark.createDataFrame(
+        [(i, [1.0, float(i % 2) * 1e-6]) for i in range(10)],
+        "vec_id bigint, embedding array<double>",
+    )
+    # cap 3: only ids 0,1,2 participate in pair generation; the rest
+    # are kept with n_dups 0 even though they are near-identical
+    out = {r["vec_id"]: r for r in semantic_dedup(
+        df, k=1, iters=0, threshold=0.9, max_cluster=3).collect()}
+    assert len(out) == 10
+    assert all(out[i]["n_dups"] == 0 and out[i]["kept"] for i in range(3, 10))
+    assert sum(1 for i in range(3) if not out[i]["kept"]) == 2
+    with _pytest.raises(ValueError, match="threshold"):
+        semantic_dedup(df, threshold=1.5)

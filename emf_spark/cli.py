@@ -83,6 +83,7 @@ def datax_main(argv) -> int:
     python -m emf_spark.cli datax pairs --baskets B --basket-col bk --item-col it --out O
     python -m emf_spark.cli datax linededup --docs D --out O [--max-df 10 --delimiter $'\\n']
     python -m emf_spark.cli datax quality --path P --checks "completeness:c:99:100,unique:id" --out O
+    python -m emf_spark.cli datax merge --base B --changes C --keys id --out O [--seq-col seq --op-col op]
     """
     ap = argparse.ArgumentParser(prog="emf_spark.cli datax")
     sub = ap.add_subparsers(dest="op", required=True)
@@ -254,8 +255,15 @@ def datax_main(argv) -> int:
              "range:col:lo:hi | in:col:v1|v2|...",
     )
     qu.add_argument("--out", required=True)
+    mg = sub.add_parser("merge", help="CDC merge: fold a change feed into a snapshot")
+    mg.add_argument("--base", required=True)
+    mg.add_argument("--changes", required=True)
+    mg.add_argument("--keys", required=True, help="comma-separated key columns")
+    mg.add_argument("--seq-col", default="seq")
+    mg.add_argument("--op-col", default="op")
+    mg.add_argument("--out", required=True)
     for p in (d, dc, ts, ab, pi, vo, ig, co, bp, fu, sa, se, ch, mx, re_, pr,
-              ix, pf, fm, ra, rs, bu, an, tr, pa, ld, qu):
+              ix, pf, fm, ra, rs, bu, an, tr, pa, ld, qu, mg):
         p.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args(argv)
     spark = _get_session(args.cpus)
@@ -520,6 +528,21 @@ def datax_main(argv) -> int:
         )
         Path(args.out).write_text(json.dumps(merges))
         print(json.dumps({"op": "bpe", "merges": len(merges)}))
+    elif args.op == "merge":
+        from emf_spark.datax.diff import apply_changes
+
+        res = apply_changes(
+            spark.read.parquet(args.base),
+            spark.read.parquet(args.changes),
+            args.keys.split(","),
+            args.seq_col,
+            op_col=args.op_col,
+        )
+        res.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({
+            "op": "merge",
+            "rows": spark.read.parquet(args.out).count(),
+        }))
     elif args.op == "linededup":
         from emf_spark.datax.dedup import line_dedup
 

@@ -155,3 +155,79 @@ def scd2_apply(
     )
     out_cols = [*key_cols, *attr_cols, valid_from_col, valid_to_col]
     return closed.select(*out_cols).unionByName(emitted.select(*out_cols))
+
+
+def apply_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    seq_col: str,
+    op_col: str = "op",
+    payload_cols: list[str] | None = None,
+) -> DataFrame:
+    """CDC merge — the Delta/Iceberg MERGE pattern as a pure DataFrame
+    program: fold a change feed into a keyed snapshot and return the
+    new snapshot. Change rows carry the FULL new row (not per-column
+    patches): ``key_cols + [seq_col, op_col] + payload_cols`` with op
+    'I' (insert), 'U' (upsert), or 'D' (delete the key); any other op
+    value fails the job in-plan via raise_error — no separate
+    validation pass over the feed. Latest change per key wins: max
+    (seq, op, payload...) struct, so ties on seq break 'U' > 'I' > 'D'
+    then by payload — feeds SHOULD keep (key, seq) unique, in which
+    case the tie path never evaluates. 'I' and 'U' are deliberately
+    interchangeable (both upsert): CDC feeds routinely replay an
+    insert for a key that already exists after a compaction, and
+    failing there would make the merge non-idempotent.
+
+    Scale shape: one keyed aggregate collapses the feed to its latest
+    row per key (map-side combinable — a day's feed usually dwarfs its
+    key count), then ONE full-outer shuffle join against the snapshot;
+    both shuffles share the key, and with the snapshot bucketed on the
+    key (operators/storage.write_bucketed) the snapshot side's
+    Exchange disappears. Deletes filter post-join; nothing collects.
+
+    Idempotent: re-applying an already-applied feed yields the same
+    snapshot (U/I rows rewrite identical payloads, D keys are already
+    gone)."""
+    if payload_cols is None:
+        payload_cols = [c for c in base.columns if c not in key_cols]
+    missing = [c for c in key_cols + [seq_col, op_col] + payload_cols
+               if c not in changes.columns]
+    if missing:
+        raise ValueError(f"changes is missing columns {missing}")
+    opv = F.when(
+        F.col(op_col).isin("I", "U", "D"), F.col(op_col)
+    ).otherwise(
+        F.raise_error(
+            F.concat(F.lit("apply_changes: bad op value "),
+                     F.coalesce(F.col(op_col), F.lit("NULL")))
+        )
+    )
+    latest = (
+        changes.groupBy(*key_cols)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col(seq_col).alias("_s"),
+                    opv.alias("_o"),
+                    *[F.col(c).alias(c) for c in payload_cols],
+                )
+            ).alias("_m")
+        )
+        .select(
+            *key_cols,
+            F.col("_m._o").alias("_op"),
+            *[F.col(f"_m.{c}").alias(f"_new_{c}") for c in payload_cols],
+        )
+    )
+    joined = base.join(latest, key_cols, "full_outer")
+    kept = joined.filter(F.col("_op").isNull() | (F.col("_op") != "D"))
+    return kept.select(
+        *key_cols,
+        *[
+            F.when(F.col("_op").isNotNull(), F.col(f"_new_{c}"))
+            .otherwise(F.col(c))
+            .alias(c)
+            for c in payload_cols
+        ],
+    )

@@ -4899,6 +4899,95 @@ FROM r WHERE rk = 1
 """
 
 
+def q_data_apply_changes(spark, sf):
+    """CDC merge (diff.apply_changes — the Delta/Iceberg MERGE shape):
+    a deterministic change feed against the orders snapshot — updates
+    on keys %10==3 (with a SECOND later update on %100==3 so
+    latest-wins is exercised), deletes on %10==7, inserts of brand-new
+    keys on %10==1 — folded in one keyed aggregate + one full-outer
+    join; the per-status rollup pins row counts, integer-cent price
+    sums, and key ranges of the merged snapshot."""
+    from emf_spark.datax.diff import apply_changes
+
+    o = _t(spark, sf, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    base = o.select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        cents.alias("price_cents"),
+    )
+    k = F.col("o_orderkey")
+    u1 = base.filter(k % 10 == 3).select(
+        "o_orderkey", F.lit(1).alias("seq"), F.lit("U").alias("op"),
+        "o_custkey", F.lit("X").alias("o_orderstatus"),
+        (F.col("price_cents") + 100_000).alias("price_cents"),
+    )
+    u2 = base.filter(k % 100 == 3).select(
+        "o_orderkey", F.lit(2).alias("seq"), F.lit("U").alias("op"),
+        "o_custkey", F.lit("Y").alias("o_orderstatus"),
+        (F.col("price_cents") + 200_000).alias("price_cents"),
+    )
+    dels = base.filter(k % 10 == 7).select(
+        "o_orderkey", F.lit(1).alias("seq"), F.lit("D").alias("op"),
+        F.lit(None).cast("bigint").alias("o_custkey"),
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("bigint").alias("price_cents"),
+    )
+    ins = base.filter(k % 10 == 1).select(
+        (k + 1_000_000_000).alias("o_orderkey"),
+        F.lit(1).alias("seq"), F.lit("I").alias("op"),
+        "o_custkey", F.lit("N").alias("o_orderstatus"),
+        (F.col("price_cents") + 7).alias("price_cents"),
+    )
+    feed = u1.unionByName(u2).unionByName(dels).unionByName(ins)
+    res = apply_changes(base, feed, ["o_orderkey"], "seq")
+    return res.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("price_cents").alias("sum_cents"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+SQL_DATA_APPLY_CHANGES = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+  FROM orders),
+feed AS (
+  SELECT o_orderkey, 1 AS seq, 'U' AS op, o_custkey,
+         'X' AS o_orderstatus, price_cents + 100000 AS price_cents
+  FROM base WHERE o_orderkey % 10 = 3
+  UNION ALL
+  SELECT o_orderkey, 2, 'U', o_custkey, 'Y', price_cents + 200000
+  FROM base WHERE o_orderkey % 100 = 3
+  UNION ALL
+  SELECT o_orderkey, 1, 'D', NULL, NULL, NULL
+  FROM base WHERE o_orderkey % 10 = 7
+  UNION ALL
+  SELECT o_orderkey + 1000000000, 1, 'I', o_custkey, 'N', price_cents + 7
+  FROM base WHERE o_orderkey % 10 = 1),
+latest AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                 ORDER BY seq DESC) AS rn
+    FROM feed) WHERE rn = 1),
+merged AS (
+  SELECT COALESCE(l.o_orderkey, b.o_orderkey) AS o_orderkey,
+         CASE WHEN l.op IS NULL THEN b.o_custkey ELSE l.o_custkey END
+           AS o_custkey,
+         CASE WHEN l.op IS NULL THEN b.o_orderstatus
+              ELSE l.o_orderstatus END AS o_orderstatus,
+         CASE WHEN l.op IS NULL THEN b.price_cents
+              ELSE l.price_cents END AS price_cents
+  FROM base b FULL OUTER JOIN latest l ON b.o_orderkey = l.o_orderkey
+  WHERE l.op IS NULL OR l.op <> 'D')
+SELECT o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(price_cents) AS BIGINT) AS sum_cents,
+       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+FROM merged GROUP BY 1
+"""
+
+
 def q_dedup_semantic(spark, sf):
     """SemDeDup (similarity.semantic_dedup — Abbas et al. 2023):
     embeddings plus deterministically-perturbed near-dup copies of
@@ -5175,6 +5264,7 @@ QUERIES: dict[str, Callable] = {
     "data_scd2_snapshot": q_data_scd2_snapshot,
     "dedup_line_boilerplate": q_dedup_line_boilerplate,
     "dedup_semantic": q_dedup_semantic,
+    "data_apply_changes": q_data_apply_changes,
     "data_quality_checks": q_data_quality_checks,
     "tpch_returned_item_revenue": q_tpch_returned_item_revenue,
     "tpch_promo_revenue": q_tpch_promo_revenue,
@@ -5304,6 +5394,7 @@ ORACLE_SQL: dict[str, str] = {
     "data_scd2_snapshot": SQL_DATA_SCD2_SNAPSHOT,
     "dedup_line_boilerplate": SQL_DEDUP_LINE_BOILERPLATE,
     "dedup_semantic": _sql_dedup_semantic(),
+    "data_apply_changes": SQL_DATA_APPLY_CHANGES,
     "data_quality_checks": SQL_DATA_QUALITY_CHECKS,
     "tpch_returned_item_revenue": SQL_TPCH_RETURNED_ITEM_REVENUE,
     "tpch_promo_revenue": SQL_TPCH_PROMO_REVENUE,

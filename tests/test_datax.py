@@ -2991,3 +2991,73 @@ def test_semantic_dedup_max_cluster_cap_and_guard(spark):
     assert sum(1 for i in range(3) if not out[i]["kept"]) == 2
     with _pytest.raises(ValueError, match="threshold"):
         semantic_dedup(df, threshold=1.5)
+
+
+# ---------------------------------------------------------------------------
+# apply_changes (CDC merge)
+# ---------------------------------------------------------------------------
+
+
+def test_apply_changes_merge_semantics(spark):
+    from emf_spark.datax.diff import apply_changes
+
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+        "id bigint, name string, v bigint",
+    )
+    feed = spark.createDataFrame(
+        [
+            (2, 1, "U", "b1", 21),   # superseded
+            (2, 2, "U", "b2", 22),   # latest wins
+            (3, 1, "D", None, None),  # delete
+            (4, 1, "I", "d", 40),     # insert
+            (5, 2, "D", None, None),  # delete of a missing key: no-op
+        ],
+        "id bigint, seq int, op string, name string, v bigint",
+    )
+    out = apply_changes(base, feed, ["id"], "seq")
+    assert sorted(out.columns) == ["id", "name", "v"]
+    rows = {r["id"]: (r["name"], r["v"]) for r in out.collect()}
+    assert rows == {1: ("a", 10), 2: ("b2", 22), 4: ("d", 40)}
+    # idempotent: re-applying the same feed to the result is a no-op
+    again = apply_changes(out, feed, ["id"], "seq")
+    assert {r["id"]: (r["name"], r["v"]) for r in again.collect()} == rows
+
+
+def test_apply_changes_guards(spark):
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    from emf_spark.datax.diff import apply_changes
+
+    base = spark.createDataFrame([(1, 10)], "id bigint, v bigint")
+    with _pytest.raises(ValueError, match="missing columns"):
+        apply_changes(
+            base,
+            spark.createDataFrame([(1, 1, "U")], "id bigint, seq int, op string"),
+            ["id"], "seq",
+        )
+    bad = spark.createDataFrame(
+        [(1, 1, "Z", 11)], "id bigint, seq int, op string, v bigint"
+    )
+    with _pytest.raises(Exception, match="bad op value") as ei:
+        apply_changes(base, bad, ["id"], "seq").collect()
+    assert isinstance(ei.value, Py4JJavaError) or "bad op" in str(ei.value)
+
+
+def test_cli_merge(spark, tmp_path):
+    from emf_spark import cli
+
+    base = spark.createDataFrame([(1, 10), (2, 20)], "id bigint, v bigint")
+    feed = spark.createDataFrame(
+        [(2, 1, "U", 21), (3, 1, "I", 30), (1, 1, "D", None)],
+        "id bigint, seq int, op string, v bigint",
+    )
+    bp, cp = str(tmp_path / "b.parquet"), str(tmp_path / "c.parquet")
+    base.write.parquet(bp)
+    feed.write.parquet(cp)
+    assert cli.main(["datax", "merge", "--base", bp, "--changes", cp,
+                     "--keys", "id", "--out", str(tmp_path / "o")]) == 0
+    rows = {r["id"]: r["v"]
+            for r in spark.read.parquet(str(tmp_path / "o")).collect()}
+    assert rows == {2: 21, 3: 30}

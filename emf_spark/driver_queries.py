@@ -4899,6 +4899,50 @@ FROM r WHERE rk = 1
 """
 
 
+def q_entity_snm_pairs(spark, sf):
+    """Sorted-neighborhood candidate generation (entity.
+    sorted_neighborhood_pairs — Hernandez & Stolfo 1995): customers
+    ordered by integer-cent account balance, every row paired with its
+    next 2 neighbors in that order; the global order comes from
+    value-range bucketing (ordering.global_index), never a
+    single-partition window, and neighbors materialize through an
+    EQUI-join on exploded probe indexes. The rollup pins pair counts,
+    close-pair counts (balance gap <= 50 cents), and exact integer
+    gap sums per neighborhood distance."""
+    from emf_spark.datax.entity import sorted_neighborhood_pairs
+
+    c = _t(spark, sf, "customer")
+    base = c.select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_cents"),
+    )
+    pairs = sorted_neighborhood_pairs(
+        base, "bal_cents", id_col="c_custkey", window=3
+    )
+    diff = F.abs(F.col("key_b") - F.col("key_a"))
+    return pairs.groupBy("gap").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(diff <= 50, 1).otherwise(0)).alias("n_close"),
+        F.sum(diff).alias("sum_diff"),
+    )
+
+
+SQL_ENTITY_SNM_PAIRS = """
+WITH c AS (
+  SELECT c_custkey AS id, CAST(round(c_acctbal * 100) AS BIGINT) AS k
+  FROM customer WHERE c_acctbal IS NOT NULL),
+r AS (SELECT id, k, ROW_NUMBER() OVER (ORDER BY k, id) - 1 AS i FROM c),
+p AS (
+  SELECT a.k AS ka, b.k AS kb, CAST(b.i - a.i AS INT) AS gap
+  FROM r a JOIN r b ON b.i BETWEEN a.i + 1 AND a.i + 2)
+SELECT gap, COUNT(*) AS n_pairs,
+       CAST(SUM(CASE WHEN abs(kb - ka) <= 50 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_close,
+       CAST(SUM(abs(kb - ka)) AS BIGINT) AS sum_diff
+FROM p GROUP BY 1
+"""
+
+
 def q_data_apply_changes(spark, sf):
     """CDC merge (diff.apply_changes — the Delta/Iceberg MERGE shape):
     a deterministic change feed against the orders snapshot — updates
@@ -5265,6 +5309,7 @@ QUERIES: dict[str, Callable] = {
     "dedup_line_boilerplate": q_dedup_line_boilerplate,
     "dedup_semantic": q_dedup_semantic,
     "data_apply_changes": q_data_apply_changes,
+    "entity_snm_pairs": q_entity_snm_pairs,
     "data_quality_checks": q_data_quality_checks,
     "tpch_returned_item_revenue": q_tpch_returned_item_revenue,
     "tpch_promo_revenue": q_tpch_promo_revenue,
@@ -5395,6 +5440,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_line_boilerplate": SQL_DEDUP_LINE_BOILERPLATE,
     "dedup_semantic": _sql_dedup_semantic(),
     "data_apply_changes": SQL_DATA_APPLY_CHANGES,
+    "entity_snm_pairs": SQL_ENTITY_SNM_PAIRS,
     "data_quality_checks": SQL_DATA_QUALITY_CHECKS,
     "tpch_returned_item_revenue": SQL_TPCH_RETURNED_ITEM_REVENUE,
     "tpch_promo_revenue": SQL_TPCH_PROMO_REVENUE,

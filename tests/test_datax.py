@@ -3061,3 +3061,59 @@ def test_cli_merge(spark, tmp_path):
     rows = {r["id"]: r["v"]
             for r in spark.read.parquet(str(tmp_path / "o")).collect()}
     assert rows == {2: 21, 3: 30}
+
+
+# ---------------------------------------------------------------------------
+# sorted_neighborhood_pairs + str_prefix_key (SNM candidate generation)
+# ---------------------------------------------------------------------------
+
+
+def test_snm_pairs_adjacency_and_window(spark):
+    from emf_spark.datax.entity import sorted_neighborhood_pairs
+
+    df = spark.createDataFrame(
+        [(1, 100), (2, 105), (3, 300), (4, 101), (5, None)],
+        "id bigint, k bigint",
+    )
+    # order by k: 1(100), 4(101), 2(105), 3(300); null excluded
+    out = sorted_neighborhood_pairs(df, "k", id_col="id", window=3)
+    got = {(r["id_a"], r["id_b"]): r["gap"] for r in out.collect()}
+    assert got == {
+        (1, 4): 1, (1, 2): 2,
+        (4, 2): 1, (4, 3): 2,
+        (2, 3): 1,
+    }
+    n = 4
+    assert len(got) == (2 * n - 3)  # (w-1)*n minus the tail truncation
+
+
+def test_snm_duplicate_keys_tiebreak_on_id(spark):
+    import pytest as _pytest
+
+    from emf_spark.datax.entity import sorted_neighborhood_pairs
+
+    df = spark.createDataFrame(
+        [(7, 5), (3, 5), (9, 5)], "id bigint, k bigint"
+    )
+    out = sorted_neighborhood_pairs(df, "k", id_col="id", window=2)
+    got = sorted((r["id_a"], r["id_b"]) for r in out.collect())
+    assert got == [(3, 7), (7, 9)]  # order (k, id): 3,7,9
+    with _pytest.raises(ValueError, match="window"):
+        sorted_neighborhood_pairs(df, "k", window=1)
+
+
+def test_str_prefix_key_is_monotone_for_ascii(spark):
+    from pyspark.sql import functions as F
+
+    from emf_spark.datax.entity import str_prefix_key
+
+    import pytest as _pytest
+
+    words = ["", "a", "ab", "aba", "abc", "b", "ba", "zz", "Customer#1"]
+    df = spark.createDataFrame([(w,) for w in words], "s string")
+    rows = df.select("s", str_prefix_key("s").alias("p")).collect()
+    by_s = sorted(rows, key=lambda r: r["s"])
+    ps = [r["p"] for r in by_s]
+    assert ps == sorted(ps)  # proxy order == string order
+    with _pytest.raises(ValueError, match="n must"):
+        str_prefix_key("s", n=8)

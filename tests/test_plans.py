@@ -401,3 +401,39 @@ def test_scalar_broadcast_queries_have_one_row_build_side(spark):
         # empty grouping "keys=[]"
         if "BroadcastNestedLoopJoin" in p:
             assert "Keys: []" in p or "keys=[]" in p, name
+
+
+def test_fourth_session_queries_plan_posture(spark):
+    """The session's additions keep the repo's plan rules: no nested
+    loops/cartesians anywhere; line_dedup and SNM never globally sort
+    (no rangepartitioning Exchange — their orderings come from keyed
+    windows / value-range bucketing); apply_changes carries exactly
+    one full-outer shuffle join; quality checks stay a single
+    aggregate over one scan."""
+    from emf_spark import driver_queries as dq
+
+    SF = "/root/testdata/sf0.001"
+    for name in (
+        "dedup_line_boilerplate",
+        "dedup_semantic",
+        "data_quality_checks",
+        "data_apply_changes",
+        "entity_snm_pairs",
+    ):
+        p = plan_of(dq.QUERIES[name](spark, SF))
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+
+    p = plan_of(dq.QUERIES["dedup_line_boilerplate"](spark, SF))
+    assert "rangepartitioning" not in p.lower(), p[:1500]
+    p = plan_of(dq.QUERIES["entity_snm_pairs"](spark, SF))
+    assert "rangepartitioning" not in p.lower(), p[:1500]
+    # optimized logical plan: nodes appear once (formatted physical
+    # plans repeat each node in the details section)
+    lp = (dq.QUERIES["data_apply_changes"](spark, SF)
+          ._jdf.queryExecution().optimizedPlan().toString())
+    assert lp.count("Join FullOuter") == 1, lp[:2000]
+    # one scan only: the suite compiles to a single aggregate pass
+    lp = (dq.QUERIES["data_quality_checks"](spark, SF)
+          ._jdf.queryExecution().optimizedPlan().toString())
+    assert lp.count("Relation [") == 1, lp[:2000]

@@ -630,3 +630,85 @@ def test_streaming_counter_increase_parity(spark, tmp_path):
     )
     q2.awaitTermination(300)
     assert spark.read.parquet(out).count() == n
+
+
+def test_streaming_cdc_merge_matches_batch_and_resumes(spark, tmp_path):
+    """streaming/cdc.py: two mtime-ordered feed files fold into the
+    versioned snapshot one micro-batch at a time; the final snapshot
+    equals the one-shot batch apply_changes over the concatenated feed
+    (seqs arrival-consistent), versions v0..v2 exist, and a checkpoint
+    resume with no new files writes nothing."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from emf_spark.datax.diff import apply_changes
+    from emf_spark.streaming import cdc
+
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+        "id bigint, name string, v bigint",
+    )
+    snap = str(tmp_path / "snap")
+    feed_dir = str(tmp_path / "feed")
+    ck = str(tmp_path / "ck")
+    cdc.init_snapshot(base, snap)
+
+    batches = [
+        [(2, 1, "U", "b1", 21), (4, 1, "I", "d", 40)],
+        [(1, 2, "D", None, None), (4, 2, "U", "d2", 41)],
+    ]
+
+    def write_file(path, rows):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        ids, seqs, ops, names, vs = zip(*rows)
+        pq.write_table(
+            pa.table({
+                "id": pa.array(ids, pa.int64()),
+                "seq": pa.array(seqs, pa.int32()),
+                "op": pa.array(ops, pa.string()),
+                "name": pa.array(names, pa.string()),
+                "v": pa.array(vs, pa.int64()),
+            }),
+            path,
+        )
+
+    for i, rows in enumerate(batches):
+        p = f"{feed_dir}/f{i}.parquet"
+        write_file(p, rows)
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    q = cdc.run_cdc_merge(
+        spark, feed_dir, snap, ck, ["id"], "seq", max_files_per_trigger=1
+    )
+    q.awaitTermination(300)
+
+    assert cdc._versions(spark, snap) == [0, 1, 2]
+    got = {r["id"]: (r["name"], r["v"])
+           for r in cdc.current_snapshot(spark, snap).collect()}
+    assert got == {2: ("b1", 21), 3: ("c", 30), 4: ("d2", 41)}
+
+    # parity with the one-shot batch merge over the concatenated feed
+    feed_all = spark.createDataFrame(
+        [r for b in batches for r in b],
+        "id bigint, seq int, op string, name string, v bigint",
+    )
+    ref = {r["id"]: (r["name"], r["v"])
+           for r in apply_changes(base, feed_all, ["id"], "seq").collect()}
+    assert got == ref
+
+    # checkpoint resume with no new files: no new version
+    q2 = cdc.run_cdc_merge(
+        spark, feed_dir, snap, ck, ["id"], "seq", max_files_per_trigger=1
+    )
+    q2.awaitTermination(300)
+    assert cdc._versions(spark, snap) == [0, 1, 2]
+
+    # bootstrap guard
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bootstrap"):
+        cdc.run_cdc_merge(
+            spark, feed_dir, str(tmp_path / "nosnap"), ck, ["id"], "seq"
+        )

@@ -264,3 +264,101 @@ def priority_sample(
         .orderBy(F.col("priority").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def importance_votes(
+    df: DataFrame,
+    is_target_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    gram_k: int = 2,
+    word_hash=None,
+) -> DataFrame:
+    """DSIR-style data-selection scores (Xie et al. 2023): measure how
+    target-like every document's hashed n-gram profile is, against the
+    split given by boolean ``is_target_col`` (True rows define the
+    target distribution, the rest the raw distribution). The paper
+    weighs each hashed gram by log(p_target[b] / p_raw[b]); this
+    operator keeps each gram's SIGN of that log-likelihood ratio and
+    sums votes — sign(log(pt/pr)) equals the sign of the
+    cross-multiplied Laplace-smoothed count comparison
+
+        (cT[b]+1) * (NR+m)  vs  (cR[b]+1) * (NT+m)
+
+    which is pure int64, so the scores replay bit-for-bit in an
+    external engine where ``ln`` itself does not (the HLL oracle
+    lesson). Returns one row per input row: (id_col, n_grams, votes),
+    votes = #target-leaning grams − #raw-leaning grams, counted PER
+    OCCURRENCE like the paper; docs shorter than gram_k words score 0.
+
+    Scale shape: DSIR is inherently two-pass — estimate the bucket
+    distributions, then score. Pass 1 is ONE map-side-combinable
+    bucket aggregate collapsing the corpus to <= m rows (collected:
+    the vote table is driver-sized by construction); pass 2 broadcasts
+    the m-row vote table onto the gram rows and the per-doc sum reuses
+    the rolling-hash path's id partitioning. Persist the gram frame
+    between passes when the corpus scan dominates (at 100 TB it
+    does). Cross-multiplication overflows
+    int64 past ~3e9 total grams per side; at that scale pre-divide the
+    counts (or lift to decimal) — the VOTES stay stable because only
+    the comparison's sign matters.
+    """
+    from emf_spark.datax.dedup import shingle_hash_rows
+
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    flags = df.select(
+        F.col(id_col).alias("id"),
+        F.col(is_target_col).cast("boolean").alias("_t"),
+    )
+    grams = (
+        shingle_hash_rows(
+            df, text_col=text_col, id_col=id_col, k=gram_k,
+            word_hash=word_hash,
+        )
+        .withColumn("_b", F.pmod(F.col("h"), F.lit(n_buckets)))
+        .join(flags, "id")
+        # both passes read the gram rows; the estimate pass's collect
+        # materializes the cache so the score pass skips re-hashing
+        .persist()
+    )
+    # the bucket table is <= n_buckets rows by construction: collect it
+    # and build the vote table driver-side (keeps the plan equi-join
+    # only — an in-plan 1-row totals join would be a nested-loop
+    # broadcast, the shape the plan tests ban for pair generators)
+    counts = grams.groupBy("_b").agg(
+        F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("_ct"),
+        F.sum(F.when(~F.col("_t"), 1).otherwise(0)).alias("_cr"),
+    ).collect()
+    nt = sum(r["_ct"] for r in counts)
+    nr = sum(r["_cr"] for r in counts)
+    vote_rows = []
+    for r in counts:
+        lhs = (r["_ct"] + 1) * (nr + n_buckets)
+        rhs = (r["_cr"] + 1) * (nt + n_buckets)
+        vote_rows.append(
+            (r["_b"], 1 if lhs > rhs else (-1 if lhs < rhs else 0))
+        )
+    # buckets no gram ever hit cannot appear in `grams` either — the
+    # join below never needs their (zero-count) votes
+    votes = df.sparkSession.createDataFrame(
+        vote_rows, "_b bigint, _vote int"
+    )
+    per = (
+        grams.join(F.broadcast(votes), "_b")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("_vote").alias("votes"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(per, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("votes", F.lit(0).cast("bigint")).alias("votes"),
+        )
+    )

@@ -4899,6 +4899,71 @@ FROM r WHERE rk = 1
 """
 
 
+def q_data_importance_votes(spark, sf):
+    """DSIR-style data selection (sampling.importance_votes — Xie et
+    al. 2023) with source 'src0' as the target distribution: hashed
+    word-bigram bucket counts vote per gram occurrence by the SIGN of
+    the Laplace-smoothed likelihood ratio (integer cross-multiply, no
+    ln), summed per document. The per-source rollup pins gram totals,
+    vote sums, and how many docs lean target — every number replays
+    bit-for-bit from the portable md5 word hash up."""
+    from emf_spark.datax.dedup import portable_word_hash
+    from emf_spark.datax.sampling import importance_votes
+
+    d = _t(spark, sf, "documents")
+    scored = importance_votes(
+        d.withColumn("is_tgt", F.col("source") == "src0"),
+        "is_tgt",
+        word_hash=portable_word_hash,
+    )
+    joined = d.select("doc_id", "source").join(scored, "doc_id")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_grams").alias("total_grams"),
+        F.sum("votes").alias("sum_votes"),
+        F.sum(F.when(F.col("votes") > 0, 1).otherwise(0))
+        .alias("target_leaning"),
+    )
+
+
+def _sql_data_importance_votes(m: int = 4096) -> str:
+    B = 1_000_003
+    acc = f"((wh[i] * {B} + wh[i + 1]) % {_P31})"
+    return f"""
+WITH words AS (SELECT doc_id, source, {_SQL_WORD_HASHES} AS wh
+               FROM (SELECT doc_id, source,
+                            string_split({_NORM_TXT}, ' ') AS w
+                     FROM documents) t),
+grams AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(1, greatest(len(wh) - 1, 0) + 1),
+                i -> {acc} % {m})) AS b
+  FROM words),
+counts AS (
+  SELECT b,
+         SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ct,
+         SUM(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS cr
+  FROM grams GROUP BY 1),
+tot AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM counts),
+votes AS (
+  SELECT b,
+         CASE WHEN (ct + 1) * (nr + {m}) > (cr + 1) * (nt + {m}) THEN 1
+              WHEN (ct + 1) * (nr + {m}) < (cr + 1) * (nt + {m}) THEN -1
+              ELSE 0 END AS vote
+  FROM counts, tot),
+per AS (
+  SELECT g.doc_id, COUNT(*) AS n_grams, SUM(v.vote) AS votes
+  FROM grams g JOIN votes v USING (b) GROUP BY 1)
+SELECT d.source, COUNT(*) AS docs,
+       CAST(SUM(COALESCE(p.n_grams, 0)) AS BIGINT) AS total_grams,
+       CAST(SUM(COALESCE(p.votes, 0)) AS BIGINT) AS sum_votes,
+       CAST(SUM(CASE WHEN COALESCE(p.votes, 0) > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS target_leaning
+FROM documents d LEFT JOIN per p USING (doc_id)
+GROUP BY 1
+"""
+
+
 def q_entity_snm_pairs(spark, sf):
     """Sorted-neighborhood candidate generation (entity.
     sorted_neighborhood_pairs — Hernandez & Stolfo 1995): customers
@@ -5310,6 +5375,7 @@ QUERIES: dict[str, Callable] = {
     "dedup_semantic": q_dedup_semantic,
     "data_apply_changes": q_data_apply_changes,
     "entity_snm_pairs": q_entity_snm_pairs,
+    "data_importance_votes": q_data_importance_votes,
     "data_quality_checks": q_data_quality_checks,
     "tpch_returned_item_revenue": q_tpch_returned_item_revenue,
     "tpch_promo_revenue": q_tpch_promo_revenue,
@@ -5441,6 +5507,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_semantic": _sql_dedup_semantic(),
     "data_apply_changes": SQL_DATA_APPLY_CHANGES,
     "entity_snm_pairs": SQL_ENTITY_SNM_PAIRS,
+    "data_importance_votes": _sql_data_importance_votes(),
     "data_quality_checks": SQL_DATA_QUALITY_CHECKS,
     "tpch_returned_item_revenue": SQL_TPCH_RETURNED_ITEM_REVENUE,
     "tpch_promo_revenue": SQL_TPCH_PROMO_REVENUE,

@@ -3117,3 +3117,72 @@ def test_str_prefix_key_is_monotone_for_ascii(spark):
     assert ps == sorted(ps)  # proxy order == string order
     with _pytest.raises(ValueError, match="n must"):
         str_prefix_key("s", n=8)
+
+
+# ---------------------------------------------------------------------------
+# importance_votes (DSIR-style data selection)
+# ---------------------------------------------------------------------------
+
+
+def test_importance_votes_python_replica(spark):
+    from emf_spark.datax import dedup as dd
+    from emf_spark.datax.sampling import importance_votes
+
+    rows = [
+        (1, "spark shuffle join spark shuffle", True),
+        (2, "spark shuffle agg window", True),
+        (3, "cat dog bird cat dog", False),
+        (4, "dog bird fish", False),
+        (5, "spark shuffle cat dog", False),  # mixed profile
+        (6, "x", True),   # < 2 words: no grams, votes 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, t boolean")
+    m = 64
+    out = {r["doc_id"]: (r["n_grams"], r["votes"])
+           for r in importance_votes(
+               df, "t", n_buckets=m, word_hash=dd.portable_word_hash
+           ).collect()}
+
+    # independent python replica of hashing, bucketing, and voting
+    import hashlib
+
+    P56 = (1 << 56)
+    PP = (1 << 31) - 1
+    B = 1_000_003
+
+    def wh(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:14], 16) % PP
+
+    def grams(text):
+        w = [wh(x) for x in text.lower().split()]
+        return [((w[i] * B + w[i + 1]) % PP) % m for i in range(len(w) - 1)]
+
+    ct, cr = {}, {}
+    for _, text, t in rows:
+        for b in grams(text):
+            (ct if t else cr)[b] = (ct if t else cr).get(b, 0) + 1
+    nt, nr = sum(ct.values()), sum(cr.values())
+
+    def vote(b):
+        lhs = (ct.get(b, 0) + 1) * (nr + m)
+        rhs = (cr.get(b, 0) + 1) * (nt + m)
+        return 1 if lhs > rhs else (-1 if lhs < rhs else 0)
+
+    for i, text, _ in rows:
+        gs = grams(text)
+        assert out[i] == (len(gs), sum(vote(b) for b in gs)), i
+    assert out[6] == (0, 0)
+    # sanity: pure-target docs lean target, pure-raw lean raw
+    assert out[1][1] > 0 and out[2][1] > 0
+    assert out[3][1] < 0 and out[4][1] < 0
+
+
+def test_importance_votes_guard(spark):
+    import pytest as _pytest
+
+    from emf_spark.datax.sampling import importance_votes
+
+    df = spark.createDataFrame([(1, "a b", True)],
+                               "doc_id bigint, text string, t boolean")
+    with _pytest.raises(ValueError, match="n_buckets"):
+        importance_votes(df, "t", n_buckets=1)

@@ -84,6 +84,7 @@ def datax_main(argv) -> int:
     python -m emf_spark.cli datax linededup --docs D --out O [--max-df 10 --delimiter $'\\n']
     python -m emf_spark.cli datax quality --path P --checks "completeness:c:99:100,unique:id" --out O
     python -m emf_spark.cli datax merge --base B --changes C --keys id --out O [--seq-col seq --op-col op]
+    python -m emf_spark.cli datax shards --docs D --epoch 1 --out O [--n-shards 16 --max-records N]
     """
     ap = argparse.ArgumentParser(prog="emf_spark.cli datax")
     sub = ap.add_subparsers(dest="op", required=True)
@@ -262,8 +263,17 @@ def datax_main(argv) -> int:
     mg.add_argument("--seq-col", default="seq")
     mg.add_argument("--op-col", default="op")
     mg.add_argument("--out", required=True)
+    sh = sub.add_parser(
+        "shards", help="write one training epoch as order-baked shard parquet"
+    )
+    sh.add_argument("--docs", required=True)
+    sh.add_argument("--id-col", default="doc_id")
+    sh.add_argument("--epoch", type=int, required=True)
+    sh.add_argument("--n-shards", type=int, default=16)
+    sh.add_argument("--max-records", type=int, default=None)
+    sh.add_argument("--out", required=True)
     for p in (d, dc, ts, ab, pi, vo, ig, co, bp, fu, sa, se, ch, mx, re_, pr,
-              ix, pf, fm, ra, rs, bu, an, tr, pa, ld, qu, mg):
+              ix, pf, fm, ra, rs, bu, an, tr, pa, ld, qu, mg, sh):
         p.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args(argv)
     spark = _get_session(args.cpus)
@@ -528,6 +538,19 @@ def datax_main(argv) -> int:
         )
         Path(args.out).write_text(json.dumps(merges))
         print(json.dumps({"op": "bpe", "merges": len(merges)}))
+    elif args.op == "shards":
+        from emf_spark.datax.ordering import write_training_shards
+
+        write_training_shards(
+            spark.read.parquet(args.docs), args.out, args.id_col,
+            epoch=args.epoch, n_shards=args.n_shards,
+            max_records_per_file=args.max_records,
+        )
+        print(json.dumps({
+            "op": "shards", "epoch": args.epoch,
+            "rows": spark.read.parquet(args.out).count(),
+            "n_shards": args.n_shards,
+        }))
     elif args.op == "merge":
         from emf_spark.datax.diff import apply_changes
 

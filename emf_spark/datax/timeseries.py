@@ -320,3 +320,83 @@ def mad_anomalies(
             ).alias("anomalies"),
         )
     )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    step_seconds: int,
+) -> DataFrame:
+    """Open/high/low/close candle bars per series per time bucket — the
+    downsampling shape every telemetry store renders charts from.
+    Open/close are SELECTED raw values (first/last observation by
+    ``(ts, tiebreak)`` — no arithmetic, so doubles stay bit-exact
+    cross-engine), high/low are min/max, n counts observations.
+
+    Scale shape: one hash aggregate keyed (series, bucket), all five
+    outputs algebraic (first/last via lexicographic struct-min/max, the
+    A4/A5 first-wins/last-wins pattern), map-side combinable — ONE
+    shuffle, no window, no sort."""
+    if step_seconds < 1:
+        raise ValueError("step_seconds must be >= 1")
+    epoch = F.unix_timestamp(F.col(ts_col))
+    bucket = (F.floor(epoch / step_seconds) * step_seconds).cast("bigint")
+    pick = F.struct(
+        epoch.alias("_e"),
+        F.col(tiebreak_col).alias("_t"),
+        F.col(value_col).alias("_v"),
+    )
+    return (
+        df.groupBy(*key_cols, bucket.alias("bucket_start"))
+        .agg(
+            F.min(pick)["_v"].alias("open"),
+            F.max(pick)["_v"].alias("close"),
+            F.max(F.col(value_col)).alias("high"),
+            F.min(F.col(value_col)).alias("low"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def rate_limit(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    tiebreak_col: str,
+    max_per_window: int,
+    step_seconds: int,
+) -> DataFrame:
+    """Per-key rate limiting: keep the first ``max_per_window`` events
+    (by ``(ts, tiebreak)``) of every (keys..., window) cell and mark
+    the rest — the log-pipeline throttle that caps a hot key's volume
+    without touching quiet keys. Returns the input plus ``kept`` (int
+    0/1); filter kept=1 downstream (the mark stays queryable for
+    drop-rate dashboards).
+
+    Scale shape: one rank window keyed (keys, bucket) ordered by (ts,
+    tiebreak) — a single hash Exchange; the per-cell sort is bounded by
+    the cell's own row count and spills. A skew-hot key is exactly the
+    case the operator exists for: its cell sorts once, then all but
+    max_per_window rows leave the pipeline."""
+    from pyspark.sql.window import Window
+
+    if max_per_window < 1:
+        raise ValueError("max_per_window must be >= 1")
+    if step_seconds < 1:
+        raise ValueError("step_seconds must be >= 1")
+    epoch = F.unix_timestamp(F.col(ts_col))
+    bucket = (F.floor(epoch / step_seconds) * step_seconds).cast("bigint")
+    w = Window.partitionBy(
+        *key_cols, F.col("_rl_bucket")
+    ).orderBy(epoch.asc(), F.col(tiebreak_col).asc())
+    return (
+        df.withColumn("_rl_bucket", bucket)
+        .withColumn(
+            "kept",
+            F.when(F.row_number().over(w) <= max_per_window, 1).otherwise(0),
+        )
+        .withColumnRenamed("_rl_bucket", "window_start")
+    )

@@ -4899,6 +4899,83 @@ FROM r WHERE rk = 1
 """
 
 
+def q_ts_ohlc(spark, sf):
+    """OHLC candle bars (timeseries.ohlc_bars): daily open/high/low/
+    close per event type in ONE algebraic aggregate (first/last via
+    lexicographic struct-min/max — the A4/A5 pattern — so open/close
+    are SELECTED raw doubles, bit-exact cross-engine with no float
+    arithmetic); oracle replays via ordered ROW_NUMBER picks.
+    floor(epoch()) mirrors unix_timestamp's sub-second truncation."""
+    from emf_spark.datax.timeseries import ohlc_bars
+
+    ev = _t(spark, sf, "events")
+    return ohlc_bars(
+        ev, ["event_type"], "ts", "value", "event_id", 86_400
+    )
+
+
+SQL_TS_OHLC = """
+WITH e AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+         event_id, value
+  FROM events),
+b AS (SELECT event_type, (ep // 86400) * 86400 AS bucket_start,
+             ep, event_id, value FROM e),
+r AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY event_type, bucket_start
+                       ORDER BY ep, event_id) AS ra,
+    ROW_NUMBER() OVER (PARTITION BY event_type, bucket_start
+                       ORDER BY ep DESC, event_id DESC) AS rd
+  FROM b)
+SELECT event_type, bucket_start,
+       MAX(CASE WHEN ra = 1 THEN value END) AS open,
+       MAX(CASE WHEN rd = 1 THEN value END) AS close,
+       MAX(value) AS high, MIN(value) AS low, COUNT(*) AS n
+FROM r GROUP BY 1, 2
+"""
+
+
+def q_ts_rate_limited(spark, sf):
+    """Per-key rate limiting (timeseries.rate_limit): at most 3 events
+    per (user, hour), first by (ts, event_id); the per-type rollup pins
+    kept/dropped counts plus the integer-cent value volume that
+    survives the throttle."""
+    from emf_spark.datax.timeseries import rate_limit
+
+    ev = _t(spark, sf, "events")
+    r = rate_limit(ev, ["user_id"], "ts", "event_id", 3, 3_600)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    return r.groupBy("event_type").agg(
+        F.sum("kept").alias("kept"),
+        F.sum(1 - F.col("kept")).alias("dropped"),
+        F.sum(F.when(F.col("kept") == 1, cents).otherwise(0))
+        .alias("kept_cents"),
+    )
+
+
+SQL_TS_RATE_LIMITED = """
+WITH e AS (
+  SELECT event_type, user_id, event_id, value,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ep
+  FROM events),
+r AS (
+  SELECT event_type, value,
+         CASE WHEN ROW_NUMBER() OVER (
+                PARTITION BY user_id, (ep // 3600) * 3600
+                ORDER BY ep, event_id) <= 3
+              THEN 1 ELSE 0 END AS kept
+  FROM e)
+SELECT event_type,
+       CAST(SUM(kept) AS BIGINT) AS kept,
+       CAST(SUM(1 - kept) AS BIGINT) AS dropped,
+       CAST(SUM(CASE WHEN kept = 1
+                     THEN CAST(round(value * 100) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS kept_cents
+FROM r GROUP BY 1
+"""
+
+
 def q_data_importance_votes(spark, sf):
     """DSIR-style data selection (sampling.importance_votes — Xie et
     al. 2023) with source 'src0' as the target distribution: hashed
@@ -5376,6 +5453,8 @@ QUERIES: dict[str, Callable] = {
     "data_apply_changes": q_data_apply_changes,
     "entity_snm_pairs": q_entity_snm_pairs,
     "data_importance_votes": q_data_importance_votes,
+    "ts_ohlc": q_ts_ohlc,
+    "ts_rate_limited": q_ts_rate_limited,
     "data_quality_checks": q_data_quality_checks,
     "tpch_returned_item_revenue": q_tpch_returned_item_revenue,
     "tpch_promo_revenue": q_tpch_promo_revenue,
@@ -5508,6 +5587,8 @@ ORACLE_SQL: dict[str, str] = {
     "data_apply_changes": SQL_DATA_APPLY_CHANGES,
     "entity_snm_pairs": SQL_ENTITY_SNM_PAIRS,
     "data_importance_votes": _sql_data_importance_votes(),
+    "ts_ohlc": SQL_TS_OHLC,
+    "ts_rate_limited": SQL_TS_RATE_LIMITED,
     "data_quality_checks": SQL_DATA_QUALITY_CHECKS,
     "tpch_returned_item_revenue": SQL_TPCH_RETURNED_ITEM_REVENUE,
     "tpch_promo_revenue": SQL_TPCH_PROMO_REVENUE,

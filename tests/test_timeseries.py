@@ -141,3 +141,52 @@ def test_mad_anomalies_matches_python(spark):
     assert p.count("Exchange hashpartitioning") == 1, p[:2000]
     with pytest.raises(ValueError):
         TS.mad_anomalies(df, ["k"], "value", 0)
+
+
+def test_ohlc_bars_picks_and_guards(spark):
+    import pytest as _pytest
+
+    from emf_spark.datax.timeseries import ohlc_bars
+
+    from datetime import datetime as DT
+
+    rows = [
+        # one series, one hour bucket: open=first by (ts,id), close=last
+        ("a", DT(2024, 1, 1, 10, 0, 5), 1, 5.0),
+        ("a", DT(2024, 1, 1, 10, 0, 5), 2, 9.0),   # same second: id breaks tie
+        ("a", DT(2024, 1, 1, 10, 30, 0), 3, 1.0),
+        ("a", DT(2024, 1, 1, 10, 59, 59), 4, 7.0),
+        ("a", DT(2024, 1, 1, 11, 0, 0), 5, 2.0),   # next bucket
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, ts timestamp, event_id bigint, value double"
+    )
+    out = {r["bucket_start"]: r for r in ohlc_bars(
+        df, ["k"], "ts", "value", "event_id", 3600).collect()}
+    b0 = [r for r in out.values() if r["n"] == 4][0]
+    assert (b0["open"], b0["close"], b0["high"], b0["low"]) == (5.0, 7.0, 9.0, 1.0)
+    b1 = [r for r in out.values() if r["n"] == 1][0]
+    assert (b1["open"], b1["close"]) == (2.0, 2.0)
+    with _pytest.raises(ValueError, match="step_seconds"):
+        ohlc_bars(df, ["k"], "ts", "value", "event_id", 0)
+
+
+def test_rate_limit_keeps_first_n_per_window(spark):
+    import pytest as _pytest
+
+    from emf_spark.datax.timeseries import rate_limit
+
+    from datetime import datetime as DT
+
+    rows = [("u", DT(2024, 1, 1, 10, 0, i), i, 1.0) for i in range(5)] + [
+        ("u", DT(2024, 1, 1, 11, 0, 0), 10, 1.0),   # fresh window resets
+        ("v", DT(2024, 1, 1, 10, 0, 0), 20, 1.0),   # quiet key untouched
+    ]
+    df = spark.createDataFrame(
+        rows, "user string, ts timestamp, event_id bigint, value double"
+    )
+    out = {r["event_id"]: r["kept"] for r in rate_limit(
+        df, ["user"], "ts", "event_id", 2, 3600).collect()}
+    assert out == {0: 1, 1: 1, 2: 0, 3: 0, 4: 0, 10: 1, 20: 1}
+    with _pytest.raises(ValueError, match="max_per_window"):
+        rate_limit(df, ["user"], "ts", "event_id", 0, 3600)

@@ -4899,6 +4899,28 @@ FROM r WHERE rk = 1
 """
 
 
+def q_events_skew_profile(spark, sf):
+    """Key-skew report (operators/skew.skew_profile): the 10 heaviest
+    user_id keys of the events stream with exact basis-point shares —
+    the measurement that picks plain-shuffle vs salted_join vs
+    broadcast. One map-combinable count aggregate +
+    TakeOrderedAndProject; share is integer DIV, replayed by
+    DuckDB's //."""
+    from emf_spark.operators.skew import skew_profile
+
+    ev = _t(spark, sf, "events")
+    return skew_profile(ev, ["user_id"], top=10)
+
+
+SQL_EVENTS_SKEW_PROFILE = """
+WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1),
+t AS (SELECT SUM(cnt) AS total FROM c)
+SELECT user_id, cnt,
+       CAST(cnt * 10000 // (SELECT total FROM t) AS BIGINT) AS share_bp
+FROM c ORDER BY cnt DESC, user_id LIMIT 10
+"""
+
+
 def q_ts_ohlc(spark, sf):
     """OHLC candle bars (timeseries.ohlc_bars): daily open/high/low/
     close per event type in ONE algebraic aggregate (first/last via
@@ -5454,6 +5476,7 @@ QUERIES: dict[str, Callable] = {
     "entity_snm_pairs": q_entity_snm_pairs,
     "data_importance_votes": q_data_importance_votes,
     "ts_ohlc": q_ts_ohlc,
+    "events_skew_profile": q_events_skew_profile,
     "ts_rate_limited": q_ts_rate_limited,
     "data_quality_checks": q_data_quality_checks,
     "tpch_returned_item_revenue": q_tpch_returned_item_revenue,
@@ -5588,6 +5611,7 @@ ORACLE_SQL: dict[str, str] = {
     "entity_snm_pairs": SQL_ENTITY_SNM_PAIRS,
     "data_importance_votes": _sql_data_importance_votes(),
     "ts_ohlc": SQL_TS_OHLC,
+    "events_skew_profile": SQL_EVENTS_SKEW_PROFILE,
     "ts_rate_limited": SQL_TS_RATE_LIMITED,
     "data_quality_checks": SQL_DATA_QUALITY_CHECKS,
     "tpch_returned_item_revenue": SQL_TPCH_RETURNED_ITEM_REVENUE,

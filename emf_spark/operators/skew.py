@@ -84,3 +84,39 @@ def salted_join(
         rt = right.withColumn(_SALT, F.explode(F.sequence(F.lit(0), hi)))
 
     return lt.join(rt, on + [_SALT], how).drop(_SALT)
+
+
+def skew_profile(
+    df: DataFrame,
+    key_cols: list[str],
+    top: int = 20,
+) -> DataFrame:
+    """Key-skew report: the ``top`` heaviest key values with row counts
+    and their share of the table in exact basis points — the
+    measurement that decides between a plain shuffled join, salting
+    (salted_join above), and a broadcast. Returns (key_cols..., cnt,
+    share_bp) ordered heaviest-first with deterministic key tie-break.
+
+    Scale shape: one map-side-combinable count aggregate (the key
+    cardinality, not the table, crosses the wire), TakeOrderedAndProject
+    cuts to ``top`` — never a global sort; the total for the share
+    division is the count aggregate's own sum, taken driver-side as a
+    second action over the tiny keyed frame (persisted so the scan
+    runs once)."""
+    if top < 1:
+        raise ValueError("top must be >= 1")
+    counts = df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).persist()
+    total = counts.agg(F.sum("cnt")).collect()[0][0] or 0
+    # integer DIV: Spark's DIV == DuckDB's // on bigint (the
+    # epoch_shuffle lesson — float division flips boundary values)
+    share = (
+        F.expr(f"cnt * 10000 DIV {int(total)}").cast("bigint")
+        if total else F.lit(0).cast("bigint")
+    )
+    return (
+        counts.select(*key_cols, "cnt", share.alias("share_bp"))
+        .orderBy(F.col("cnt").desc(), *[F.col(c).asc() for c in key_cols])
+        .limit(top)
+    )

@@ -265,3 +265,21 @@ def test_write_training_shards_bakes_permutation_into_layout(spark, tmp_path):
         .collect()
     ]
     assert exp2 != exp and sorted(exp2) == sorted(exp)
+
+
+def test_skew_profile_shares_and_order(spark):
+    import pytest as _pytest
+
+    from emf_spark.operators.skew import skew_profile
+
+    # 60 rows of key 'hot', 30 of 'warm', 10 of 'cold'
+    rows = [("hot",)] * 60 + [("warm",)] * 30 + [("cold",)] * 10
+    df = spark.createDataFrame(rows, "k string")
+    out = [(r["k"], r["cnt"], r["share_bp"])
+           for r in skew_profile(df, ["k"], top=2).collect()]
+    assert out == [("hot", 60, 6000), ("warm", 30, 3000)]
+    plan_rows = skew_profile(df, ["k"], top=2)
+    assert "TakeOrderedAndProject" in plan_rows._jdf.queryExecution()\
+        .executedPlan().toString()
+    with _pytest.raises(ValueError, match="top"):
+        skew_profile(df, ["k"], top=0)

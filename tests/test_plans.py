@@ -437,3 +437,31 @@ def test_fourth_session_queries_plan_posture(spark):
     lp = (dq.QUERIES["data_quality_checks"](spark, SF)
           ._jdf.queryExecution().optimizedPlan().toString())
     assert lp.count("Relation [") == 1, lp[:2000]
+
+
+def test_unique_key_join_guards_fanout(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from emf_spark.operators.enrich import unique_key_join
+
+    facts = spark.createDataFrame(
+        [(i, "s%d" % (i % 3)) for i in range(30)], "id bigint, source string"
+    )
+    dim = spark.createDataFrame(
+        [("s0", "a"), ("s1", "b"), ("s2", "c")], "source string, sink string"
+    )
+    out = unique_key_join(facts, dim, "source")
+    assert out.count() == 30
+    # equals the plain join when the dim is clean
+    plain = facts.join(dim, "source", "left")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, plain.collect()))
+
+    dup = dim.unionByName(spark.createDataFrame(
+        [("s1", "ROGUE")], "source string, sink string"))
+    with pytest.raises(Exception, match="duplicate right-side key"):
+        unique_key_join(facts, dup, "source").count()
+    # and the guard survives aggressive pruning: a query touching only
+    # fact columns must STILL fail (the raise_error rides the join key)
+    with pytest.raises(Exception, match="duplicate right-side key"):
+        unique_key_join(facts, dup, "source").select(F.sum("id")).collect()

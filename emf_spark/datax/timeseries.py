@@ -387,6 +387,9 @@ def rate_limit(
         raise ValueError("max_per_window must be >= 1")
     if step_seconds < 1:
         raise ValueError("step_seconds must be >= 1")
+    for c in ("kept", "window_start", "_rl_bucket"):
+        if c in df.columns:
+            raise ValueError(f"column {c!r} collides with rate_limit outputs")
     epoch = F.unix_timestamp(F.col(ts_col))
     bucket = (F.floor(epoch / step_seconds) * step_seconds).cast("bigint")
     w = Window.partitionBy(

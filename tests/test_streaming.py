@@ -712,3 +712,105 @@ def test_streaming_cdc_merge_matches_batch_and_resumes(spark, tmp_path):
         cdc.run_cdc_merge(
             spark, feed_dir, str(tmp_path / "nosnap"), ck, ["id"], "seq"
         )
+
+
+def test_streaming_rate_limit_matches_batch_and_drops_stragglers(spark, tmp_path):
+    """streaming/ratelimit.py: mtime-ordered micro-batches throttle
+    identically to the batch operator on ordered input; an event for a
+    window below the retained horizon is dropped (kept=0), never
+    re-admitted."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from emf_spark.datax.timeseries import rate_limit
+    from emf_spark.streaming.ratelimit import streaming_rate_limit
+
+    T0 = 1_700_000_000  # window-aligned epoch seconds
+    batches = [
+        # b0: user u floods window 0 (4 events, max 2), user v quiet
+        [("u", T0 + 1, 1), ("u", T0 + 2, 2), ("u", T0 + 3, 3),
+         ("u", T0 + 4, 4), ("v", T0 + 5, 20)],
+        # b1: u again in window 0 (still throttled) and window 1 (reset)
+        [("u", T0 + 6, 5), ("u", T0 + 3600, 6), ("u", T0 + 3601, 7)],
+    ]
+    ind = str(tmp_path / "rl_in")
+    for i, rows in enumerate(batches):
+        os.makedirs(ind, exist_ok=True)
+        ks, ts, ids = zip(*rows)
+        pq.write_table(
+            pa.table({
+                "user": pa.array(ks, pa.string()),
+                "ts": pa.array(
+                    [t * 1_000_000 for t in ts], pa.timestamp("us")),
+                "event_id": pa.array(ids, pa.int64()),
+            }),
+            f"{ind}/b{i}.parquet",
+        )
+        os.utime(f"{ind}/b{i}.parquet", (T0 + i, T0 + i))
+
+    schema = spark.read.parquet(ind).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ind)
+    )
+    out = str(tmp_path / "rl_out")
+    q = (
+        streaming_rate_limit(stream, ["user"], "ts", "event_id", 2, 3600)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", out + "_ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {r["event_id"]: r["kept"]
+           for r in spark.read.parquet(out).collect()}
+
+    ref = {r["event_id"]: r["kept"] for r in rate_limit(
+        spark.read.parquet(ind), ["user"], "ts", "event_id", 2, 3600
+    ).collect()}
+    assert got == ref  # ordered arrival => stream == batch
+    assert got[1] == 1 and got[2] == 1 and got[3] == 0 and got[4] == 0
+    assert got[5] == 0        # window 0 still throttled across batches
+    assert got[6] == 1 and got[7] == 1  # fresh window resets
+
+    # straggler below the horizon: tiny keep_windows, late window event
+    from datetime import datetime, timezone
+
+    late = spark.createDataFrame(
+        [("u", datetime.fromtimestamp(T0 + 7200, tz=timezone.utc), 30),
+         ("u", datetime.fromtimestamp(T0 + 10800, tz=timezone.utc), 31),
+         ("u", datetime.fromtimestamp(T0, tz=timezone.utc), 32)],
+        "user string, ts timestamp, event_id bigint",
+    )
+    from emf_spark.streaming.ratelimit import _throttle_fn
+    import pandas as pd
+
+    fn = _throttle_fn(2, 1, ["user"], "event_id")
+
+    class FakeState:
+        exists = False
+        def update(self, v):
+            self.v = v
+            self.exists = True
+        @property
+        def get(self):
+            return self.v
+
+    st = FakeState()
+    b1 = pd.DataFrame({
+        "_ts": [(T0 + 7200) * 10**6, (T0 + 10800) * 10**6],
+        "_tie": [30, 31],
+        "_w": [T0 + 7200, T0 + 10800],
+    })
+    res1 = next(fn(("u",), iter([b1]), st))
+    kept = dict(zip(res1["event_id"], res1["kept"]))
+    assert kept[30] == 1 and kept[31] == 1
+    # keep_windows=1: only T0+10800 is retained now; a LATER batch
+    # carrying a window below that horizon is dropped, not re-admitted
+    b2 = pd.DataFrame({"_ts": [T0 * 10**6], "_tie": [32], "_w": [T0]})
+    res2 = next(fn(("u",), iter([b2]), st))
+    assert dict(zip(res2["event_id"], res2["kept"]))[32] == 0

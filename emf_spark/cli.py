@@ -85,6 +85,7 @@ def datax_main(argv) -> int:
     python -m emf_spark.cli datax quality --path P --checks "completeness:c:99:100,unique:id" --out O
     python -m emf_spark.cli datax merge --base B --changes C --keys id --out O [--seq-col seq --op-col op]
     python -m emf_spark.cli datax shards --docs D --epoch 1 --out O [--n-shards 16 --max-records N]
+    python -m emf_spark.cli datax select --docs D --target-where "source = 'wiki'" --out O
     """
     ap = argparse.ArgumentParser(prog="emf_spark.cli datax")
     sub = ap.add_subparsers(dest="op", required=True)
@@ -272,8 +273,18 @@ def datax_main(argv) -> int:
     sh.add_argument("--n-shards", type=int, default=16)
     sh.add_argument("--max-records", type=int, default=None)
     sh.add_argument("--out", required=True)
+    iv = sub.add_parser(
+        "select", help="DSIR-style importance votes vs a target slice"
+    )
+    iv.add_argument("--docs", required=True)
+    iv.add_argument("--target-where", required=True,
+                    help="SQL boolean expr defining the target slice, "
+                         "e.g. \"source = 'wiki'\"")
+    iv.add_argument("--id-col", default="doc_id")
+    iv.add_argument("--buckets", type=int, default=4096)
+    iv.add_argument("--out", required=True)
     for p in (d, dc, ts, ab, pi, vo, ig, co, bp, fu, sa, se, ch, mx, re_, pr,
-              ix, pf, fm, ra, rs, bu, an, tr, pa, ld, qu, mg, sh):
+              ix, pf, fm, ra, rs, bu, an, tr, pa, ld, qu, mg, sh, iv):
         p.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args(argv)
     spark = _get_session(args.cpus)
@@ -538,6 +549,24 @@ def datax_main(argv) -> int:
         )
         Path(args.out).write_text(json.dumps(merges))
         print(json.dumps({"op": "bpe", "merges": len(merges)}))
+    elif args.op == "select":
+        from pyspark.sql import functions as F
+
+        from emf_spark.datax.sampling import importance_votes
+
+        docs = spark.read.parquet(args.docs).withColumn(
+            "_tgt", F.expr(args.target_where).cast("boolean")
+        )
+        res = importance_votes(
+            docs, "_tgt", id_col=args.id_col, n_buckets=args.buckets
+        )
+        res.write.mode("overwrite").parquet(args.out)
+        out = spark.read.parquet(args.out)
+        print(json.dumps({
+            "op": "select",
+            "docs": out.count(),
+            "target_leaning": out.filter("votes > 0").count(),
+        }))
     elif args.op == "shards":
         from emf_spark.datax.ordering import write_training_shards
 

@@ -3213,3 +3213,26 @@ def test_str_prefix_key_multibyte_does_not_overflow(spark):
     by_s = sorted(rows, key=lambda r: r["s"].encode("utf-8"))
     ps = [r["p"] for r in by_s]
     assert ps == sorted(ps)
+
+
+def test_cli_select_importance(spark, tmp_path):
+    from emf_spark import cli
+
+    docs = spark.createDataFrame(
+        [(1, "spark shuffle join agg", "wiki"),
+         (2, "spark shuffle window scan", "wiki"),
+         (3, "cat dog bird fish", "web"),
+         (4, "dog bird cat mouse", "web")],
+        "doc_id bigint, text string, source string",
+    )
+    dpath = str(tmp_path / "d.parquet")
+    docs.write.parquet(dpath)
+    assert cli.main([
+        "datax", "select", "--docs", dpath,
+        "--target-where", "source = 'wiki'",
+        "--buckets", "64", "--out", str(tmp_path / "o"),
+    ]) == 0
+    out = {r["doc_id"]: r["votes"]
+           for r in spark.read.parquet(str(tmp_path / "o")).collect()}
+    assert len(out) == 4
+    assert out[1] > 0 and out[2] > 0 and out[3] < 0 and out[4] < 0

@@ -4899,6 +4899,39 @@ FROM r WHERE rk = 1
 """
 
 
+def q_events_transition_matrix(spark, sf):
+    """Per-user event-type transition matrix (the Markov-chain view of
+    a clickstream): lag window over (user, ts, event_id) pairs each
+    event with its predecessor ('_start' for a user's first event),
+    then one count aggregate — the product-analytics shape behind
+    'what do users do after X'. One window Exchange on user_id, the
+    transition aggregate runs over |types|^2+|types| rows."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    prev = F.coalesce(F.lag("event_type").over(w), F.lit("_start"))
+    return (
+        ev.select(prev.alias("prev_type"), "event_type")
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_EVENTS_TRANSITION_MATRIX = """
+WITH t AS (
+  SELECT COALESCE(LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id), '_start')
+           AS prev_type,
+         event_type
+  FROM events)
+SELECT prev_type, event_type, COUNT(*) AS n
+FROM t GROUP BY 1, 2
+"""
+
+
 def q_events_skew_profile(spark, sf):
     """Key-skew report (operators/skew.skew_profile): the 10 heaviest
     user_id keys of the events stream with exact basis-point shares —
@@ -5480,6 +5513,7 @@ QUERIES: dict[str, Callable] = {
     "data_importance_votes": q_data_importance_votes,
     "ts_ohlc": q_ts_ohlc,
     "events_skew_profile": q_events_skew_profile,
+    "events_transition_matrix": q_events_transition_matrix,
     "ts_rate_limited": q_ts_rate_limited,
     "data_quality_checks": q_data_quality_checks,
     "tpch_returned_item_revenue": q_tpch_returned_item_revenue,
@@ -5615,6 +5649,7 @@ ORACLE_SQL: dict[str, str] = {
     "data_importance_votes": _sql_data_importance_votes(),
     "ts_ohlc": SQL_TS_OHLC,
     "events_skew_profile": SQL_EVENTS_SKEW_PROFILE,
+    "events_transition_matrix": SQL_EVENTS_TRANSITION_MATRIX,
     "ts_rate_limited": SQL_TS_RATE_LIMITED,
     "data_quality_checks": SQL_DATA_QUALITY_CHECKS,
     "tpch_returned_item_revenue": SQL_TPCH_RETURNED_ITEM_REVENUE,

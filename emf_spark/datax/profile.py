@@ -88,3 +88,42 @@ def mode_per_group(
         F.col(f"_b.{value_col}").alias(out_col),
         F.col("_b._c").alias(count_col),
     )
+
+
+def numeric_histogram(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    bins: int = 20,
+) -> DataFrame:
+    """Equi-width histogram over caller-declared bounds — the
+    distribution half of profile() (min/max/distinct say nothing about
+    shape). Declared bounds keep it ONE pass (a data-derived range
+    needs a pre-scan; callers that want that compose with profile()).
+    Returns (bin, lo, hi, cnt) with bin in [0, bins); values outside
+    the bounds clamp into the edge bins (they are evidence, not noise);
+    nulls are excluded. One map-side-combinable aggregate over <= bins
+    groups — shuffle bytes are O(bins) per task regardless of input."""
+    if bins < 1:
+        raise ValueError("bins must be >= 1")
+    if not (hi > lo):
+        raise ValueError("hi must be > lo")
+    width = (hi - lo) / bins
+    b = F.least(
+        F.greatest(
+            F.floor((F.col(col) - F.lit(lo)) / F.lit(width)), F.lit(0)
+        ),
+        F.lit(bins - 1),
+    ).cast("int")
+    return (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "bin",
+            (F.lit(lo) + F.col("bin") * F.lit(width)).alias("lo"),
+            (F.lit(lo) + (F.col("bin") + 1) * F.lit(width)).alias("hi"),
+            "cnt",
+        )
+    )

@@ -654,3 +654,26 @@ def chunk_documents(
         .select(id_col, "_c.chunk_id", "_c.start_tok", "_c.chunk", "_c.n_tokens")
         .filter(F.col("n_tokens") >= min_tokens)
     )
+
+
+# Latin accent fold map: 1:1 char translation, so translate() applies it
+# identically in Spark and any engine with SQL translate (the subset an
+# ASCII-first pipeline actually meets; full NFKC needs ICU, out of scope)
+_FOLD_SRC = "àáâãäåèéêëìíîïòóôõöùúûüçñýÀÁÂÃÄÅÈÉÊËÌÍÎÏÒÓÔÕÖÙÚÛÜÇÑÝ"
+_FOLD_DST = "aaaaaaeeeeiiiiooooouuuucnyAAAAAAEEEEIIIIOOOOOUUUUCNY"
+
+
+def ascii_fold(df: DataFrame, text_col: str = "text",
+               out_col: str | None = None) -> DataFrame:
+    """Fold common Latin accents to ASCII — the canonicalization step
+    before exact/fuzzy matching of names and text keys ('José' ==
+    'Jose'). A pure 1:1 translate: zero-shuffle map, length-preserving,
+    and engine-portable (SQL translate applies the identical map), so
+    folded outputs are oracle-checkable byte-for-byte. Deliberately NOT
+    unicode normalization (no ICU in a JVM-only plan) — the map covers
+    the Latin-1/Latin-Extended accents; anything else passes through
+    untouched."""
+    return df.withColumn(
+        out_col or text_col,
+        F.translate(F.col(text_col), _FOLD_SRC, _FOLD_DST),
+    )

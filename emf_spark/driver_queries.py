@@ -4899,6 +4899,92 @@ FROM r WHERE rk = 1
 """
 
 
+def q_text_ascii_fold(spark, sf):
+    """Accent folding (textstats.ascii_fold): documents get accents
+    injected deterministically (a→á on doc_id%3==0, e→é on %3==1 —
+    translate on both engines), the fold restores them, and the rollup
+    pins restored-count plus an md5-derived content hash sum of the
+    folded text — one changed byte anywhere fails the row."""
+    from emf_spark.datax.textstats import ascii_fold
+
+    d = _t(spark, sf, "documents")
+    accented = F.when(
+        F.col("doc_id") % 3 == 0, F.translate("text", "a", "á")
+    ).when(
+        F.col("doc_id") % 3 == 1, F.translate("text", "e", "é")
+    ).otherwise(F.col("text"))
+    synth = d.select("doc_id", "source", "text",
+                     accented.alias("accented"))
+    folded = ascii_fold(synth, text_col="accented", out_col="folded")
+    # 10 hex digits (2^40) so a per-source SUM stays in int64 out to
+    # ~10^6 docs/source (14 digits overflowed at sf0.1 under ANSI)
+    h = F.conv(F.substring(F.md5(F.col("folded").cast("binary")), 1, 10),
+               16, 10).cast("bigint")
+    return folded.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(F.when(F.col("accented") != F.col("text"), 1).otherwise(0))
+        .alias("accented_docs"),
+        F.sum(F.when(F.col("folded") == F.col("text"), 1).otherwise(0))
+        .alias("restored_docs"),
+        F.sum(h).alias("content_hash_sum"),
+    )
+
+
+SQL_TEXT_ASCII_FOLD = """
+WITH synth AS (
+  SELECT doc_id, source, text,
+         CASE WHEN doc_id % 3 = 0 THEN translate(text, 'a', 'á')
+              WHEN doc_id % 3 = 1 THEN translate(text, 'e', 'é')
+              ELSE text END AS accented
+  FROM documents),
+folded AS (
+  SELECT *,
+         translate(accented,
+           'àáâãäåèéêëìíîïòóôõöùúûüçñýÀÁÂÃÄÅÈÉÊËÌÍÎÏÒÓÔÕÖÙÚÛÜÇÑÝ',
+           'aaaaaaeeeeiiiiooooouuuucnyAAAAAAEEEEIIIIOOOOOUUUUCNY')
+           AS folded
+  FROM synth)
+SELECT source, COUNT(*) AS docs,
+       CAST(SUM(CASE WHEN accented <> text THEN 1 ELSE 0 END) AS BIGINT)
+         AS accented_docs,
+       CAST(SUM(CASE WHEN folded = text THEN 1 ELSE 0 END) AS BIGINT)
+         AS restored_docs,
+       CAST(SUM(CAST('0x' || substr(md5(folded), 1, 10) AS BIGINT))
+            AS BIGINT) AS content_hash_sum
+FROM folded GROUP BY 1
+"""
+
+
+def q_data_histogram(spark, sf):
+    """Equi-width value histogram (profile.numeric_histogram): 20 bins
+    over [0, 500) of events.value in one map-combinable aggregate —
+    the distribution half of the column profiler; out-of-bounds clamp
+    to edge bins so they stay visible."""
+    from emf_spark.datax.profile import numeric_histogram
+
+    ev = _t(spark, sf, "events")
+    h = numeric_histogram(ev, "value", 0.0, 500.0, bins=20)
+    return h.select(
+        "bin",
+        F.round("lo", 6).alias("lo"),
+        F.round("hi", 6).alias("hi"),
+        "cnt",
+    )
+
+
+SQL_DATA_HISTOGRAM = """
+SELECT bin,
+       ROUND(0.0 + bin * 25.0, 6) AS lo,
+       ROUND(0.0 + (bin + 1) * 25.0, 6) AS hi,
+       COUNT(*) AS cnt
+FROM (
+  SELECT CAST(LEAST(GREATEST(FLOOR((value - 0.0) / 25.0), 0), 19) AS INT)
+           AS bin
+  FROM events WHERE value IS NOT NULL)
+GROUP BY 1
+"""
+
+
 def q_events_transition_matrix(spark, sf):
     """Per-user event-type transition matrix (the Markov-chain view of
     a clickstream): lag window over (user, ts, event_id) pairs each
@@ -5514,6 +5600,8 @@ QUERIES: dict[str, Callable] = {
     "ts_ohlc": q_ts_ohlc,
     "events_skew_profile": q_events_skew_profile,
     "events_transition_matrix": q_events_transition_matrix,
+    "text_ascii_fold": q_text_ascii_fold,
+    "data_histogram": q_data_histogram,
     "ts_rate_limited": q_ts_rate_limited,
     "data_quality_checks": q_data_quality_checks,
     "tpch_returned_item_revenue": q_tpch_returned_item_revenue,
@@ -5650,6 +5738,8 @@ ORACLE_SQL: dict[str, str] = {
     "ts_ohlc": SQL_TS_OHLC,
     "events_skew_profile": SQL_EVENTS_SKEW_PROFILE,
     "events_transition_matrix": SQL_EVENTS_TRANSITION_MATRIX,
+    "text_ascii_fold": SQL_TEXT_ASCII_FOLD,
+    "data_histogram": SQL_DATA_HISTOGRAM,
     "ts_rate_limited": SQL_TS_RATE_LIMITED,
     "data_quality_checks": SQL_DATA_QUALITY_CHECKS,
     "tpch_returned_item_revenue": SQL_TPCH_RETURNED_ITEM_REVENUE,

@@ -3236,3 +3236,36 @@ def test_cli_select_importance(spark, tmp_path):
            for r in spark.read.parquet(str(tmp_path / "o")).collect()}
     assert len(out) == 4
     assert out[1] > 0 and out[2] > 0 and out[3] < 0 and out[4] < 0
+
+
+def test_ascii_fold_map_and_passthrough(spark):
+    from emf_spark.datax.textstats import _FOLD_DST, _FOLD_SRC, ascii_fold
+
+    assert len(_FOLD_SRC) == len(_FOLD_DST)  # translate is 1:1
+    df = spark.createDataFrame(
+        [(1, "José Müller-Ñandú"), (2, "plain ascii"), (3, "日本語 stays")],
+        "id bigint, text string",
+    )
+    out = {r["id"]: r["text"] for r in ascii_fold(df).collect()}
+    assert out[1] == "Jose Muller-Nandu"
+    assert out[2] == "plain ascii"
+    assert out[3] == "日本語 stays"
+
+
+def test_numeric_histogram_clamps_and_guards(spark):
+    import pytest as _pytest
+
+    from emf_spark.datax.profile import numeric_histogram
+
+    df = spark.createDataFrame(
+        [(float(x),) for x in [-5, 0, 4.9, 5, 14.9, 99, None]], "v double"
+    )
+    out = {r["bin"]: (r["cnt"], r["lo"], r["hi"])
+           for r in numeric_histogram(df, "v", 0.0, 15.0, bins=3).collect()}
+    # bin 0: [-5 clamped, 0, 4.9]; bin 1: [5]; bin 2: [14.9, 99 clamped]
+    assert out[0][0] == 3 and out[1][0] == 1 and out[2][0] == 2
+    assert out[1][1:] == (5.0, 10.0)
+    with _pytest.raises(ValueError, match="bins"):
+        numeric_histogram(df, "v", 0, 1, bins=0)
+    with _pytest.raises(ValueError, match="hi"):
+        numeric_histogram(df, "v", 1, 1)

@@ -3258,7 +3258,9 @@ def test_numeric_histogram_clamps_and_guards(spark):
     from emf_spark.datax.profile import numeric_histogram
 
     df = spark.createDataFrame(
-        [(float(x),) for x in [-5, 0, 4.9, 5, 14.9, 99, None]], "v double"
+        [(float(x) if x is not None else None,)
+         for x in [-5, 0, 4.9, 5, 14.9, 99, None]],
+        "v double",
     )
     out = {r["bin"]: (r["cnt"], r["lo"], r["hi"])
            for r in numeric_histogram(df, "v", 0.0, 15.0, bins=3).collect()}

@@ -3271,3 +3271,14 @@ def test_numeric_histogram_clamps_and_guards(spark):
         numeric_histogram(df, "v", 0, 1, bins=0)
     with _pytest.raises(ValueError, match="hi"):
         numeric_histogram(df, "v", 1, 1)
+
+
+def test_driver_registry_alignment():
+    """Every queries() entry carries an oracle_sql() entry except the
+    declared rows-only boundary (jpeg decode); no orphan oracles. The
+    driver's correctness gate depends on this invariant."""
+    from emf_spark.driver_queries import ORACLE_SQL, QUERIES
+
+    assert set(ORACLE_SQL) <= set(QUERIES)
+    assert set(QUERIES) - set(ORACLE_SQL) == {"multimodal_jpeg_decode"}
+    assert len(QUERIES) == 132

@@ -814,3 +814,50 @@ def test_streaming_rate_limit_matches_batch_and_drops_stragglers(spark, tmp_path
     b2 = pd.DataFrame({"_ts": [T0 * 10**6], "_tie": [32], "_w": [T0]})
     res2 = next(fn(("u",), iter([b2]), st))
     assert dict(zip(res2["event_id"], res2["kept"]))[32] == 0
+
+
+def test_streaming_quality_gate_monitors_and_fails(spark, tmp_path):
+    """streaming/quality.py: verdict rows per (constraint, batch);
+    fail_on_violation kills the stream AFTER the evidence is written."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+    from pyspark.sql.streaming import StreamingQueryException
+
+    from emf_spark.streaming.quality import run_quality_monitor
+
+    ind = str(tmp_path / "qin")
+    os.makedirs(ind)
+    good = [(1, 10.0), (2, 20.0), (3, 30.0)]
+    bad = [(4, 40.0), (4, 999.0)]  # dup id + out-of-range value
+    for i, rows in enumerate([good, bad]):
+        ids, vs = zip(*rows)
+        pq.write_table(
+            pa.table({"id": pa.array(ids, pa.int64()),
+                      "v": pa.array(vs, pa.float64())}),
+            f"{ind}/b{i}.parquet",
+        )
+        os.utime(f"{ind}/b{i}.parquet", (1_700_000_000 + i,) * 2)
+    cons = [("unique", "id"), ("range", "v", 0, 100)]
+
+    # monitor mode: both batches' verdicts recorded, stream survives
+    out1 = str(tmp_path / "mon")
+    q = run_quality_monitor(spark, ind, out1, cons,
+                            max_files_per_trigger=1)
+    q.awaitTermination(300)
+    v = spark.read.parquet(f"{out1}/verdicts")
+    rows = {(r["batch_id"], r["check"]): r["passed"] for r in v.collect()}
+    assert rows[(0, "unique")] and rows[(0, "range")]
+    assert not rows[(1, "unique")] and not rows[(1, "range")]
+
+    # gate mode: stream dies on the bad batch, evidence already on disk
+    out2 = str(tmp_path / "gate")
+    q2 = run_quality_monitor(spark, ind, out2, cons,
+                             fail_on_violation=True,
+                             max_files_per_trigger=1)
+    with pytest.raises(StreamingQueryException, match="quality gate failed"):
+        q2.awaitTermination(300)
+    v2 = spark.read.parquet(f"{out2}/verdicts")
+    assert v2.filter("batch_id = 1 AND NOT passed").count() == 2

@@ -43,9 +43,11 @@ def global_index(
 ) -> DataFrame:
     """Add ``out_col``: the 0-based global row number ordering by
     (``key_col`` ASC, ``tiebreak...`` ASC). ``key_col`` must be numeric
-    (bucket boundaries come from its min/max); ties across the full
-    order make the index nondeterministic between the tied rows, same
-    as the window form — pass enough tiebreak columns.
+    (bucket boundaries come from its min/max); NULL keys sort FIRST
+    (Spark's ASC-nulls-first, same as the window form) via a dedicated
+    leading bucket; ties across the full order make the index
+    nondeterministic between the tied rows, same as the window form —
+    pass enough tiebreak columns.
 
     Buckets are fixed VALUE ranges, so a heavily clustered key
     distribution fills few buckets; raise ``n_buckets`` (driver holds
@@ -60,13 +62,19 @@ def global_index(
     stats = df.select(
         F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
     ).collect()[0]
-    if stats["lo"] is None:
-        return df.withColumn(out_col, F.lit(None).cast("bigint"))
-    lo, hi = float(stats["lo"]), float(stats["hi"])
+    # min/max ignore NULLs, so lo is None only when every key is NULL;
+    # any NULL keys route to a dedicated LEADING bucket (-1) below,
+    # matching the single-window form's ASC nulls-first order (ADVICE
+    # r4: F.least() ignores NULL args, which silently sent NULL keys to
+    # the LAST bucket, breaking window-form equality mid-sequence).
+    lo = 0.0 if stats["lo"] is None else float(stats["lo"])
+    hi = 0.0 if stats["hi"] is None else float(stats["hi"])
     width = max((hi - lo) / n_buckets, 1e-12)
-    bucket = F.least(
-        F.floor((F.col(key_col) - F.lit(lo)) / F.lit(width)),
-        F.lit(n_buckets - 1),
+    bucket = F.when(F.col(key_col).isNull(), F.lit(-1)).otherwise(
+        F.least(
+            F.floor((F.col(key_col) - F.lit(lo)) / F.lit(width)),
+            F.lit(n_buckets - 1),
+        )
     ).cast("int")
     b = df.withColumn("_gb", bucket)
     counts = (

@@ -352,7 +352,14 @@ def importance_votes(
             F.count(F.lit(1)).alias("n_grams"),
             F.sum("_vote").alias("votes"),
         )
+        # eager localCheckpoint is pass 2's terminal action over the
+        # cached gram frame: materialize the per-doc rows (one per doc,
+        # tiny next to the grams), then release the cache — without
+        # this the persist pins executor storage for the whole session
+        # (ADVICE r4, low)
+        .localCheckpoint(eager=True)
     )
+    grams.unpersist()
     return (
         df.select(F.col(id_col).alias("id"))
         .join(per, "id", "left")

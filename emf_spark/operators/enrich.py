@@ -46,9 +46,15 @@ def unique_key_join(
     # the guard wraps the FIRST KEY COLUMN itself (same value when
     # unique): a free-standing guard column would be dropped by column
     # pruning and the raise_error optimized away entirely — the join
-    # key is the one expression the join cannot prune
+    # key is the one expression the join cannot prune.
+    # NULL keys are exempt: they can never match the equi-join, so they
+    # cannot fan out — two NULL-key dimension rows are harmless, not a
+    # duplicate (ADVICE r4, low: the bare count raised spuriously).
+    any_key_null = F.lit(False)
+    for k in keys:
+        any_key_null = any_key_null | F.col(k).isNull()
     guarded_key = F.when(
-        F.count(F.lit(1)).over(w) == 1, F.col(keys[0])
+        (F.count(F.lit(1)).over(w) == 1) | any_key_null, F.col(keys[0])
     ).otherwise(
         F.raise_error(
             F.concat(

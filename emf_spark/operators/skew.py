@@ -86,29 +86,11 @@ def salted_join(
     return lt.join(rt, on + [_SALT], how).drop(_SALT)
 
 
-def skew_profile(
-    df: DataFrame,
-    key_cols: list[str],
-    top: int = 20,
-) -> DataFrame:
-    """Key-skew report: the ``top`` heaviest key values with row counts
-    and their share of the table in exact basis points — the
-    measurement that decides between a plain shuffled join, salting
-    (salted_join above), and a broadcast. Returns (key_cols..., cnt,
-    share_bp) ordered heaviest-first with deterministic key tie-break.
-
-    Scale shape: one map-side-combinable count aggregate (the key
-    cardinality, not the table, crosses the wire), TakeOrderedAndProject
-    cuts to ``top`` — never a global sort; the total for the share
-    division is the count aggregate's own sum, taken driver-side as a
-    second action over the tiny keyed frame (persisted so the scan
-    runs once)."""
-    if top < 1:
-        raise ValueError("top must be >= 1")
-    counts = df.groupBy(*key_cols).agg(
-        F.count(F.lit(1)).alias("cnt")
-    ).persist()
-    total = counts.agg(F.sum("cnt")).collect()[0][0] or 0
+def _skew_profile_plan(counts: DataFrame, key_cols: list[str],
+                       top: int, total: int) -> DataFrame:
+    """The lazy report plan over the keyed count frame — split out so
+    the plan tests can pin TakeOrderedAndProject (never a global sort)
+    on exactly the plan the public function executes."""
     # integer DIV: Spark's DIV == DuckDB's // on bigint (the
     # epoch_shuffle lesson — float division flips boundary values)
     share = (
@@ -120,3 +102,36 @@ def skew_profile(
         .orderBy(F.col("cnt").desc(), *[F.col(c).asc() for c in key_cols])
         .limit(top)
     )
+
+
+def skew_profile(
+    df: DataFrame,
+    key_cols: list[str],
+    top: int = 20,
+) -> DataFrame:
+    """Key-skew report: the ``top`` heaviest key values with row counts
+    and their share of the table in exact basis points — the
+    measurement that decides between a plain shuffled join, salting
+    (salted_join above), and a broadcast. Returns (key_cols..., cnt,
+    share_bp) ordered heaviest-first with deterministic key tie-break,
+    MATERIALIZED (<= top rows) so the internal cache is released before
+    returning instead of pinning executor storage for the session
+    (ADVICE r4).
+
+    Scale shape: one map-side-combinable count aggregate (the key
+    cardinality, not the table, crosses the wire), TakeOrderedAndProject
+    cuts to ``top`` — never a global sort (pinned on _skew_profile_plan);
+    the total for the share division is the count aggregate's own sum,
+    taken driver-side as a second action over the tiny keyed frame
+    (persisted so the input scan runs once)."""
+    if top < 1:
+        raise ValueError("top must be >= 1")
+    counts = df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).persist()
+    total = counts.agg(F.sum("cnt")).collect()[0][0] or 0
+    out = _skew_profile_plan(counts, key_cols, top, total).localCheckpoint(
+        eager=True
+    )
+    counts.unpersist()
+    return out

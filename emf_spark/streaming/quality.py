@@ -47,8 +47,15 @@ def run_quality_monitor(
         res = check_constraints(batch, constraints).withColumn(
             "batch_id", F.lit(batch_id)
         )
+        # ONE scan of the micro-batch: collect the O(constraints)
+        # verdict rows, then write them back from driver memory —
+        # writing `res` directly and collecting it again would
+        # re-execute the aggregate (and re-read the batch source) a
+        # second time (ADVICE r4, low).
+        rows = res.collect()
         (
-            res.write.mode("overwrite")
+            spark.createDataFrame(rows, res.schema)
+            .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
             .parquet(os.path.join(out_dir, "verdicts"))
@@ -57,7 +64,7 @@ def run_quality_monitor(
             bad = [
                 f"{r['check']}({r['column']}): "
                 f"{r['metric_num']}/{r['metric_den']}"
-                for r in res.collect()
+                for r in rows
                 if not r["passed"]
             ]
             if bad:

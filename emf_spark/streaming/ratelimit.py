@@ -122,13 +122,17 @@ def streaming_rate_limit(
             StructField("kept", LongType()),
         ]
     )
-    # cast handles TIMESTAMP_NTZ sources (parquet written by arrow):
-    # unix_micros accepts only TIMESTAMP, unlike unix_timestamp
+    # cast handles TIMESTAMP_NTZ sources (parquet written by arrow)
     ts = F.col(ts_col).cast("timestamp")
     epoch = F.unix_timestamp(ts)
     keyed = df.select(
         *key_cols,
-        F.unix_micros(ts).alias("_ts"),
+        # SECOND-truncated ordering key, matching the batch operator's
+        # rank window (timeseries.rate_limit orders by unix_timestamp,
+        # i.e. whole seconds, then tiebreak). Sub-second precision here
+        # would diverge kept/dropped verdicts whenever two events share
+        # a second but differ in micros (ADVICE r4, medium).
+        epoch.cast("bigint").alias("_ts"),
         F.col(tiebreak_col).alias("_tie"),
         (F.floor(epoch / step_seconds) * step_seconds)
         .cast("bigint").alias("_w"),

@@ -465,3 +465,17 @@ def test_unique_key_join_guards_fanout(spark):
     # fact columns must STILL fail (the raise_error rides the join key)
     with pytest.raises(Exception, match="duplicate right-side key"):
         unique_key_join(facts, dup, "source").select(F.sum("id")).collect()
+
+    # NULL right-side keys never match the equi-join, so >=2 of them is
+    # NOT a fan-out — must not raise (ADVICE r4, low)
+    dim_nulls = dim.unionByName(spark.createDataFrame(
+        [(None, "x"), (None, "y")], "source string, sink string"))
+    out_n = unique_key_join(facts, dim_nulls, "source")
+    assert out_n.count() == 30
+    plain_n = facts.join(dim_nulls, "source", "left")
+    assert sorted(map(tuple, out_n.collect())) == \
+        sorted(map(tuple, plain_n.collect()))
+    # a real duplicate alongside the NULLs still fails loudly
+    with pytest.raises(Exception, match="duplicate right-side key"):
+        unique_key_join(facts, dim_nulls.unionByName(spark.createDataFrame(
+            [("s2", "ROGUE")], "source string, sink string")), "source").count()

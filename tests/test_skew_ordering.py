@@ -116,6 +116,34 @@ def test_global_index_matches_window(spark):
     assert _rows(got, "key", "tb", "row_idx") == _rows(want, "key", "tb", "row_idx")
 
 
+def test_global_index_null_keys_sort_first(spark):
+    # NULL keys must match the window form's ASC-nulls-first order
+    # (ADVICE r4: F.least ignores NULLs and silently routed them to the
+    # LAST bucket, landing their indexes mid-sequence)
+    df = spark.range(200).select(
+        F.when(F.col("id") % 5 == 0, F.lit(None)).otherwise(F.col("id") % 37)
+        .cast("bigint").alias("key"),
+        F.col("id").alias("tb"),
+    )
+    got = global_index(df, "key", tiebreak=["tb"], n_buckets=8)
+    w = Window.orderBy(F.col("key").asc(), F.col("tb").asc())
+    want = df.withColumn("row_idx", (F.row_number().over(w) - 1).cast("bigint"))
+
+    def by_idx(frame):  # tuples contain None — sort on the total key
+        return sorted(
+            (tuple(r) for r in frame.select("key", "tb", "row_idx").collect()),
+            key=lambda t: t[2],
+        )
+
+    assert by_idx(got) == by_idx(want)
+    # all-NULL keys: indexed purely by tiebreak, not NULL indexes
+    allnull = spark.range(6).select(
+        F.lit(None).cast("bigint").alias("key"), F.col("id").alias("tb")
+    )
+    got2 = _rows(global_index(allnull, "key", tiebreak=["tb"]), "tb", "row_idx")
+    assert got2 == [(i, i) for i in range(6)]
+
+
 def test_global_index_single_value_and_empty(spark):
     one = spark.range(10).select(F.lit(5).alias("key"), F.col("id").alias("tb"))
     got = _rows(global_index(one, "key", tiebreak=["tb"]), "tb", "row_idx")
@@ -278,7 +306,12 @@ def test_skew_profile_shares_and_order(spark):
     out = [(r["k"], r["cnt"], r["share_bp"])
            for r in skew_profile(df, ["k"], top=2).collect()]
     assert out == [("hot", 60, 6000), ("warm", 30, 3000)]
-    plan_rows = skew_profile(df, ["k"], top=2)
+    # the public function materializes (so it can release its cache);
+    # pin the no-global-sort shape on the lazy plan it executes
+    from emf_spark.operators.skew import _skew_profile_plan
+
+    counts = df.groupBy("k").agg(F.count(F.lit(1)).alias("cnt"))
+    plan_rows = _skew_profile_plan(counts, ["k"], 2, 100)
     assert "TakeOrderedAndProject" in plan_rows._jdf.queryExecution()\
         .executedPlan().toString()
     with _pytest.raises(ValueError, match="top"):

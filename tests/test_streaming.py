@@ -802,7 +802,7 @@ def test_streaming_rate_limit_matches_batch_and_drops_stragglers(spark, tmp_path
 
     st = FakeState()
     b1 = pd.DataFrame({
-        "_ts": [(T0 + 7200) * 10**6, (T0 + 10800) * 10**6],
+        "_ts": [T0 + 7200, T0 + 10800],  # seconds, the operator's unit
         "_tie": [30, 31],
         "_w": [T0 + 7200, T0 + 10800],
     })
@@ -811,9 +811,60 @@ def test_streaming_rate_limit_matches_batch_and_drops_stragglers(spark, tmp_path
     assert kept[30] == 1 and kept[31] == 1
     # keep_windows=1: only T0+10800 is retained now; a LATER batch
     # carrying a window below that horizon is dropped, not re-admitted
-    b2 = pd.DataFrame({"_ts": [T0 * 10**6], "_tie": [32], "_w": [T0]})
+    b2 = pd.DataFrame({"_ts": [T0], "_tie": [32], "_w": [T0]})
     res2 = next(fn(("u",), iter([b2]), st))
     assert dict(zip(res2["event_id"], res2["kept"]))[32] == 0
+
+
+def test_streaming_rate_limit_subsecond_matches_batch(spark, tmp_path):
+    """ADVICE r4 (medium): the batch operator ranks by SECOND-truncated
+    ts then tiebreak; the stream must use the same ordering key — with
+    sub-second timestamps whose micros order contradicts the tiebreak
+    order, a micros-ordered stream keeps the WRONG event."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from emf_spark.datax.timeseries import rate_limit
+    from emf_spark.streaming.ratelimit import streaming_rate_limit
+
+    T0 = 1_700_000_000
+    # same second, micros DESC vs tiebreak ASC: batch keeps id 1
+    rows_us = [(T0 * 10**6 + 900_000, 1), (T0 * 10**6 + 100_000, 2),
+               (T0 * 10**6 + 500_000, 3)]
+    ind = str(tmp_path / "rl_sub_in")
+    os.makedirs(ind, exist_ok=True)
+    pq.write_table(
+        pa.table({
+            "user": pa.array(["u"] * 3, pa.string()),
+            "ts": pa.array([t for t, _ in rows_us], pa.timestamp("us")),
+            "event_id": pa.array([i for _, i in rows_us], pa.int64()),
+        }),
+        f"{ind}/b0.parquet",
+    )
+    schema = spark.read.parquet(ind).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ind)
+    )
+    out = str(tmp_path / "rl_sub_out")
+    q = (
+        streaming_rate_limit(stream, ["user"], "ts", "event_id", 1, 3600)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", out + "_ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {r["event_id"]: r["kept"]
+           for r in spark.read.parquet(out).collect()}
+    ref = {r["event_id"]: r["kept"] for r in rate_limit(
+        spark.read.parquet(ind), ["user"], "ts", "event_id", 1, 3600
+    ).collect()}
+    assert got == ref == {1: 1, 2: 0, 3: 0}
 
 
 def test_streaming_quality_gate_monitors_and_fails(spark, tmp_path):

@@ -88,13 +88,32 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+# --- driver-gate rotation -------------------------------------------------
+# The external correctness gate checks the FIRST ~50 entries of queries()
+# each round, so a fixed registry order re-checks the same 50 oldest
+# queries forever while newer ones never get a driver row (VERDICT r4
+# item 1). Deterministic, documented rotation: entries [_GATE_OFFSET:]
+# come first (newest appended queries land right after them), wrapped by
+# the already-driver-green prefix. Bump _GATE_OFFSET by +50 each round
+# (r3/r4 covered registry[0:50]; r5 => 50, covering registry[50:100]).
+_GATE_OFFSET = 50
+
+
+def _rotated(d: dict) -> dict:
+    keys = list(d)
+    off = _GATE_OFFSET % len(keys) if keys else 0
+    return {k: d[k] for k in keys[off:] + keys[:off]}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from emf_spark.driver_queries import QUERIES
 
-    return dict(QUERIES)
+    return _rotated(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
     from emf_spark.driver_queries import ORACLE_SQL
 
-    return dict(ORACLE_SQL)
+    # rotated with the SAME offset so queries()/oracle_sql() stay
+    # positionally aligned for any consumer that zips them
+    return _rotated(ORACLE_SQL)

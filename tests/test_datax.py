@@ -3282,3 +3282,15 @@ def test_driver_registry_alignment():
     assert set(ORACLE_SQL) <= set(QUERIES)
     assert set(QUERIES) - set(ORACLE_SQL) == {"multimodal_jpeg_decode"}
     assert len(QUERIES) == 132
+
+    # the driver-facing surface rotates the registry (the external
+    # 50-row gate samples the FIRST 50 of queries(); rotation gives
+    # never-checked queries a driver row) — same key SETS, pure
+    # deterministic rotation, queries/oracles rotated in lockstep
+    import __spark_entry__ as ent
+
+    q, o = ent.queries(), ent.oracle_sql()
+    assert set(q) == set(QUERIES) and set(o) == set(ORACLE_SQL)
+    orig = list(QUERIES)
+    off = ent._GATE_OFFSET % len(orig)
+    assert list(q) == orig[off:] + orig[:off]

@@ -1914,21 +1914,25 @@ FROM per GROUP BY 1 ORDER BY 1
 
 
 def q_multimodal_jpeg_decode(spark, sf):
-    """REAL baseline-JPEG pixel decode: full entropy-coded grayscale
-    JPEGs (8x8 DCT, flat quantization, canonical-Huffman scan with
-    byte stuffing) synthesized from documents, then decode_media
-    Huffman-decodes, dequantizes, and IDCTs them back to pixels — pure
-    numpy + stdlib, no imaging libs. Decoded pixel sums are NOT
-    closed-form in SQL (DCT round trip), so this query is registered
-    WITHOUT an oracle (driver rows-only check); the exact decoded
-    value contract is pinned by
-    tests/test_datax.py::test_jpeg_decode_matches_independent_reference,
-    which replicates the quantization round trip in independent numpy
-    and matches value sums bit-for-bit."""
+    """REAL baseline-JPEG pixel decode WITH an exact oracle (VERDICT r4
+    item 2): full entropy-coded grayscale JPEGs (8x8 DCT, flat
+    quantization, canonical-Huffman scan with byte stuffing) are
+    synthesized per doc from 32 fixed (w, h, base) classes keyed by
+    doc_id % 32, then decode_media Huffman-decodes, dequantizes, and
+    IDCTs them back to pixels — pure numpy + stdlib, no imaging libs.
+    The DCT round trip is not closed-form in SQL, but the CLASS space
+    is bounded: per-class decoded (n_units, value_sum) are precomputed
+    by the independent numpy quantization round trip (the same replica
+    tests/test_datax.py pins the decoder against, bit-for-bit, incl.
+    a hypothesis fuzz sweep) and embedded as a 32-row literal table in
+    the oracle. tests/test_datax.py::test_jpeg_class_stats_match_
+    independent_reference regenerates the literals from the replica."""
     from emf_spark.datax import multimodal
 
     d = _fan(spark, _t(spark, sf, "documents"))
-    dec = multimodal.decode_media(multimodal.media_jpeg_from_documents(d))
+    dec = multimodal.decode_media(
+        multimodal.media_jpeg_classes_from_documents(d)
+    )
     return dec.groupBy("format").agg(
         F.count(F.lit(1)).alias("n_media"),
         F.sum("width").alias("sum_w"),
@@ -1937,6 +1941,48 @@ def q_multimodal_jpeg_decode(spark, sf):
         F.sum("value_sum").alias("value_total"),
         F.round(F.sum("value_sum") / F.sum("n_units"), 6).alias("mean_value"),
     )
+
+
+# per-class decoded stats (k, w, h, n_units, value_sum): generated ONCE
+# by the independent numpy quantization round trip (encode DCT ->
+# round/quant -> dequant -> IDCT -> clip, no shared code with the
+# entropy codec) and pinned against a live regeneration by
+# test_jpeg_class_stats_match_independent_reference
+_JPEG_CLASS_STATS = [
+    (0, 8, 8, 64, 2048), (1, 15, 13, 195, 26827), (2, 22, 18, 396, 53583),
+    (3, 29, 23, 667, 90553), (4, 12, 12, 144, 20682),
+    (5, 19, 17, 323, 44799), (6, 26, 22, 572, 68739), (7, 9, 11, 99, 7946),
+    (8, 16, 16, 256, 32770), (9, 23, 21, 483, 62219),
+    (10, 30, 10, 300, 40248), (11, 13, 15, 195, 22609),
+    (12, 20, 20, 400, 45362), (13, 27, 9, 243, 32675),
+    (14, 10, 14, 140, 18341), (15, 17, 19, 323, 41772),
+    (16, 24, 8, 192, 25588), (17, 31, 13, 403, 50973),
+    (18, 14, 18, 252, 31675), (19, 21, 23, 483, 60820),
+    (20, 28, 12, 336, 40020), (21, 11, 17, 187, 28834),
+    (22, 18, 22, 396, 56475), (23, 25, 11, 275, 36217),
+    (24, 8, 16, 128, 13312), (25, 15, 21, 315, 34325),
+    (26, 22, 10, 220, 31637), (27, 29, 15, 435, 61826),
+    (28, 12, 20, 240, 30931), (29, 19, 9, 171, 22416),
+    (30, 26, 14, 364, 45626), (31, 9, 19, 171, 15316),
+]
+
+SQL_MULTIMODAL_JPEG_DECODE = """
+WITH cls(k, w, h, n_units, vs) AS (VALUES
+  {rows}),
+d AS (SELECT doc_id % 32 AS k FROM documents)
+SELECT 'jpeg' AS format, COUNT(*) AS n_media,
+  CAST(SUM(w) AS BIGINT) AS sum_w,
+  CAST(SUM(h) AS BIGINT) AS sum_h,
+  CAST(SUM(n_units) AS BIGINT) AS units,
+  CAST(SUM(vs) AS BIGINT) AS value_total,
+  ROUND(CAST(SUM(vs) AS DOUBLE) / CAST(SUM(n_units) AS DOUBLE), 6)
+    AS mean_value
+FROM d JOIN cls USING (k)
+""".format(
+    rows=",\n  ".join(
+        f"({k}, {w}, {h}, {n}, {vs})" for k, w, h, n, vs in _JPEG_CLASS_STATS
+    )
+)
 
 
 def q_multimodal_meta(spark, sf):
@@ -5771,6 +5817,7 @@ ORACLE_SQL: dict[str, str] = {
     "emf_kmv_global": SQL_KMV_GLOBAL,
     "emf_hll_distinct": _sql_hll_distinct(),
     "multimodal_png_decode": SQL_MULTIMODAL_PNG_DECODE,
+    "multimodal_jpeg_decode": SQL_MULTIMODAL_JPEG_DECODE,
     "emf_percentiles_hist": SQL_PERCENTILES_HIST,
     "multimodal_gif_decode": SQL_MULTIMODAL_GIF_DECODE,
     "multimodal_g711_decode": SQL_MULTIMODAL_G711_DECODE,

@@ -2148,6 +2148,22 @@ def test_jpeg_decode_matches_independent_reference():
         assert vs == int(ref.sum()), (w, h, base)
 
 
+def test_jpeg_class_stats_match_independent_reference():
+    """The 32-row literal table inside SQL_MULTIMODAL_JPEG_DECODE must
+    equal a LIVE regeneration from the independent numpy round trip —
+    the oracle's constants can never drift from the codec contract.
+    Also pins the class parameterization (doc_id % 32 -> JPEG_CLASSES)
+    and the decoder's agreement on every class's real byte stream."""
+    from emf_spark.driver_queries import _JPEG_CLASS_STATS
+
+    assert len(multimodal.JPEG_CLASSES) == 32
+    for k, (w, h, base) in enumerate(multimodal.JPEG_CLASSES):
+        ref = _jpeg_reference_roundtrip(w, h, base)
+        assert _JPEG_CLASS_STATS[k] == (k, w, h, w * h, int(ref.sum()))
+        W, H, n, vs = multimodal._decode_jpeg(multimodal.synth_jpeg(w, h, base))
+        assert (W, H, n, vs) == (w, h, w * h, int(ref.sum()))
+
+
 def test_jpeg_decode_fuzz():
     from hypothesis import given, settings, strategies as st
 
@@ -2163,6 +2179,32 @@ def test_jpeg_decode_fuzz():
         assert vs == int(_jpeg_reference_roundtrip(w, h, base).sum())
 
     check()
+
+
+def test_media_jpeg_generators_decode_exactly(spark):
+    """Both JPEG corpus generators produce REAL scans decode_media
+    recovers bit-for-bit: the varied-size generator (w/h from n_chars)
+    against the independent round trip, and the class generator against
+    the oracle's literal table."""
+    from emf_spark.driver_queries import _JPEG_CLASS_STATS
+
+    docs = spark.createDataFrame(
+        [(3, 17), (10, 40), (21, 5)], "doc_id bigint, n_chars bigint"
+    )
+    got = {r["media_id"]: r for r in multimodal.decode_media(
+        multimodal.media_jpeg_from_documents(docs)).collect()}
+    for d, n in [(3, 17), (10, 40), (21, 5)]:
+        w, h = n % 24 + 8, n % 16 + 8
+        r = got[f"doc-{d}"]
+        assert (r["width"], r["height"], r["n_units"]) == (w, h, w * h)
+        assert r["value_sum"] == int(_jpeg_reference_roundtrip(w, h, d).sum())
+    got2 = {r["media_id"]: r for r in multimodal.decode_media(
+        multimodal.media_jpeg_classes_from_documents(docs)).collect()}
+    for d in (3, 10, 21):
+        k, r = d % 32, got2[f"doc-{d}"]
+        _, w, h, n_units, vs = _JPEG_CLASS_STATS[k]
+        assert (r["width"], r["height"], r["n_units"], r["value_sum"]) == \
+            (w, h, n_units, vs)
 
 
 def test_jpeg_decode_media_and_fallbacks(spark):
@@ -3274,13 +3316,13 @@ def test_numeric_histogram_clamps_and_guards(spark):
 
 
 def test_driver_registry_alignment():
-    """Every queries() entry carries an oracle_sql() entry except the
-    declared rows-only boundary (jpeg decode); no orphan oracles. The
+    """Every queries() entry carries an oracle_sql() entry — the jpeg
+    rows-only exemption was retired in r5 (class-quantized synth params
+    bought it an exact 32-literal oracle); no orphan oracles. The
     driver's correctness gate depends on this invariant."""
     from emf_spark.driver_queries import ORACLE_SQL, QUERIES
 
-    assert set(ORACLE_SQL) <= set(QUERIES)
-    assert set(QUERIES) - set(ORACLE_SQL) == {"multimodal_jpeg_decode"}
+    assert set(ORACLE_SQL) == set(QUERIES)
     assert len(QUERIES) == 132
 
     # the driver-facing surface rotates the registry (the external

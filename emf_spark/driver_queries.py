@@ -662,6 +662,93 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_grok_syslog(spark, sf):
+    """Classic-syslog grok leg (VERDICT r4 item 7): render events as
+    RFC3164-style lines and parse with the ONE library ref
+    %{SYSLOGLINE} — the nested composite surfaces
+    timestamp/logsource/program/pid/message recursively, including the
+    optional [pid] branch (every third line omits it, so pid comes back
+    as the grok empty string and try_cast(null))."""
+    from emf_spark.operators.grok import grok_extract
+
+    ev = _fan(spark, _t(spark, sf, "events"))
+    pid = (F.col("user_id") % 9000 + 1).cast("string")
+    prog = F.concat(F.lit("svc-"), F.col("event_type"))
+    line = F.concat(
+        F.lit("Mar 12 10:00:01 host-"),
+        (F.col("user_id") % 20).cast("string"),
+        F.lit(" "), prog,
+        F.when(F.col("user_id") % 3 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("["), pid, F.lit("]"))
+        ),
+        F.lit(": evt uid="), F.col("user_id").cast("string"),
+    )
+    parsed = grok_extract(
+        ev.select(line.alias("line")), "line", "%{SYSLOGLINE}"
+    )
+    return parsed.groupBy(F.col("program")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("pid").try_cast("bigint")).alias("sum_pid"),
+        F.count(F.when(F.col("pid") == "", 1)).alias("no_pid"),
+        F.count_distinct(F.col("logsource")).alias("hosts"),
+    )
+
+
+SQL_GROK_SYSLOG = """
+SELECT 'svc-' || event_type AS program,
+       COUNT(*) AS cnt,
+       CAST(SUM(CASE WHEN user_id % 3 <> 0
+                     THEN user_id % 9000 + 1 END) AS BIGINT) AS sum_pid,
+       COUNT(CASE WHEN user_id % 3 = 0 THEN 1 END) AS no_pid,
+       COUNT(DISTINCT 'host-' || CAST(user_id % 20 AS VARCHAR)) AS hosts
+FROM events GROUP BY 1
+"""
+
+
+def q_grok_httpd_error(spark, sf):
+    """Apache error-log grok leg (VERDICT r4 item 7): render events as
+    httpd error lines and parse with %{HTTPD_ERRORLOG} — exercises the
+    OPTIONAL [client ip] branch (every fourth line omits it; the
+    non-participating group extracts as the grok empty string)."""
+    from emf_spark.operators.grok import grok_extract
+
+    ev = _fan(spark, _t(spark, sf, "events"))
+    level = F.element_at(
+        F.array(F.lit("error"), F.lit("warn"), F.lit("notice")),
+        (F.col("user_id") % 3 + 1).cast("int"),
+    )
+    line = F.concat(
+        F.lit("[Wed Mar 12 10:00:00 2025] ["), level, F.lit("] "),
+        F.when(F.col("user_id") % 4 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("[client 10.0.0."),
+                     (F.col("user_id") % 200).cast("string"), F.lit("] "))
+        ),
+        F.lit("evt "), F.col("event_type"),
+        F.lit(" uid="), F.col("user_id").cast("string"),
+    )
+    parsed = grok_extract(
+        ev.select(line.alias("line")), "line", "%{HTTPD_ERRORLOG}"
+    )
+    return parsed.groupBy(F.col("loglevel")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.count(F.when(F.col("clientip") != "", 1)).alias("with_client"),
+        F.count_distinct(
+            F.when(F.col("clientip") != "", F.col("clientip"))
+        ).alias("clients"),
+    )
+
+
+SQL_GROK_HTTPD_ERROR = """
+SELECT CASE user_id % 3 WHEN 0 THEN 'error' WHEN 1 THEN 'warn'
+            ELSE 'notice' END AS loglevel,
+       COUNT(*) AS cnt,
+       COUNT(CASE WHEN user_id % 4 <> 0 THEN 1 END) AS with_client,
+       COUNT(DISTINCT CASE WHEN user_id % 4 <> 0
+             THEN '10.0.0.' || CAST(user_id % 200 AS VARCHAR) END) AS clients
+FROM events GROUP BY 1
+"""
+
+
 def q_cw_batching(spark, sf):
     """S5 PutLogEvents batching plan (flush/cloudwatch.go:83-103) via
     operators.output.plan_cw_batches: one integer unit-cost running total
@@ -5617,6 +5704,10 @@ QUERIES: dict[str, Callable] = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    # r5 additions sit at registry position 50 so the rotated driver
+    # gate (first 50 of queries(), offset 50) checks them this round
+    "emf_grok_syslog": q_grok_syslog,
+    "emf_grok_httpd_error": q_grok_httpd_error,
     "ann_kmeans_clusters": q_ann_kmeans_clusters,
     "dedup_embedding": q_dedup_embedding,
     "data_split": q_data_split,
@@ -5755,6 +5846,8 @@ ORACLE_SQL: dict[str, str] = {
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "ann_lsh_topk": _sql_ann_lsh_topk(),
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,
+    "emf_grok_syslog": SQL_GROK_SYSLOG,
+    "emf_grok_httpd_error": SQL_GROK_HTTPD_ERROR,
     "ann_kmeans_clusters": _sql_kmeans(),
     "dedup_embedding": _sql_dedup_embedding(),
     "data_split": SQL_DATA_SPLIT,

@@ -71,6 +71,9 @@ GROK_PATTERNS: dict[str, str] = {
     "SYSLOGPROG": r"%{PROG:program}(?:\[%{POSINT:pid}\])?",
     "SYSLOGHOST": "%{IPORHOST}",
     "SYSLOGBASE": "%{SYSLOGTIMESTAMP:timestamp} %{SYSLOGHOST:logsource} %{SYSLOGPROG}:",
+    # the classic whole-line composite (logstash SYSLOGLINE): one ref
+    # yields timestamp/logsource/program/pid/message
+    "SYSLOGLINE": "%{SYSLOGBASE} %{GREEDYDATA:message}",
     # http
     "HTTPMETHOD": r"GET|POST|PUT|DELETE|HEAD|OPTIONS|PATCH",
     "URIPATH": r"/[^\s?]*",

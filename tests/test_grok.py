@@ -100,6 +100,21 @@ def test_nested_composition_syslog(spark):
     assert by["db9"]["timestamp"] == "Jul  3 01:59:60"
 
 
+def test_syslogline_composite():
+    """%{SYSLOGLINE} alone surfaces timestamp/logsource/program/pid/
+    message (nested composition through SYSLOGBASE/SYSLOGPROG)."""
+    import re
+
+    rx, fields = compile_grok("%{SYSLOGLINE}")
+    assert [f for f, _ in fields] == [
+        "timestamp", "logsource", "program", "pid", "message"]
+    m = re.fullmatch(rx, "Mar 12 10:00:01 host-7 svc-view[1234]: evt uid=9")
+    assert m and m.group(3) == "svc-view" and m.group(4) == "1234"
+    assert m.group(5) == "evt uid=9"
+    m2 = re.fullmatch(rx, "Mar 12 10:00:01 host-7 svc-view: evt uid=9")
+    assert m2 and m2.group(3) == "svc-view" and m2.group(4) is None
+
+
 def test_quotedstring_and_timestamp_variants():
     import re
 

@@ -714,6 +714,128 @@ def test_streaming_cdc_merge_matches_batch_and_resumes(spark, tmp_path):
         )
 
 
+def test_streaming_scd2_matches_sequential_batch(spark, tmp_path):
+    """streaming/scd2.py run_scd2_stream: two landed snapshot files fold
+    into the versioned history one micro-batch at a time; the final
+    history equals applying batch scd2_apply sequentially at versions
+    1, 2; replay-safety comes from versioned reads (<= batch_id)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from emf_spark.datax.diff import scd2_apply
+    from emf_spark.streaming import scd2
+
+    hist0 = spark.createDataFrame(
+        [(1, "a", 0, None), (2, "b", 0, None)],
+        "id bigint, name string, valid_from bigint, valid_to bigint",
+    )
+    hdir, feed, ck = (str(tmp_path / d) for d in ("hist", "feed", "ck"))
+    scd2.init_history(hist0, hdir)
+
+    snaps = [
+        [(1, "a"), (2, "B"), (3, "c")],     # 2 changed, 3 added
+        [(2, "B"), (3, "c2")],              # 1 deleted, 3 changed
+    ]
+    for i, rows in enumerate(snaps):
+        os.makedirs(feed, exist_ok=True)
+        ids, names = zip(*rows)
+        p = f"{feed}/s{i}.parquet"
+        pq.write_table(
+            pa.table({"id": pa.array(ids, pa.int64()),
+                      "name": pa.array(names, pa.string())}), p)
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    q = scd2.run_scd2_stream(spark, feed, hdir, ck, ["id"])
+    q.awaitTermination(300)
+
+    from emf_spark.streaming.cdc import _versions
+
+    assert _versions(spark, hdir) == [0, 1, 2]
+    got = sorted(map(tuple, scd2.current_history(spark, hdir)
+                     .select("id", "name", "valid_from", "valid_to")
+                     .collect()))
+    ref = hist0
+    for i, rows in enumerate(snaps):
+        snap_df = spark.createDataFrame(rows, "id bigint, name string")
+        ref = scd2_apply(ref, snap_df, ["id"], version=i + 1)
+    want = sorted(map(tuple, ref.select(
+        "id", "name", "valid_from", "valid_to").collect()))
+    assert got == want
+    # spot semantics: key 1 closed at v2, key 3 has two rows
+    assert (1, "a", 0, 2) in got
+    assert [(t[1], t[2], t[3]) for t in got if t[0] == 3] == \
+        [("c", 1, 2), ("c2", 2, None)]
+
+    # missing bootstrap raises
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bootstrap"):
+        scd2.run_scd2_stream(
+            spark, feed, str(tmp_path / "nohist"), ck, ["id"]
+        )
+
+
+def test_streaming_snapshot_diff_publishes_per_batch_deltas(spark, tmp_path):
+    """streaming/scd2.py run_snapshot_diff_stream: each landed snapshot
+    publishes its delta vs the predecessor, batch_id-partitioned; the
+    deltas equal batch snapshot_diff over consecutive snapshots."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from emf_spark.datax.diff import snapshot_diff
+    from emf_spark.streaming import scd2
+
+    s0 = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id bigint, name string")
+    store, feed, delta, ck = (
+        str(tmp_path / d) for d in ("store", "feed", "delta", "ck"))
+    scd2.init_prev_snapshot(s0, store)
+
+    snaps = [
+        [(1, "a"), (2, "B"), (3, "c")],
+        [(2, "B"), (3, "c2")],
+    ]
+    for i, rows in enumerate(snaps):
+        os.makedirs(feed, exist_ok=True)
+        ids, names = zip(*rows)
+        p = f"{feed}/s{i}.parquet"
+        pq.write_table(
+            pa.table({"id": pa.array(ids, pa.int64()),
+                      "name": pa.array(names, pa.string())}), p)
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    q = scd2.run_snapshot_diff_stream(
+        spark, feed, store, delta, ck, ["id"])
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(delta)
+    by_batch = {
+        b: sorted((r["id"], r["status"])
+                  for r in got.filter(F.col("batch_id") == b).collect())
+        for b in (0, 1)
+    }
+    frames = [s0] + [
+        spark.createDataFrame(rows, "id bigint, name string")
+        for rows in snaps
+    ]
+    for b in (0, 1):
+        want = sorted(
+            (r["id"], r["status"])
+            for r in snapshot_diff(frames[b], frames[b + 1], ["id"]).collect()
+        )
+        assert by_batch[b] == want
+    assert by_batch[0] == [(2, "changed"), (3, "added")]
+    assert by_batch[1] == [(1, "removed"), (3, "changed")]
+    # the store's head equals the last snapshot (next batch's baseline)
+    from emf_spark.streaming.cdc import _versions
+
+    assert _versions(spark, store) == [0, 1, 2]
+
+
 def test_streaming_rate_limit_matches_batch_and_drops_stragglers(spark, tmp_path):
     """streaming/ratelimit.py: mtime-ordered micro-batches throttle
     identically to the batch operator on ordered input; an event for a

@@ -92,6 +92,69 @@ def write_zordered(
     )
 
 
+def iceberg_catalog(spark: SparkSession) -> str | None:
+    """Capability probe (VERDICT r4 item 8): the name of the first
+    session catalog configured with a LOADABLE Iceberg implementation,
+    else None. A catalog is usable only when (a) ``spark.sql.catalog.
+    <name>`` names an Iceberg class and (b) that class is actually on
+    the JVM classpath — config alone lies on a cluster missing the
+    runtime jar, and failing at write time (mid-job) is the expensive
+    way to find out."""
+    prefix = "spark.sql.catalog."
+    for key, value in spark.sparkContext.getConf().getAll():
+        if not key.startswith(prefix) or key.count(".") != 3:
+            continue
+        if "iceberg" not in value.lower():
+            continue
+        try:
+            spark._jvm.java.lang.Class.forName(value)
+        except Exception:
+            continue
+        return key[len(prefix):]
+    return None
+
+
+def write_table(
+    df: DataFrame,
+    table: str,
+    partition_cols: list[str] | None = None,
+    mode: str = "overwrite",
+    catalog: str | None = None,
+) -> str:
+    """THE storage seam for managed table writes: Iceberg when a
+    catalog is available, plain parquet ``partitionBy`` otherwise —
+    callers never branch on the environment themselves. Returns the
+    path taken ("iceberg" or "parquet") for observability.
+
+    With an Iceberg catalog the write goes through the DataFrameWriterV2
+    API (``writeTo().createOrReplace()`` / ``append()``), which gives
+    atomic snapshot commits, hidden-partition evolution, and
+    rewrite-files compaction downstream — the capabilities
+    compact_parquet and the streaming writers emulate by hand on bare
+    parquet. Without one (this sandbox), the fallback is the repo's
+    standing parquet stand-in: a partitioned managed table with the
+    same logical layout, so the caller's read side is unchanged."""
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"write_table supports overwrite/append, got {mode!r}")
+    cat = catalog or iceberg_catalog(df.sparkSession)
+    if cat is not None:
+        from pyspark.sql import functions as F
+
+        w = df.writeTo(f"{cat}.{table}")
+        if partition_cols:
+            w = w.partitionedBy(*[F.col(c) for c in partition_cols])
+        if mode == "overwrite":
+            w.createOrReplace()
+        else:
+            w.append()
+        return "iceberg"
+    w = df.write.mode(mode).format("parquet")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.saveAsTable(table)
+    return "parquet"
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,

@@ -193,6 +193,42 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bj_b")
 
 
+def test_write_table_seam_probes_and_falls_back(spark):
+    """operators/storage.write_table: no Iceberg catalog in this
+    sandbox, so the probe must return None and the write must land as
+    a partitioned parquet managed table readable via spark.table; a
+    catalog CONFIGURED but with an unloadable class must also fail the
+    probe (config alone is not capability)."""
+    import pytest
+
+    from emf_spark.operators import storage
+
+    assert storage.iceberg_catalog(spark) is None
+    df = spark.range(20).selectExpr("id", "id % 3 AS p")
+    try:
+        path = storage.write_table(df, "wt_demo", partition_cols=["p"])
+        assert path == "parquet"
+        got = spark.table("wt_demo")
+        assert got.count() == 20
+        # the partition column survives as a real partition (pruned scan)
+        plan = plan_of(got.filter("p = 1"), "simple")
+        assert "PartitionFilters: [isnotnull(p#" in plan or "p)" in plan
+        # append mode goes through the same seam
+        assert storage.write_table(df, "wt_demo", partition_cols=["p"],
+                                   mode="append") == "parquet"
+        assert spark.table("wt_demo").count() == 40
+        with pytest.raises(ValueError, match="overwrite/append"):
+            storage.write_table(df, "wt_demo", mode="ignore")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS wt_demo")
+    # probe rejects a configured-but-unloadable catalog class: simulate
+    # by checking the class-load guard directly (conf is immutable on a
+    # live session, so exercise the loop's contract on the JVM check)
+    with pytest.raises(Exception):
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog")
+
+
 def test_tpch_join_queries_push_filters_and_broadcast_dims(spark):
     """Q3/Q5 shapes: date/segment predicates must reach the parquet
     scans (PushedFilters) and the dimension sides must broadcast (no

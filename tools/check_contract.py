@@ -5,6 +5,8 @@ values (EXACT equality, incl. floats — the compare was deliberately
 zero-tolerance'd; the driver's own hash compare is just as strict).
 
 Usage: python tools/check_contract.py [sf_dir] [query ...]
+       [--json artifact.json]   # per-query verdict artifact (auditable
+                                # sweep record, VERDICT r4 item 1c)
 """
 
 from __future__ import annotations
@@ -17,8 +19,14 @@ import duckdb
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-ONLY = set(sys.argv[2:])
+_args = sys.argv[1:]
+JSON_OUT = None
+if "--json" in _args:
+    i = _args.index("--json")
+    JSON_OUT = _args[i + 1]
+    _args = _args[:i] + _args[i + 2:]
+SF = _args[0] if _args else "/root/testdata/sf0.01"
+ONLY = set(_args[1:])
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
@@ -59,6 +67,7 @@ def main():
 
     qs, sqls = ent.queries(), ent.oracle_sql()
     failures = []
+    record: dict[str, dict] = {}
     ran, skipped = 0, 0
     for name, fn in qs.items():
         if ONLY and name not in ONLY:
@@ -68,24 +77,30 @@ def main():
             sdf = fn(spark, SF).toPandas()
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"spark error: {e}"))
+            record[name] = {"status": "fail", "err": f"spark error: {e}"}
             print(f"FAIL {name}: spark error: {e}")
             continue
         if name not in sqls:
             skipped += 1
+            record[name] = {"status": "rows_only", "rows": len(sdf)}
             print(f"SKIP-ORACLE {name}: rows={len(sdf)}")
             continue
         try:
             ddf = con.execute(sqls[name]).df()
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"duckdb error: {e}"))
+            record[name] = {"status": "fail", "err": f"duckdb error: {e}"}
             print(f"FAIL {name}: duckdb error: {e}")
             continue
         if sorted(sdf.columns) != sorted(ddf.columns):
             failures.append((name, f"cols {sorted(sdf.columns)} vs {sorted(ddf.columns)}"))
+            record[name] = {"status": "fail", "err": "column mismatch"}
             print(f"FAIL {name}: column mismatch {sorted(sdf.columns)} vs {sorted(ddf.columns)}")
             continue
         if len(sdf) != len(ddf):
             failures.append((name, f"rows {len(sdf)} vs {len(ddf)}"))
+            record[name] = {"status": "fail",
+                            "err": f"row count {len(sdf)} vs {len(ddf)}"}
             print(f"FAIL {name}: row count {len(sdf)} vs {len(ddf)}")
             continue
         cols = sorted(sdf.columns)
@@ -104,8 +119,10 @@ def main():
                 break
         if bad:
             failures.append((name, f"value mismatch at sorted row {bad[0]}: {bad[1]} vs {bad[2]}"))
+            record[name] = {"status": "fail", "err": failures[-1][1][:300]}
             print(f"FAIL {name}: {failures[-1][1]}")
         else:
+            record[name] = {"status": "ok", "rows": len(sdf)}
             print(f"OK   {name}: rows={len(sdf)}")
     # tally only what actually RAN: the old "N/N" line counted
     # filtered-out and oracle-less queries as matches (review finding)
@@ -113,6 +130,18 @@ def main():
     extra = f" ({skipped} rows-only, no oracle)" if skipped else ""
     sel = "" if not ONLY else f" of {len(qs)} registered"
     print(f"\n{compared - len(failures)}/{compared} compared queries match{sel}{extra}")
+    if JSON_OUT:
+        import json
+
+        Path(JSON_OUT).write_text(json.dumps({
+            "sf_dir": SF,
+            "n_queries": ran,
+            "n_ok": compared - len(failures),
+            "n_fail": len(failures),
+            "n_rows_only": skipped,
+            "queries": record,
+        }, indent=1))
+        print(f"wrote {JSON_OUT}")
     if failures:
         sys.exit(1)
 

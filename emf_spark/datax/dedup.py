@@ -627,6 +627,99 @@ def ngram_jaccard_pairs(
     )
 
 
+def jaccard_threshold_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """EXACT Jaccard-threshold near-dup pairs via prefix filtering —
+    every pair with shingle-set Jaccard >= ``threshold``, no
+    probabilistic recall gap (minhash_near_duplicates' banding trades
+    recall for speed; this is the recall-1.0 complement for thresholds
+    high enough that prefixes stay selective). Published method:
+    prefix-filter ssjoin (Chaudhuri et al., ICDE'06) / PPJoin (Xiao et
+    al., WWW'08) length+prefix filters.
+
+    Plan: (1) distinct k-word shingles per doc; (2) global shingle
+    document-frequency; (3) each doc's shingles sorted RAREST-FIRST by
+    (df, shingle) — the sort key IS the global order, so no
+    single-partition rank window exists anywhere; (4) only the first
+    ``n - ceil(t*n) + 1`` shingles (the prefix) explode into the
+    candidate equi-join on the shingle string: two docs can reach
+    Jaccard t only by colliding inside their prefixes, so candidates
+    are bounded by docs sharing a RARE shingle, never all-pairs;
+    (5) length filter ``min(na,nb) >= t*max(na,nb)`` prunes before
+    dedup; (6) pair-local exact verify on the full shingle arrays.
+    All equi-joins and partial-aggregated groupBys; at 100 TB the only
+    growth risk is a shingle shared by a large doc fraction, which the
+    rarest-first order pushes OUT of prefixes (a prefix keeps a
+    common shingle only when the doc has nothing rarer).
+
+    Float guard: ceil/threshold comparisons subtract 1e-9 so FP noise
+    can only widen prefixes / keep extra candidates (the exact verify
+    is the gate) — never drop a qualifying pair.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError("threshold must be in (0, 1]")
+    eps = 1e-9
+    sets = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), shingle_k).alias("toks"),
+    ).filter(F.size("toks") > 0)
+    rows = sets.select("id", F.explode("toks").alias("tok"))
+    freq = rows.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        rows.join(freq, "tok")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "tok"))).alias("ord"))
+    )
+    n = F.size("ord")
+    plen = (
+        n - F.ceil(F.lit(threshold) * n - F.lit(eps)) + 1
+    ).cast("int")
+    pref = ordered.select(
+        "id",
+        n.alias("n"),
+        F.explode(F.slice("ord", F.lit(1), plen)).alias("s"),
+    ).select("id", "n", F.col("s.tok").alias("tok"))
+    a = pref.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"), "tok")
+    b = pref.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"), "tok")
+    cand = (
+        a.join(b, "tok")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (
+                F.least("n_a", "n_b")
+                >= F.lit(threshold) * F.greatest("n_a", "n_b") - F.lit(eps)
+            )
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sets.select(F.col("id").alias("id_a"), F.col("toks").alias("t_a"))
+    sb = sets.select(F.col("id").alias("id_b"), F.col("toks").alias("t_b"))
+    inter = F.size(F.array_intersect("t_a", "t_b"))
+    uni = F.size("t_a") + F.size("t_b") - inter
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("_i", inter)
+        .withColumn("_u", uni)
+        # exact gate: NO epsilon here — i/u and the threshold literal
+        # are the same IEEE doubles in any engine, so this predicate is
+        # the cross-engine contract (eps is only for the pruning stages
+        # above, where admitting extra candidates is harmless)
+        .filter(F.col("_i") / F.col("_u") >= F.lit(threshold))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("_i") / F.col("_u"), 6).alias("jaccard"),
+        )
+    )
+
+
 def decontaminate(
     train: DataFrame,
     test: DataFrame,

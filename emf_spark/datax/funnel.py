@@ -249,3 +249,90 @@ def value_outliers(
             F.when(dev > 0, F.lit(1)).otherwise(F.lit(-1)).alias("side"),
         )
     )
+
+def attribution_report(
+    events: DataFrame,
+    conv_type: str,
+    touch_types: Sequence[str],
+    window_sec: int = 86_400,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Multi-touch marketing attribution: for every conversion event
+    (``type_col == conv_type``), credit the touch events of
+    ``touch_types`` the same user produced in the ``window_sec``
+    seconds strictly BEFORE the conversion (end-exclusive: a touch at
+    the conversion's own second does not count). Returns one row per
+    touch type with the three standard models side by side:
+
+    - ``first_touch`` / ``last_touch``: conversions whose
+      earliest/latest in-window touch has this type (ties broken by
+      event id — deterministic),
+    - ``linear_micro``: sum over credited touches of
+      ``1_000_000 // n_touches`` micro-credits (integer floor-div, so
+      the equal-split model is bit-portable across engines — no float
+      shares).
+
+    Plan shape: conversions become intervals ``[ep - window, ep)`` and
+    touches points, matched by :func:`~emf_spark.operators.ranges.range_join`
+    — a bucketed EQUI-join on (user, time-bucket), never an inequality
+    nested loop. First/last ride ONE algebraic aggregate per conversion
+    (lexicographic struct min/max — the A4/A5 pattern), and the three
+    models merge on a frame bounded by ``len(touch_types)`` rows.
+    At 100 TB: cost is |touches| + |convs| * (window/bucket) rows into
+    one hash join, partial-aggregated per conversion; no window over
+    users, no driver-side state.
+    """
+    from emf_spark.operators.ranges import range_join
+
+    ep = F.unix_timestamp(F.col(ts_col)).cast("bigint")
+    base = events.select(
+        F.col(user_col).alias("u"),
+        F.col(id_col).alias("eid"),
+        F.col(type_col).alias("etype"),
+        ep.alias("ep"),
+    )
+    conv = base.filter(F.col("etype") == conv_type).select(
+        "u",
+        F.col("eid").alias("conv_id"),
+        (F.col("ep") - F.lit(window_sec)).cast("double").alias("w_start"),
+        F.col("ep").cast("double").alias("w_end"),
+    )
+    touch = base.filter(F.col("etype").isin(list(touch_types))).select(
+        "u",
+        F.col("eid").alias("touch_id"),
+        F.col("etype").alias("ttype"),
+        F.col("ep").cast("double").alias("tep"),
+    )
+    j = range_join(
+        touch, conv, ts_col="tep", start_col="w_start", end_col="w_end",
+        keys=["u"], bucket=float(window_sec),
+    )
+    per_conv = j.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.struct("tep", "touch_id", "ttype"))["ttype"].alias("first_type"),
+        F.max(F.struct("tep", "touch_id", "ttype"))["ttype"].alias("last_type"),
+    )
+    first = per_conv.groupBy(F.col("first_type").alias("ttype")).agg(
+        F.count(F.lit(1)).alias("first_touch")
+    )
+    last = per_conv.groupBy(F.col("last_type").alias("ttype")).agg(
+        F.count(F.lit(1)).alias("last_touch")
+    )
+    linear = (
+        j.join(per_conv.select("conv_id", "n"), "conv_id")
+        .groupBy("ttype")
+        .agg(F.sum(F.expr("1000000 div n")).alias("linear_micro"))
+    )
+    return (
+        linear.join(first, "ttype", "left")
+        .join(last, "ttype", "left")
+        .select(
+            "ttype",
+            F.coalesce("first_touch", F.lit(0)).alias("first_touch"),
+            F.coalesce("last_touch", F.lit(0)).alias("last_touch"),
+            "linear_micro",
+        )
+    )

@@ -5653,6 +5653,147 @@ FROM orders
 """
 
 
+def q_ts_interval_merge(spark, sf):
+    """Gaps-and-islands interval coalescing (operators/ranges.
+    merge_intervals): each event opens a deterministic activity
+    interval [ep, ep + 300 + (event_id % 7) * 120); overlapping or
+    touching intervals per user merge into islands (one exchange on
+    user_id + a linear within-key window scan), then a 50-bucket
+    rollup pins island counts, covered seconds, and the longest
+    island. Oracle replays the same running-max/running-sum windows
+    with the same (s, e, event_id) total order."""
+    from emf_spark.operators.ranges import merge_intervals
+
+    ev = _t(spark, sf, "events")
+    ep = F.unix_timestamp("ts").cast("bigint")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        ep.alias("s"),
+        (ep + 300 + (F.col("event_id") % 7) * 120).alias("e"),
+    )
+    isl = merge_intervals(
+        iv, "s", "e", keys=["user_id"], min_gap=0.0, tiebreak="event_id"
+    )
+    return isl.groupBy((F.col("user_id") % 50).alias("ubucket")).agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(F.col("island_end") - F.col("island_start")).alias("covered_sec"),
+        F.max(F.col("island_end") - F.col("island_start")).alias("max_island_sec"),
+        F.sum("n_rows").alias("n_events"),
+    )
+
+
+SQL_TS_INTERVAL_MERGE = """
+WITH e AS (
+  SELECT user_id, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(floor(epoch(ts)) AS BIGINT) + 300 + (event_id % 7) * 120 AS e
+  FROM events),
+m AS (
+  SELECT user_id, event_id, s, e,
+         MAX(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+  FROM e),
+f AS (
+  SELECT user_id, event_id, s, e,
+         CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS brk
+  FROM m),
+g AS (
+  SELECT user_id, s, e,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM f),
+i AS (
+  SELECT user_id, isl, MIN(s) AS st, MAX(e) AS en, COUNT(*) AS nr
+  FROM g GROUP BY 1, 2)
+SELECT user_id % 50 AS ubucket,
+       COUNT(*) AS n_islands,
+       CAST(SUM(en - st) AS BIGINT) AS covered_sec,
+       CAST(MAX(en - st) AS BIGINT) AS max_island_sec,
+       CAST(SUM(nr) AS BIGINT) AS n_events
+FROM i GROUP BY 1
+"""
+
+
+def q_dedup_jaccard_exact(spark, sf):
+    """EXACT Jaccard-threshold near-dup pairs via prefix filtering
+    (dedup.jaccard_threshold_pairs — ssjoin/PPJoin family): recall-1.0
+    complement to the banded minhash query. Rarest-first prefixes keep
+    the candidate equi-join bounded; the oracle is the brute-force
+    all-pairs shingle join, feasible only at oracle scale."""
+    from emf_spark.datax import dedup as dd
+
+    d = _t(spark, sf, "documents")
+    return dd.jaccard_threshold_pairs(d, threshold=0.6).orderBy(
+        "id_a", "id_b"
+    )
+
+
+SQL_DEDUP_JACCARD_EXACT = f"""
+WITH norm AS (SELECT doc_id, {_NORM_TXT} AS t FROM documents),
+w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM norm),
+sh AS (SELECT doc_id,
+              unnest(list_distinct(list_transform(
+                range(1, len(ws) - 1),
+                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+       FROM w WHERE len(ws) >= 3),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+j AS (
+  SELECT id_a, id_b, i, sa.n + sb.n - i AS u
+  FROM inter
+  JOIN sz sa ON sa.doc_id = id_a
+  JOIN sz sb ON sb.doc_id = id_b)
+SELECT id_a, id_b, ROUND(CAST(i AS DOUBLE) / u, 6) AS jaccard
+FROM j WHERE CAST(i AS DOUBLE) / u >= 0.6
+ORDER BY id_a, id_b
+"""
+
+
+def q_events_attribution(spark, sf):
+    """Multi-touch attribution (funnel.attribution_report): purchases
+    credit the click/view touches of the same user in the 24 h
+    strictly before the conversion — first-touch, last-touch, and
+    integer-micro linear models side by side. Touch matching is the
+    bucketed range_join equi-join; first/last are ONE struct-min/max
+    aggregate per conversion. Ties break on event id, so the oracle's
+    ROW_NUMBER replay is total-ordered."""
+    from emf_spark.datax.funnel import attribution_report
+
+    ev = _t(spark, sf, "events")
+    return attribution_report(ev, "purchase", ["click", "view"], 86_400)
+
+
+SQL_EVENTS_ATTRIBUTION = """
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ep
+  FROM events),
+c AS (SELECT user_id, event_id AS conv_id, ep AS cep
+      FROM e WHERE event_type = 'purchase'),
+t AS (SELECT user_id, event_id AS tid, event_type AS ttype, ep
+      FROM e WHERE event_type IN ('click', 'view')),
+j AS (
+  SELECT c.conv_id, t.ttype, t.ep, t.tid
+  FROM c JOIN t ON c.user_id = t.user_id
+               AND t.ep >= c.cep - 86400 AND t.ep < c.cep),
+r AS (
+  SELECT conv_id, ttype,
+         ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY ep, tid) AS ra,
+         ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY ep DESC, tid DESC) AS rd,
+         COUNT(*) OVER (PARTITION BY conv_id) AS n
+  FROM j)
+SELECT ttype,
+       CAST(COUNT(*) FILTER (ra = 1) AS BIGINT) AS first_touch,
+       CAST(COUNT(*) FILTER (rd = 1) AS BIGINT) AS last_touch,
+       CAST(SUM(1000000 // n) AS BIGINT) AS linear_micro
+FROM r GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Callable] = {
     "emf_dim_hash_group": q_dim_hash_group,
     "emf_value_count_hist": q_value_count_hist,
@@ -5708,6 +5849,9 @@ QUERIES: dict[str, Callable] = {
     # gate (first 50 of queries(), offset 50) checks them this round
     "emf_grok_syslog": q_grok_syslog,
     "emf_grok_httpd_error": q_grok_httpd_error,
+    "ts_interval_merge": q_ts_interval_merge,
+    "dedup_jaccard_exact": q_dedup_jaccard_exact,
+    "events_attribution": q_events_attribution,
     "ann_kmeans_clusters": q_ann_kmeans_clusters,
     "dedup_embedding": q_dedup_embedding,
     "data_split": q_data_split,
@@ -5848,6 +5992,9 @@ ORACLE_SQL: dict[str, str] = {
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,
     "emf_grok_syslog": SQL_GROK_SYSLOG,
     "emf_grok_httpd_error": SQL_GROK_HTTPD_ERROR,
+    "ts_interval_merge": SQL_TS_INTERVAL_MERGE,
+    "dedup_jaccard_exact": SQL_DEDUP_JACCARD_EXACT,
+    "events_attribution": SQL_EVENTS_ATTRIBUTION,
     "ann_kmeans_clusters": _sql_kmeans(),
     "dedup_embedding": _sql_dedup_embedding(),
     "data_split": SQL_DATA_SPLIT,

@@ -3323,7 +3323,7 @@ def test_driver_registry_alignment():
     from emf_spark.driver_queries import ORACLE_SQL, QUERIES
 
     assert set(ORACLE_SQL) == set(QUERIES)
-    assert len(QUERIES) == 134
+    assert len(QUERIES) == 137
 
     # the driver-facing surface rotates the registry (the external
     # 50-row gate samples the FIRST 50 of queries(); rotation gives
@@ -3336,3 +3336,61 @@ def test_driver_registry_alignment():
     orig = list(QUERIES)
     off = ent._GATE_OFFSET % len(orig)
     assert list(q) == orig[off:] + orig[:off]
+
+
+def test_jaccard_threshold_pairs_bruteforce_parity(spark):
+    """Prefix filtering must lose NOTHING: exact recall vs the
+    brute-force all-pairs shingle Jaccard on a randomized corpus of
+    near-dup mutations, across thresholds."""
+    import itertools
+    import random
+
+    from emf_spark.datax.dedup import jaccard_threshold_pairs
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(60)]
+    base = [" ".join(rng.choices(vocab, k=rng.randrange(8, 30))) for _ in range(12)]
+    docs = []
+    for i, t in enumerate(base):
+        docs.append((i * 10, t))
+        # a mutated near-dup of some docs: drop/replace a couple words
+        if i % 2 == 0:
+            ws = t.split()
+            j = rng.randrange(len(ws))
+            ws[j] = rng.choice(vocab)
+            docs.append((i * 10 + 1, " ".join(ws)))
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+
+    def shingles(t):
+        ws = t.lower().split()
+        return {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+
+    for thr in (0.3, 0.6, 0.9):
+        expect = set()
+        for (ia, ta), (ib, tb) in itertools.combinations(docs, 2):
+            sa, sb = shingles(ta), shingles(tb)
+            if not sa or not sb:
+                continue
+            j = len(sa & sb) / len(sa | sb)
+            if j >= thr:
+                expect.add((min(ia, ib), max(ia, ib)))
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in jaccard_threshold_pairs(df, threshold=thr).collect()
+        }
+        assert got == expect, f"threshold {thr}"
+
+
+def test_jaccard_threshold_pairs_guards(spark):
+    import pytest
+
+    from emf_spark.datax.dedup import jaccard_threshold_pairs
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="threshold"):
+        jaccard_threshold_pairs(df, threshold=0.0)
+    # docs shorter than k words have no shingle set -> no pairs, no error
+    short = spark.createDataFrame(
+        [(1, "a b"), (2, "a b")], "doc_id bigint, text string"
+    )
+    assert jaccard_threshold_pairs(short, threshold=0.5).count() == 0

@@ -87,3 +87,74 @@ def test_bigram_lm_score_hand_model(spark):
     assert rows[1].n_bigrams == 3 and rows[2].n_bigrams == 2
     assert rows[1].fluency == 2_500_000 / 3_000_000
     assert rows[2].fluency == 0.75
+
+
+def test_attribution_report_models(spark):
+    """Hand-computed three-model attribution: window is end-exclusive
+    (a touch at the conversion's second gets no credit), inclusive at
+    window_sec before, linear credit is integer micro floor-div."""
+    from datetime import datetime
+
+    from emf_spark.datax.funnel import attribution_report
+
+    def ts(sec):
+        return datetime.utcfromtimestamp(1_700_000_000 + sec)
+
+    rows = [
+        # user 1: click@0, view@10, purchase@20 -> first=click,
+        # last=view, linear 500000 each
+        (1, 1, "click", ts(0)),
+        (1, 2, "view", ts(10)),
+        (1, 3, "purchase", ts(20)),
+        # user 2: view exactly AT the conversion second -> excluded;
+        # click exactly window_sec before -> included (first=last=click)
+        (2, 4, "view", ts(100)),
+        (2, 5, "click", ts(100 - 50)),
+        (2, 6, "purchase", ts(100)),
+        # user 3: conversion with no touches in window -> contributes
+        # nothing anywhere
+        (3, 7, "purchase", ts(500)),
+        (3, 8, "click", ts(500 - 51)),  # just outside the 50 s window
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, event_type string, ts timestamp"
+    )
+    out = {
+        r["ttype"]: (r["first_touch"], r["last_touch"], r["linear_micro"])
+        for r in attribution_report(
+            ev, "purchase", ["click", "view"], window_sec=50
+        ).collect()
+    }
+    # user 1: first=click last=view, 2 touches -> 500000 micro each;
+    # user 2: click only -> first+last, 1000000 micro
+    assert out == {
+        "click": (2, 1, 1_500_000),
+        "view": (0, 1, 500_000),
+    }
+
+
+def test_attribution_linear_floor_division(spark):
+    """3 touches -> 333333 micro each (floor), summed per type."""
+    from datetime import datetime
+
+    from emf_spark.datax.funnel import attribution_report
+
+    def ts(sec):
+        return datetime.utcfromtimestamp(1_700_000_000 + sec)
+
+    rows = [
+        (1, 1, "click", ts(0)),
+        (1, 2, "click", ts(1)),
+        (1, 3, "view", ts(2)),
+        (1, 4, "purchase", ts(10)),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, event_type string, ts timestamp"
+    )
+    out = {
+        r["ttype"]: (r["first_touch"], r["last_touch"], r["linear_micro"])
+        for r in attribution_report(
+            ev, "purchase", ["click", "view"], window_sec=3600
+        ).collect()
+    }
+    assert out == {"click": (1, 0, 666_666), "view": (0, 1, 333_333)}

@@ -59,3 +59,54 @@ def test_range_join_collision_guard(spark):
     intervals = spark.createDataFrame([(0.0, 2.0, 7)], "start double, end double, v bigint")
     with pytest.raises(ValueError, match="collide"):
         range_join(points, intervals)
+
+
+def test_merge_intervals_islands_and_min_gap(spark):
+    import pytest
+
+    from emf_spark.operators.ranges import merge_intervals
+
+    rows = [
+        # key "a": [0,10] [5,8] (contained) [10,12] (touching) -> one
+        # island [0,12]; [20,25] separate
+        ("a", 0.0, 10.0),
+        ("a", 5.0, 8.0),
+        ("a", 10.0, 12.0),
+        ("a", 20.0, 25.0),
+        # key "b": single interval
+        ("b", 100.0, 101.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, start double, end double")
+    got = {
+        (r["k"], r["island_start"], r["island_end"], r["n_rows"])
+        for r in merge_intervals(df, keys=["k"]).collect()
+    }
+    assert got == {
+        ("a", 0.0, 12.0, 3),
+        ("a", 20.0, 25.0, 1),
+        ("b", 100.0, 101.0, 1),
+    }
+    # min_gap bridges the 8-second hole between 12 and 20
+    got2 = {
+        (r["k"], r["island_start"], r["island_end"], r["n_rows"])
+        for r in merge_intervals(df, keys=["k"], min_gap=8.0).collect()
+    }
+    assert got2 == {("a", 0.0, 25.0, 4), ("b", 100.0, 101.0, 1)}
+    # internal-column collision guard
+    with pytest.raises(ValueError, match="_island"):
+        merge_intervals(df.withColumn("_island", df.start), keys=["k"])
+
+
+def test_merge_intervals_running_max_not_prev_end(spark):
+    """The break test must use the RUNNING max end, not the previous
+    row's end: [0,100], [1,2], [3,4] is ONE island even though [3,4]
+    starts after [1,2] ends."""
+    from emf_spark.operators.ranges import merge_intervals
+
+    df = spark.createDataFrame(
+        [(0.0, 100.0), (1.0, 2.0), (3.0, 4.0)], "start double, end double"
+    )
+    out = merge_intervals(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["island_start"], r["island_end"], r["n_rows"]) == (0.0, 100.0, 3)

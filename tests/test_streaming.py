@@ -1034,3 +1034,126 @@ def test_streaming_quality_gate_monitors_and_fails(spark, tmp_path):
         q2.awaitTermination(300)
     v2 = spark.read.parquet(f"{out2}/verdicts")
     assert v2.filter("batch_id = 1 AND NOT passed").count() == 2
+
+
+def test_streaming_heavy_hitters_exact_when_capacity_suffices(spark, tmp_path):
+    """Space-Saving with capacity >= per-shard distinct keys IS the
+    exact count table: after two micro-batches, each shard's latest
+    emission equals the batch groupBy count over the full input, with
+    err = 0 everywhere; checkpoint resume with no new files emits
+    nothing."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from emf_spark.streaming.heavy import streaming_heavy_hitters
+
+    keys = [f"k{i % 7}" for i in range(40)] + ["k0"] * 10
+    batches = [keys[:25], keys[25:]]
+    ind = str(tmp_path / "in")
+    os.makedirs(ind, exist_ok=True)
+    for i, b in enumerate(batches):
+        pq.write_table(pa.table({"key": pa.array(b, pa.string())}),
+                       f"{ind}/b{i}.parquet")
+        os.utime(f"{ind}/b{i}.parquet", (1_700_000_000 + i,) * 2)
+
+    stream = (
+        spark.readStream.schema("key string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ind)
+    )
+    out = str(tmp_path / "out")
+    q = (
+        streaming_heavy_hitters(stream, "key", n_shards=4, capacity=16,
+                                emit_top=16)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    emitted = spark.read.parquet(out).collect()
+    latest_seq = {}
+    for r in emitted:
+        latest_seq[r["shard"]] = max(latest_seq.get(r["shard"], 0),
+                                     r["batch_seq"])
+    final = {
+        r["key"]: (r["est"], r["err"])
+        for r in emitted
+        if r["batch_seq"] == latest_seq[r["shard"]]
+    }
+    from collections import Counter
+
+    true = Counter(keys)
+    assert final == {k: (c, 0) for k, c in true.items()}
+
+    n = spark.read.parquet(out).count()
+    q2 = (
+        streaming_heavy_hitters(stream, "key", n_shards=4, capacity=16,
+                                emit_top=16)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(300)
+    assert spark.read.parquet(out).count() == n
+
+
+def test_streaming_heavy_hitters_bounds_under_eviction(spark, tmp_path):
+    """Over-capacity shards keep the Space-Saving guarantees: at most
+    `capacity` entries survive per shard, every surviving estimate
+    satisfies est - err <= true <= est, and the stream's genuinely
+    heavy key is present with its exact count (it was never evicted)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from emf_spark.streaming.heavy import streaming_heavy_hitters
+
+    # one shard (n_shards=1) so eviction pressure is guaranteed:
+    # 12 distinct keys into capacity 4; "hot" dominates
+    keys = (["hot"] * 30
+            + [f"c{i}" for i in range(11) for _ in range(2)])
+    ind = str(tmp_path / "in")
+    os.makedirs(ind, exist_ok=True)
+    pq.write_table(pa.table({"key": pa.array(keys, pa.string())}),
+                   f"{ind}/b0.parquet")
+
+    stream = (
+        spark.readStream.schema("key string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ind)
+    )
+    out = str(tmp_path / "out")
+    q = (
+        streaming_heavy_hitters(stream, "key", n_shards=1, capacity=4,
+                                emit_top=4)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    from collections import Counter
+
+    true = Counter(keys)
+    rows = spark.read.parquet(out).collect()
+    assert 0 < len(rows) <= 4
+    assert {r["key"] for r in rows} >= {"hot"}
+    for r in rows:
+        t = true[r["key"]]
+        assert r["est"] >= t, r
+        assert r["est"] - r["err"] <= t, r
+    hot = next(r for r in rows if r["key"] == "hot")
+    assert (hot["est"], hot["err"]) == (30, 0)

@@ -677,3 +677,73 @@ def ascii_fold(df: DataFrame, text_col: str = "text",
         out_col or text_col,
         F.translate(F.col(text_col), _FOLD_SRC, _FOLD_DST),
     )
+
+
+def collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 3,
+    min_count: int = 5,
+    top: int = 50,
+) -> DataFrame:
+    """Collocation mining: ordered word pairs (w1 before w2) whose
+    positions are at most ``window`` apart within a document, scored by
+    an integer-exact association lift —
+    ``score_ppm = (1e6 * c_ab * T) div (c_a * c_b)`` where c_ab is the
+    pair's co-occurrence count, c_a/c_b are corpus token counts, and T
+    is the corpus token total (the un-normalized PMI exponent in parts
+    per million; floor-div keeps it bit-portable across engines — no
+    log, no float). Returns the ``top`` pairs by (c_ab desc, w1, w2):
+    a total order, so the limit is deterministic.
+
+    Plan shape: posexplode the token stream once; each token emits its
+    ``window`` forward target positions, so pairing is a plain
+    EQUI-join on (doc, position) — never an inequality join. Unigram
+    counts and T are map-combinable aggregates; the tiny T scalar rides
+    a cross-join broadcast of one row. At 100 TB the pair stream is
+    |tokens| x window rows into a hash join keyed by (doc, pos) —
+    embarrassingly partitionable; the bigint product 1e6*c_ab*T needs
+    c_ab*T < ~9e12, so at trillion-token scale swap the ppm literal for
+    a DECIMAL(38) cast (ANSI mode will THROW on overflow rather than
+    corrupt, so the boundary is loud).
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    from emf_spark.datax.dedup import normalized
+
+    words = F.split(normalized(F.col(text_col)), " ")
+    tok = (
+        df.select(F.col(id_col).alias("id"), words.alias("ws"))
+        .filter(F.length(F.array_join("ws", "")) > 0)
+        .select("id", F.posexplode("ws").alias("pos", "w"))
+    )
+    uni = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = tok.agg(F.count(F.lit(1)).alias("t"))
+    a = tok.select(
+        "id",
+        F.col("w").alias("w1"),
+        F.explode(
+            F.sequence(F.col("pos") + 1, F.col("pos") + window)
+        ).alias("pos"),
+    )
+    pairs = (
+        a.join(tok.select("id", "pos", F.col("w").alias("w2")), ["id", "pos"])
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= min_count)
+    )
+    scored = (
+        pairs.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b")), "w2")
+        .crossJoin(total)
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            F.expr("(1000000 * c_ab * t) div (c_a * c_b)").alias("score_ppm"),
+        )
+    )
+    return scored.orderBy(
+        F.col("c_ab").desc(), F.col("w1"), F.col("w2")
+    ).limit(top)

@@ -5794,6 +5794,46 @@ FROM r GROUP BY 1
 """
 
 
+def q_text_collocations(spark, sf):
+    """Collocation mining (textstats.collocations): ordered word pairs
+    within a 3-token forward window, scored by the integer-exact
+    association lift (1e6 * c_ab * T) div (c_a * c_b) — no log, no
+    float, bit-portable. Pairing is an EQUI-join on (doc, position)
+    via per-token forward-target explode; the corpus total T is the
+    sanctioned 1-row scalar broadcast. Total (c_ab desc, w1, w2)
+    order makes the top-50 limit deterministic."""
+    from emf_spark.datax.textstats import collocations
+
+    d = _t(spark, sf, "documents")
+    return collocations(d, window=3, min_count=5, top=50)
+
+
+SQL_TEXT_COLLOCATIONS = f"""
+WITH norm AS (SELECT doc_id, {_NORM_TXT} AS t FROM documents),
+wt AS (SELECT doc_id, string_split(t, ' ') AS ws FROM norm
+       WHERE length(replace(t, ' ', '')) > 0),
+tok AS (
+  SELECT doc_id, u.pos AS pos, u.w AS w
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, len(ws) + 1),
+                                     i -> {{'pos': i, 'w': ws[i]}})) AS u
+        FROM wt)),
+uni AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY 1),
+tot AS (SELECT COUNT(*) AS t FROM tok),
+p AS (
+  SELECT a.w AS w1, b.w AS w2, COUNT(*) AS c_ab
+  FROM tok a JOIN tok b
+    ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 3
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 5)
+SELECT w1, w2, c_ab,
+       CAST((1000000 * c_ab * (SELECT t FROM tot)) // (ua.c * ub.c) AS BIGINT)
+         AS score_ppm
+FROM p JOIN uni ua ON ua.w = w1 JOIN uni ub ON ub.w = w2
+ORDER BY c_ab DESC, w1, w2 LIMIT 50
+"""
+
+
 QUERIES: dict[str, Callable] = {
     "emf_dim_hash_group": q_dim_hash_group,
     "emf_value_count_hist": q_value_count_hist,
@@ -5852,6 +5892,7 @@ QUERIES: dict[str, Callable] = {
     "ts_interval_merge": q_ts_interval_merge,
     "dedup_jaccard_exact": q_dedup_jaccard_exact,
     "events_attribution": q_events_attribution,
+    "text_collocations": q_text_collocations,
     "ann_kmeans_clusters": q_ann_kmeans_clusters,
     "dedup_embedding": q_dedup_embedding,
     "data_split": q_data_split,
@@ -5995,6 +6036,7 @@ ORACLE_SQL: dict[str, str] = {
     "ts_interval_merge": SQL_TS_INTERVAL_MERGE,
     "dedup_jaccard_exact": SQL_DEDUP_JACCARD_EXACT,
     "events_attribution": SQL_EVENTS_ATTRIBUTION,
+    "text_collocations": SQL_TEXT_COLLOCATIONS,
     "ann_kmeans_clusters": _sql_kmeans(),
     "dedup_embedding": _sql_dedup_embedding(),
     "data_split": SQL_DATA_SPLIT,

@@ -3294,6 +3294,57 @@ def test_ascii_fold_map_and_passthrough(spark):
     assert out[3] == "日本語 stays"
 
 
+def test_collocations_brute_force_parity(spark):
+    """collocations() vs a pure-Python brute force on a hand corpus:
+    ordered pairs within the forward window, integer-exact ppm lift,
+    min_count filter, and the (c_ab desc, w1, w2) top-N total order."""
+    import re
+    from collections import Counter
+
+    from emf_spark.datax.textstats import collocations
+
+    texts = [
+        (1, "the Quick  brown fox the quick brown"),
+        (2, "the quick brown fox jumps"),
+        (3, "quick brown quick brown quick brown"),
+        (4, "   "),  # normalizes to empty -> contributes nothing
+        (5, "solo"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id bigint, text string")
+    window, min_count, top = 2, 2, 6
+
+    uni: Counter = Counter()
+    pair: Counter = Counter()
+    total = 0
+    for _i, t in texts:
+        ws = re.sub(r"\s+", " ", t.strip().lower()).split(" ")
+        if not any(ws):
+            continue
+        uni.update(ws)
+        total += len(ws)
+        for p, w1 in enumerate(ws):
+            for q in range(p + 1, min(p + window, len(ws) - 1) + 1):
+                pair[(w1, ws[q])] += 1
+    want = [
+        (w1, w2, c, (1_000_000 * c * total) // (uni[w1] * uni[w2]))
+        for (w1, w2), c in pair.items()
+        if c >= min_count
+    ]
+    want.sort(key=lambda r: (-r[2], r[0], r[1]))
+    want = want[:top]
+
+    got = [
+        (r["w1"], r["w2"], r["c_ab"], r["score_ppm"])
+        for r in collocations(df, window=window, min_count=min_count, top=top).collect()
+    ]
+    assert got == want
+    # a pair that needs the window>1 reach must be present
+    assert any(w1 == "the" and w2 == "brown" for w1, w2, _c, _s in got)
+
+    with pytest.raises(ValueError):
+        collocations(df, window=0)
+
+
 def test_numeric_histogram_clamps_and_guards(spark):
     import pytest as _pytest
 
@@ -3323,7 +3374,7 @@ def test_driver_registry_alignment():
     from emf_spark.driver_queries import ORACLE_SQL, QUERIES
 
     assert set(ORACLE_SQL) == set(QUERIES)
-    assert len(QUERIES) == 137
+    assert len(QUERIES) == 138
 
     # the driver-facing surface rotates the registry (the external
     # 50-row gate samples the FIRST 50 of queries(); rotation gives

@@ -440,6 +440,21 @@ def test_scalar_broadcast_queries_have_one_row_build_side(spark):
             assert "Keys: []" in p or "keys=[]" in p, name
 
 
+def test_collocations_plan_posture(spark):
+    """collocations' pairing is an EQUI-join on (doc, position) — the
+    only nested-loop in the plan is the sanctioned 1-row corpus-total
+    broadcast (global aggregate build side), never a pair generator."""
+    from emf_spark import driver_queries as dq
+
+    p = plan_of(dq.QUERIES["text_collocations"](spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in p
+    if "BroadcastNestedLoopJoin" in p:
+        assert "Keys: []" in p or "keys=[]" in p, p[:1500]
+    # the (doc, pos) pairing itself must be a hash/sort-merge equi-join
+    assert "SortMergeJoin" in p or "BroadcastHashJoin" in p or (
+        "ShuffledHashJoin" in p)
+
+
 def test_fourth_session_queries_plan_posture(spark):
     """The session's additions keep the repo's plan rules: no nested
     loops/cartesians anywhere; line_dedup and SNM never globally sort

@@ -5834,6 +5834,84 @@ ORDER BY c_ab DESC, w1, w2 LIMIT 50
 """
 
 
+def q_log_templates(spark, sf):
+    """Drain-family log template mining (operators/templates.py):
+    render events as a three-format log mix and DISCOVER the templates
+    — digit-bearing tokens pre-mask to <*>, lines branch by
+    (token_count, head token), per-position consensus wildcards the
+    positions lines disagree on (the WARN format's event_type word has
+    no digits, so only consensus can wildcard it). Exact, insert-order
+    -free reformulation of Drain's online tree; the oracle runs the
+    SAME consensus pipeline independently in DuckDB."""
+    from emf_spark.operators.templates import mine_templates
+
+    ev = _fan(spark, _t(spark, sf, "events"))
+    uid = F.col("user_id").cast("string")
+    eid = F.col("event_id").cast("string")
+    ms = F.floor("value").cast("long").cast("string")
+    line = (
+        F.when(
+            F.col("event_type") == "view",
+            F.concat(
+                F.lit("INFO user u"), uid, F.lit(" viewed page /p/"),
+                eid, F.lit(" in "), ms, F.lit(" ms"),
+            ),
+        )
+        .when(
+            F.col("event_type") == "purchase",
+            F.concat(
+                F.lit("INFO user u"), uid, F.lit(" purchased sku-"),
+                eid, F.lit(" qty "), (F.col("user_id") % 7).cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("WARN "), F.col("event_type"),
+                F.lit(" handler slow shard "),
+                (F.col("user_id") % 16).cast("string"),
+            )
+        )
+    )
+    return mine_templates(ev.select(line.alias("line")), min_count=5)
+
+
+SQL_LOG_TEMPLATES = """
+WITH lines AS (
+  SELECT CASE
+    WHEN event_type = 'view' THEN
+      'INFO user u' || user_id || ' viewed page /p/' || event_id ||
+      ' in ' || CAST(FLOOR(value) AS BIGINT) || ' ms'
+    WHEN event_type = 'purchase' THEN
+      'INFO user u' || user_id || ' purchased sku-' || event_id ||
+      ' qty ' || (user_id % 7)
+    ELSE
+      'WARN ' || event_type || ' handler slow shard ' || (user_id % 16)
+  END AS line FROM events),
+norm AS (
+  SELECT regexp_replace(regexp_replace(trim(line), '\\s+', ' ', 'g'),
+                        '[^ ]*[0-9][^ ]*', '<*>', 'g') AS m
+  FROM lines WHERE length(trim(line)) > 0),
+tok AS (
+  SELECT len(ws) AS n, ws[1] AS head, u.pos AS pos, u.w AS w
+  FROM (SELECT string_split(m, ' ') AS ws FROM norm),
+       LATERAL (SELECT unnest(list_transform(range(1, len(ws) + 1),
+                              i -> {'pos': i, 'w': ws[i]})) AS u)),
+cons AS (
+  SELECT n, head, pos, MIN(w) AS lo, MAX(w) AS hi, COUNT(*) AS c
+  FROM tok GROUP BY 1, 2, 3),
+grp AS (
+  SELECT n, head,
+         string_agg(CASE WHEN lo = hi THEN lo ELSE '<*>' END,
+                    ' ' ORDER BY pos) AS template,
+         MAX(CASE WHEN pos = 1 THEN c END) AS cnt
+  FROM cons GROUP BY 1, 2)
+SELECT template, CAST(SUM(cnt) AS BIGINT) AS n_lines,
+       CAST(COUNT(*) AS BIGINT) AS n_groups
+FROM grp GROUP BY 1 HAVING SUM(cnt) >= 5
+ORDER BY n_lines DESC, template
+"""
+
+
 QUERIES: dict[str, Callable] = {
     "emf_dim_hash_group": q_dim_hash_group,
     "emf_value_count_hist": q_value_count_hist,
@@ -5893,6 +5971,7 @@ QUERIES: dict[str, Callable] = {
     "dedup_jaccard_exact": q_dedup_jaccard_exact,
     "events_attribution": q_events_attribution,
     "text_collocations": q_text_collocations,
+    "emf_log_templates": q_log_templates,
     "ann_kmeans_clusters": q_ann_kmeans_clusters,
     "dedup_embedding": q_dedup_embedding,
     "data_split": q_data_split,
@@ -6037,6 +6116,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_jaccard_exact": SQL_DEDUP_JACCARD_EXACT,
     "events_attribution": SQL_EVENTS_ATTRIBUTION,
     "text_collocations": SQL_TEXT_COLLOCATIONS,
+    "emf_log_templates": SQL_LOG_TEMPLATES,
     "ann_kmeans_clusters": _sql_kmeans(),
     "dedup_embedding": _sql_dedup_embedding(),
     "data_split": SQL_DATA_SPLIT,

@@ -288,3 +288,63 @@ def test_httpd_errorlog_optional_client(spark):
     assert rows["error"]["clientip"] == "127.0.0.1"
     assert rows["notice"]["clientip"] == ""  # optional group -> empty
     assert rows["notice"]["message"] == "caught SIGTERM, shutting down"
+
+
+def test_mine_templates_brute_force_parity(spark):
+    """mine_templates() vs a pure-Python consensus on a hand corpus:
+    digit pre-mask, (n_tokens, head) branching, per-position consensus
+    wildcards, same-template group merge (n_groups), min_count filter,
+    whitespace normalization, and blank-line drop."""
+    import re
+    from collections import defaultdict
+
+    from emf_spark.operators.templates import mine_templates
+
+    lines = [
+        "INFO user u1 logged in",
+        "INFO  user   u2 logged in",          # whitespace collapse
+        "INFO user u3 logged out",            # consensus wildcard at pos 4
+        "WARN disk sda1 nearly full",
+        "WARN disk sdb2 nearly full",
+        "ERROR code 500 on /api/x9",          # head ERROR
+        "ERROR code 404 on /api/y7",
+        "   ",                                # dropped
+        "restart",                            # 1-token group
+    ]
+    df = spark.createDataFrame([(l,) for l in lines], ["line"])
+
+    groups = defaultdict(list)
+    for l in lines:
+        t = re.sub(r"\s+", " ", l.strip())
+        if not t:
+            continue
+        ws = [("<*>" if re.search(r"[0-9]", w) else w)
+              for w in t.split(" ")]
+        groups[(len(ws), ws[0])].append(ws)
+    want_counts: defaultdict = defaultdict(lambda: [0, 0])
+    for (_n, _h), rows in groups.items():
+        tmpl = " ".join(
+            rows[0][p] if len({r[p] for r in rows}) == 1 else "<*>"
+            for p in range(len(rows[0]))
+        )
+        want_counts[tmpl][0] += len(rows)
+        want_counts[tmpl][1] += 1
+    want = sorted(
+        ((t, c, g) for t, (c, g) in want_counts.items()),
+        key=lambda r: (-r[1], r[0]),
+    )
+
+    got = [(r["template"], r["n_lines"], r["n_groups"])
+           for r in mine_templates(df).collect()]
+    assert got == want
+    assert ("INFO user <*> logged <*>", 3, 1) in got
+    assert ("WARN disk <*> nearly full", 2, 1) in got
+    assert ("ERROR code <*> on <*>", 2, 1) in got
+    assert ("restart", 1, 1) in got
+
+    # min_count filter
+    got2 = [r["template"] for r in mine_templates(df, min_count=2).collect()]
+    assert "restart" not in got2 and "INFO user <*> logged <*>" in got2
+
+    with pytest.raises(ValueError):
+        mine_templates(df, min_count=0)

@@ -403,3 +403,62 @@ def rate_limit(
         )
         .withColumnRenamed("_rl_bucket", "window_start")
     )
+
+
+def apdex(
+    df: DataFrame,
+    ts_col: str = "ts",
+    latency_col: str = "value",
+    group_cols: tuple[str, ...] = ("event_type",),
+    threshold_cents: int = 5000,
+    window_seconds: int = 3600,
+    scale: int = 100,
+) -> DataFrame:
+    """Apdex score per group and time window — the standard
+    user-satisfaction SLO over a latency stream: ``satisfied`` =
+    latency <= T, ``tolerating`` = T < latency <= 4T, ``frustrated``
+    beyond; Apdex = (satisfied + tolerating/2) / total. The score
+    stays integer-exact in parts-per-million — ``apdex_ppm =
+    (1e6 * (2*sat + tol)) div (2*total)`` — so the classic
+    half-weight never touches a float and the verdict is bit-portable
+    across engines. Latencies compare on the ``scale`` integer
+    lattice (cents by default), same convention as the rest of this
+    module.
+
+    Returns one row per (group, window): group cols, ``bucket_start``
+    (epoch seconds), ``total/satisfied/tolerating/frustrated`` counts,
+    ``apdex_ppm``. NULL latencies are excluded (they are missing
+    measurements, not slow ones).
+
+    Scale shape: ONE map-side-combinable count aggregate keyed by
+    (group, bucket) — a single exchange; no joins, no windows. At
+    100 TB the key space is |groups| x |buckets|, naturally wide; a
+    single hot service-hour degrades to one reducer only after the
+    map-side combine has already collapsed it per-partition.
+    """
+    if threshold_cents <= 0 or window_seconds <= 0:
+        raise ValueError("threshold_cents and window_seconds must be > 0")
+    u = F.unix_timestamp(F.col(ts_col))
+    x = _scaled(latency_col, scale)
+    t = F.lit(threshold_cents)
+    return (
+        df.filter(F.col(latency_col).isNotNull())
+        .groupBy(
+            *group_cols, (u - u % window_seconds).alias("bucket_start")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum(F.when(x <= t, 1).otherwise(0)).alias("satisfied"),
+            F.sum(
+                F.when((x > t) & (x <= t * 4), 1).otherwise(0)
+            ).alias("tolerating"),
+            F.sum(F.when(x > t * 4, 1).otherwise(0)).alias("frustrated"),
+        )
+        .select(
+            *group_cols, "bucket_start", "total", "satisfied",
+            "tolerating", "frustrated",
+            F.expr(
+                "(1000000 * (2 * satisfied + tolerating)) div (2 * total)"
+            ).alias("apdex_ppm"),
+        )
+    )

@@ -5912,6 +5912,37 @@ ORDER BY n_lines DESC, template
 """
 
 
+def q_ts_apdex(spark, sf):
+    """Apdex user-satisfaction score per (service, hour)
+    (timeseries.apdex): satisfied <= T < tolerating <= 4T <
+    frustrated over latency cents; the classic half-weight stays
+    integer-exact as apdex_ppm = (1e6*(2*sat+tol)) div (2*total) —
+    no float, bit-portable. ONE map-combinable count aggregate,
+    single exchange, no joins."""
+    from emf_spark.datax.timeseries import apdex
+
+    ev = _t(spark, sf, "events")
+    return apdex(ev, threshold_cents=3000)
+
+
+SQL_TS_APDEX = """
+WITH b AS (
+  SELECT event_type, e - e % 3600 AS bucket_start,
+         CAST(round(CAST(value AS DOUBLE) * 100, 0) AS BIGINT) AS x
+  FROM (SELECT event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) AS e, value
+        FROM events WHERE value IS NOT NULL))
+SELECT event_type, bucket_start,
+       COUNT(*) AS total,
+       COUNT(*) FILTER (WHERE x <= 3000) AS satisfied,
+       COUNT(*) FILTER (WHERE x > 3000 AND x <= 12000) AS tolerating,
+       COUNT(*) FILTER (WHERE x > 12000) AS frustrated,
+       CAST((1000000 * (2 * COUNT(*) FILTER (WHERE x <= 3000)
+             + COUNT(*) FILTER (WHERE x > 3000 AND x <= 12000)))
+            // (2 * COUNT(*)) AS BIGINT) AS apdex_ppm
+FROM b GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, Callable] = {
     "emf_dim_hash_group": q_dim_hash_group,
     "emf_value_count_hist": q_value_count_hist,
@@ -5972,6 +6003,7 @@ QUERIES: dict[str, Callable] = {
     "events_attribution": q_events_attribution,
     "text_collocations": q_text_collocations,
     "emf_log_templates": q_log_templates,
+    "ts_apdex": q_ts_apdex,
     "ann_kmeans_clusters": q_ann_kmeans_clusters,
     "dedup_embedding": q_dedup_embedding,
     "data_split": q_data_split,
@@ -6117,6 +6149,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_attribution": SQL_EVENTS_ATTRIBUTION,
     "text_collocations": SQL_TEXT_COLLOCATIONS,
     "emf_log_templates": SQL_LOG_TEMPLATES,
+    "ts_apdex": SQL_TS_APDEX,
     "ann_kmeans_clusters": _sql_kmeans(),
     "dedup_embedding": _sql_dedup_embedding(),
     "data_split": SQL_DATA_SPLIT,

@@ -205,3 +205,39 @@ def test_rate_limit_output_collision_guard(spark):
     )
     with _pytest.raises(ValueError, match="collides"):
         rate_limit(df, ["user"], "ts", "event_id", 1, 60)
+
+
+def test_apdex_boundaries_and_ppm(spark):
+    """Hand-computed apdex: T and 4T land on the SATISFIED/TOLERATING
+    sides respectively (<=), floor-div ppm, null latencies excluded,
+    per-(group, hour) bucketing, and the parameter guard."""
+    t0 = DT(2024, 1, 1, 10, 0, 0)
+    rows = [
+        # svc a, hour 10: sat(10.00), sat(exactly 30.00), tol(30.01),
+        # tol(exactly 120.00), fru(120.01), null excluded
+        ("a", t0, 10.00), ("a", t0, 30.00), ("a", t0, 30.01),
+        ("a", t0, 120.00), ("a", t0, 120.01), ("a", t0, None),
+        # svc a, hour 11: one frustrated -> apdex 0
+        ("a", t0 + TD(hours=1), 300.0),
+        # svc b, hour 10: all satisfied -> apdex 1e6
+        ("b", t0, 1.0), ("b", t0, 2.0),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    got = {
+        (r["event_type"], r["bucket_start"]): r
+        for r in TS.apdex(df, threshold_cents=3000).collect()
+    }
+    h10 = int(t0.timestamp()) - int(t0.timestamp()) % 3600
+    a10 = got[("a", h10)]
+    assert (a10["total"], a10["satisfied"], a10["tolerating"],
+            a10["frustrated"]) == (5, 2, 2, 1)
+    # (1e6 * (2*2 + 2)) // (2*5) = 600000
+    assert a10["apdex_ppm"] == 600_000
+    assert got[("a", h10 + 3600)]["apdex_ppm"] == 0
+    assert got[("b", h10)]["apdex_ppm"] == 1_000_000
+    assert len(got) == 3
+
+    with pytest.raises(ValueError):
+        TS.apdex(df, threshold_cents=0)
+    with pytest.raises(ValueError):
+        TS.apdex(df, window_seconds=0)

@@ -1157,3 +1157,87 @@ def test_streaming_heavy_hitters_bounds_under_eviction(spark, tmp_path):
         assert r["est"] - r["err"] <= t, r
     hot = next(r for r in rows if r["key"] == "hot")
     assert (hot["est"], hot["err"]) == (30, 0)
+
+
+def test_streaming_template_mining_matches_batch(spark, tmp_path):
+    """Cross-micro-batch template consensus: after two micro-batches,
+    folding each branch's max-batch_seq row by template equals the
+    batch mine_templates over the full input — including a position
+    that is constant within batch 1 but wildcarded only once batch 2
+    disagrees; checkpoint re-run emits nothing new."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from emf_spark.operators.templates import mine_templates
+    from emf_spark.streaming.templates import streaming_mine_templates
+
+    b0 = [
+        "INFO user u1 logged in",
+        "INFO user u2 logged in",          # pos 4 'in' constant so far
+        "WARN disk sda1 nearly full",
+        "ERROR code 500 on /api/x1",
+    ]
+    b1 = [
+        "INFO user u3 logged out",         # now pos 4 must wildcard
+        "WARN disk sdb2 nearly full",
+        "ERROR code 404 on /api/y2",
+        "restart",
+    ]
+    ind = str(tmp_path / "in")
+    os.makedirs(ind, exist_ok=True)
+    for i, b in enumerate((b0, b1)):
+        pq.write_table(
+            pa.table({"line": pa.array(b, pa.string())}),
+            f"{ind}/b{i}.parquet",
+        )
+        os.utime(f"{ind}/b{i}.parquet", (1_700_000_000 + i,) * 2)
+
+    stream = (
+        spark.readStream.schema("line string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ind)
+    )
+    out = str(tmp_path / "out")
+
+    def run():
+        q = (
+            streaming_mine_templates(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run()
+    emitted = spark.read.parquet(out).collect()
+    # batch-1 snapshot: the INFO branch's pos-4 is still the literal
+    mid = [r for r in emitted
+           if r["head"] == "INFO" and r["batch_seq"] == 1]
+    assert mid and mid[0]["template"] == "INFO user <*> logged in"
+
+    final = {}
+    for r in emitted:
+        k = (r["n"], r["head"])
+        if k not in final or r["batch_seq"] > final[k]["batch_seq"]:
+            final[k] = r
+    got = {}
+    for r in final.values():
+        c, g = got.get(r["template"], (0, 0))
+        got[r["template"]] = (c + r["n_lines"], g + 1)
+
+    bdf = spark.createDataFrame([(l,) for l in b0 + b1], ["line"])
+    want = {
+        r["template"]: (r["n_lines"], r["n_groups"])
+        for r in mine_templates(bdf).collect()
+    }
+    assert got == want
+    assert got["INFO user <*> logged <*>"] == (3, 1)
+
+    n = spark.read.parquet(out).count()
+    run()
+    assert spark.read.parquet(out).count() == n

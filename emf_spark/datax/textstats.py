@@ -747,3 +747,69 @@ def collocations(
     return scored.orderBy(
         F.col("c_ab").desc(), F.col("w1"), F.col("w2")
     ).limit(top)
+
+
+def keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top: int = 5,
+) -> DataFrame:
+    """Per-document keyword extraction: top-``top`` tokens per doc by
+    an integer-exact tf-idf lift — ``score_ppm =
+    (1e6 * tf * n_docs) div (doc_freq * doc_len)``, i.e. the token's
+    in-doc rate times the corpus inverse document frequency, in parts
+    per million with floor-div (no log, no float, bit-portable — the
+    raw lift is the standard "relevance lift" statistic; it weighs
+    rarity linearly where classic tf-idf weighs it logarithmically,
+    a deliberate trade for cross-engine exactness).
+    Ties break (score desc, token asc) under row_number — a total
+    order, so the per-doc cut is deterministic.
+
+    Returns ``(doc_id, w, tf, doc_freq, score_ppm)`` ordered by
+    (doc_id, score desc, w). Empty/whitespace docs contribute nothing.
+
+    Scale shape: two map-combinable aggregates ((doc, w) tf and
+    per-doc length), a doc-frequency rollup of the ALREADY-collapsed
+    tf frame, equi-joins keyed by doc and by token, the 1-row n_docs
+    scalar broadcast, and a row_number window PARTITIONED BY DOC —
+    never a global window. The bigint product 1e6*tf*n_docs needs
+    tf*n_docs < ~9e12; at 10B+ docs swap the ppm literal for a
+    DECIMAL(38) cast (ANSI mode throws loudly at the boundary).
+    """
+    if top < 1:
+        raise ValueError("top must be >= 1")
+    from pyspark.sql import Window
+
+    from emf_spark.datax.dedup import normalized
+
+    words = F.split(normalized(F.col(text_col)), " ")
+    tok = (
+        df.select(F.col(id_col).alias("doc_id"), words.alias("ws"))
+        .filter(F.length(F.array_join("ws", "")) > 0)
+        .select("doc_id", F.explode("ws").alias("w"))
+    )
+    tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dlen = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("doc_freq"))
+    ndocs = dlen.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dlen, "doc_id")
+        .join(dfreq, "w")
+        .crossJoin(ndocs)
+        .select(
+            "doc_id", "w", "tf", "doc_freq",
+            F.expr(
+                "(1000000 * tf * n_docs) div (doc_freq * dlen)"
+            ).alias("score_ppm"),
+        )
+    )
+    rk = Window.partitionBy("doc_id").orderBy(
+        F.col("score_ppm").desc(), "w"
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(rk))
+        .filter(F.col("_rk") <= top)
+        .drop("_rk")
+        .orderBy("doc_id", F.col("score_ppm").desc(), "w")
+    )

@@ -5943,6 +5943,39 @@ FROM b GROUP BY 1, 2
 """
 
 
+def q_text_keywords(spark, sf):
+    """Per-doc keyword extraction (textstats.keywords): top-3 tokens
+    per document by the integer-exact tf-idf lift score_ppm =
+    (1e6*tf*n_docs) div (doc_freq*doc_len) — rarity weighed linearly
+    instead of log for cross-engine exactness. Equi-joins on doc/token
+    keys, the 1-row n_docs scalar broadcast, and a PER-DOC row_number
+    window (never global)."""
+    from emf_spark.datax.textstats import keywords
+
+    return keywords(_t(spark, sf, "documents"), top=3)
+
+
+SQL_TEXT_KEYWORDS = f"""
+WITH norm AS (SELECT doc_id, {_NORM_TXT} AS t FROM documents),
+wt AS (SELECT doc_id, string_split(t, ' ') AS ws FROM norm
+       WHERE length(replace(t, ' ', '')) > 0),
+tok AS (SELECT doc_id, unnest(ws) AS w FROM wt),
+tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+dlen AS (SELECT doc_id, COUNT(*) AS dlen FROM tok GROUP BY 1),
+dfreq AS (SELECT w, COUNT(*) AS doc_freq FROM tf GROUP BY 1),
+nd AS (SELECT COUNT(*) AS n_docs FROM dlen),
+s AS (SELECT tf.doc_id, tf.w, tf.tf, dfreq.doc_freq,
+             (1000000 * tf.tf * (SELECT n_docs FROM nd))
+               // (dfreq.doc_freq * dlen.dlen) AS score_ppm
+      FROM tf JOIN dlen USING (doc_id) JOIN dfreq USING (w)),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score_ppm DESC, w) AS rk
+      FROM s)
+SELECT doc_id, w, tf, doc_freq, CAST(score_ppm AS BIGINT) AS score_ppm
+FROM r WHERE rk <= 3 ORDER BY doc_id, score_ppm DESC, w
+"""
+
+
 QUERIES: dict[str, Callable] = {
     "emf_dim_hash_group": q_dim_hash_group,
     "emf_value_count_hist": q_value_count_hist,
@@ -6004,6 +6037,7 @@ QUERIES: dict[str, Callable] = {
     "text_collocations": q_text_collocations,
     "emf_log_templates": q_log_templates,
     "ts_apdex": q_ts_apdex,
+    "text_keywords": q_text_keywords,
     "ann_kmeans_clusters": q_ann_kmeans_clusters,
     "dedup_embedding": q_dedup_embedding,
     "data_split": q_data_split,
@@ -6150,6 +6184,7 @@ ORACLE_SQL: dict[str, str] = {
     "text_collocations": SQL_TEXT_COLLOCATIONS,
     "emf_log_templates": SQL_LOG_TEMPLATES,
     "ts_apdex": SQL_TS_APDEX,
+    "text_keywords": SQL_TEXT_KEYWORDS,
     "ann_kmeans_clusters": _sql_kmeans(),
     "dedup_embedding": _sql_dedup_embedding(),
     "data_split": SQL_DATA_SPLIT,

@@ -3374,7 +3374,7 @@ def test_driver_registry_alignment():
     from emf_spark.driver_queries import ORACLE_SQL, QUERIES
 
     assert set(ORACLE_SQL) == set(QUERIES)
-    assert len(QUERIES) == 140
+    assert len(QUERIES) == 141
 
     # the driver-facing surface rotates the registry (the external
     # 50-row gate samples the FIRST 50 of queries(); rotation gives
@@ -3445,3 +3445,55 @@ def test_jaccard_threshold_pairs_guards(spark):
         [(1, "a b"), (2, "a b")], "doc_id bigint, text string"
     )
     assert jaccard_threshold_pairs(short, threshold=0.5).count() == 0
+
+
+def test_keywords_brute_force_parity(spark):
+    """keywords() vs a pure-Python tf-idf-lift on a hand corpus:
+    per-doc top-k cut, (score desc, w) tiebreak, doc_freq over the
+    collapsed (doc, w) frame, empty-doc drop, and the guard."""
+    from collections import Counter, defaultdict
+
+    from emf_spark.datax.textstats import keywords
+
+    texts = [
+        (1, "apple banana apple cherry"),
+        (2, "banana banana date"),
+        (3, "Apple  CHERRY date date date"),
+        (4, "  "),
+    ]
+    df = spark.createDataFrame(texts, "doc_id bigint, text string")
+    top = 2
+
+    tf: dict = defaultdict(Counter)
+    for i, t in texts:
+        ws = " ".join(t.strip().lower().split()).split(" ")
+        if not any(ws):
+            continue
+        tf[i].update(ws)
+    dfreq = Counter(w for c in tf.values() for w in c)
+    n_docs = len(tf)
+    want = []
+    for i, c in tf.items():
+        dlen = sum(c.values())
+        rows = sorted(
+            (
+                (i, w, n, dfreq[w],
+                 (1_000_000 * n * n_docs) // (dfreq[w] * dlen))
+                for w, n in c.items()
+            ),
+            key=lambda r: (-r[4], r[1]),
+        )[:top]
+        want.extend(rows)
+    want.sort(key=lambda r: (r[0], -r[4], r[1]))
+
+    got = [
+        (r["doc_id"], r["w"], r["tf"], r["doc_freq"], r["score_ppm"])
+        for r in keywords(df, top=top).collect()
+    ]
+    assert got == want
+    assert len(got) == 6  # 3 non-empty docs x top-2
+    # doc 1's top keyword is its double-frequency 'apple'
+    assert got[0][:2] == (1, "apple")
+
+    with pytest.raises(ValueError):
+        keywords(df, top=0)

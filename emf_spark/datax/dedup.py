@@ -1300,3 +1300,91 @@ def line_dedup(
         .join(rebuilt, id_col, "left")
         .withColumn(out_col, F.coalesce(F.col(out_col), F.lit("")))
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """EXACT containment-threshold pairs — every ORDERED pair (a, b),
+    a != b, whose shingle containment ``|A∩B| / |A| >= threshold``:
+    the asymmetric complement of ``jaccard_threshold_pairs`` that
+    Jaccard structurally misses (a short quote inside a long document
+    has tiny Jaccard but containment ~1) — the quote / subset /
+    excerpt detector of a training-data dedup stack. Same ssjoin
+    family (Chaudhuri et al. ICDE'06 prefix filter, asymmetric form).
+
+    Plan: the probe side A explodes only its rarest-first PREFIX of
+    ``n_a - ceil(t*n_a) + 1`` shingles (reaching containment t needs
+    >= t*n_a matches, so at least one must fall in the prefix); the
+    indexed side B must carry ALL its shingles — asymmetry is
+    inherent: B's size bounds nothing about |A∩B|/|A|. Candidates are
+    the equi-join of A-prefix x B-index pruned by the length filter
+    ``n_b >= ceil(t*n_a)`` (the intersection can't exceed |B|), then
+    the pair-local exact verify on the full arrays gates the result.
+    At 100 TB the growth risk is a COMMON shingle on the B index; the
+    rarest-first order keeps it out of every A prefix that has
+    anything rarer, so the candidate count is bounded by docs sharing
+    a rare shingle times matching B docs — never |A| x |B|.
+
+    Float guard: prefix/length prunes subtract 1e-9 so FP noise only
+    ever ADMITS extra candidates; the final ``i / n_a >= t`` predicate
+    is literal — the same IEEE doubles in any engine.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError("threshold must be in (0, 1]")
+    eps = 1e-9
+    sets = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), shingle_k).alias("toks"),
+    ).filter(F.size("toks") > 0)
+    rows = sets.select("id", F.explode("toks").alias("tok"))
+    freq = rows.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        rows.join(freq, "tok")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "tok"))).alias("ord"))
+    )
+    n = F.size("ord")
+    plen = (n - F.ceil(F.lit(threshold) * n - F.lit(eps)) + 1).cast("int")
+    pref = ordered.select(
+        F.col("id").alias("id_a"),
+        n.alias("n_a"),
+        F.explode(F.slice("ord", F.lit(1), plen)).alias("s"),
+    ).select("id_a", "n_a", F.col("s.tok").alias("tok"))
+    idx = sets.select(
+        F.col("id").alias("id_b"),
+        F.size("toks").alias("n_b"),
+        F.explode("toks").alias("tok"),
+    )
+    cand = (
+        pref.join(idx, "tok")
+        .filter(
+            (F.col("id_a") != F.col("id_b"))
+            & (
+                F.col("n_b")
+                >= F.ceil(F.lit(threshold) * F.col("n_a") - F.lit(eps))
+            )
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sets.select(F.col("id").alias("id_a"), F.col("toks").alias("t_a"))
+    sb = sets.select(F.col("id").alias("id_b"), F.col("toks").alias("t_b"))
+    inter = F.size(F.array_intersect("t_a", "t_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("_i", inter)
+        .withColumn("_na", F.size("t_a"))
+        # exact gate, no epsilon: the cross-engine contract
+        .filter(F.col("_i") / F.col("_na") >= F.lit(threshold))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("_i") / F.col("_na"), 6).alias("containment"),
+        )
+    )

@@ -5976,6 +5976,39 @@ FROM r WHERE rk <= 3 ORDER BY doc_id, score_ppm DESC, w
 """
 
 
+def q_dedup_containment(spark, sf):
+    """Asymmetric containment-threshold pairs (dedup.containment_pairs):
+    ordered (a, b) with shingle containment |A∩B|/|A| >= 0.7 — the
+    quote/subset/excerpt detector Jaccard structurally misses. Probe
+    side explodes only its rarest-first prefix, index side carries all
+    shingles (asymmetry is inherent), length filter prunes, pair-local
+    exact verify gates; FP epsilons only ever widen pruning."""
+    from emf_spark.datax.dedup import containment_pairs
+
+    d = _fan(spark, _t(spark, sf, "documents"))
+    return containment_pairs(d, threshold=0.7)
+
+
+SQL_DEDUP_CONTAINMENT = f"""
+WITH norm AS (SELECT doc_id, {_NORM_TXT} AS t FROM documents),
+w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM norm),
+sh AS (SELECT doc_id,
+              unnest(list_distinct(list_transform(
+                range(1, len(ws) - 1),
+                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+       FROM w WHERE len(ws) >= 3),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, ROUND(CAST(i AS DOUBLE) / sa.n, 6) AS containment
+FROM inter JOIN sz sa ON sa.doc_id = id_a
+WHERE CAST(i AS DOUBLE) / sa.n >= 0.7
+ORDER BY id_a, id_b
+"""
+
+
 QUERIES: dict[str, Callable] = {
     "emf_dim_hash_group": q_dim_hash_group,
     "emf_value_count_hist": q_value_count_hist,
@@ -6038,6 +6071,7 @@ QUERIES: dict[str, Callable] = {
     "emf_log_templates": q_log_templates,
     "ts_apdex": q_ts_apdex,
     "text_keywords": q_text_keywords,
+    "dedup_containment": q_dedup_containment,
     "ann_kmeans_clusters": q_ann_kmeans_clusters,
     "dedup_embedding": q_dedup_embedding,
     "data_split": q_data_split,
@@ -6185,6 +6219,7 @@ ORACLE_SQL: dict[str, str] = {
     "emf_log_templates": SQL_LOG_TEMPLATES,
     "ts_apdex": SQL_TS_APDEX,
     "text_keywords": SQL_TEXT_KEYWORDS,
+    "dedup_containment": SQL_DEDUP_CONTAINMENT,
     "ann_kmeans_clusters": _sql_kmeans(),
     "dedup_embedding": _sql_dedup_embedding(),
     "data_split": SQL_DATA_SPLIT,

@@ -3374,7 +3374,7 @@ def test_driver_registry_alignment():
     from emf_spark.driver_queries import ORACLE_SQL, QUERIES
 
     assert set(ORACLE_SQL) == set(QUERIES)
-    assert len(QUERIES) == 141
+    assert len(QUERIES) == 142
 
     # the driver-facing surface rotates the registry (the external
     # 50-row gate samples the FIRST 50 of queries(); rotation gives
@@ -3497,3 +3497,59 @@ def test_keywords_brute_force_parity(spark):
 
     with pytest.raises(ValueError):
         keywords(df, top=0)
+
+
+def test_containment_pairs_bruteforce_parity(spark):
+    """Asymmetric prefix filtering must lose NOTHING: exact recall vs
+    the brute-force all-ordered-pairs shingle containment on a
+    randomized corpus of quotes-inside-long-docs, across thresholds —
+    including pairs where a is contained in b but not vice versa."""
+    import itertools
+    import random
+
+    from emf_spark.datax.dedup import containment_pairs
+
+    rng = random.Random(29)
+    vocab = [f"w{i}" for i in range(50)]
+    docs = []
+    for i in range(10):
+        long = rng.choices(vocab, k=rng.randrange(20, 40))
+        docs.append((i * 10, " ".join(long)))
+        if i % 2 == 0:
+            # an excerpt: a contiguous quote of the long doc (tiny
+            # Jaccard, containment ~1) with an occasional mutation
+            s = rng.randrange(0, len(long) - 8)
+            quote = long[s:s + 8]
+            if i % 4 == 0:
+                quote[3] = rng.choice(vocab)
+            docs.append((i * 10 + 1, " ".join(quote)))
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+
+    def shingles(t):
+        ws = t.lower().split()
+        return {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+
+    for thr in (0.4, 0.7, 1.0):
+        expect = set()
+        for (ia, ta), (ib, tb) in itertools.permutations(docs, 2):
+            sa, sb = shingles(ta), shingles(tb)
+            if not sa or not sb:
+                continue
+            if len(sa & sb) / len(sa) >= thr:
+                expect.add((ia, ib))
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in containment_pairs(df, threshold=thr).collect()
+        }
+        assert got == expect, f"threshold {thr}"
+
+    # asymmetry: at 1.0 every unmutated quote is contained in its
+    # source but no 20+-shingle source fits inside an 8-word quote
+    ones = {
+        (r["id_a"], r["id_b"])
+        for r in containment_pairs(df, threshold=1.0).collect()
+    }
+    assert any((a, b) in ones and (b, a) not in ones for a, b in ones)
+
+    with pytest.raises(ValueError, match="threshold"):
+        containment_pairs(df, threshold=1.5)

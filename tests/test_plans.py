@@ -128,6 +128,7 @@ def test_datax_pair_joins_never_cartesian(spark):
         ),
         plan_of(similarity.pairwise_topk_per_row(vecs, k=2, n_planes=3), "simple"),
         plan_of(dedup.jaccard_threshold_pairs(docs, threshold=0.6), "simple"),
+        plan_of(dedup.containment_pairs(docs, threshold=0.7), "simple"),
     ]
     for p in plans:
         assert "CartesianProduct" not in p, p[:1500]

@@ -161,3 +161,52 @@ def write_training_shards(
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.parquet(path)
+
+
+def equidepth_boundaries(
+    df: DataFrame,
+    value_col: str = "value",
+    n_bins: int = 10,
+    scale: int = 100,
+) -> DataFrame:
+    """Exact equi-depth bin boundaries on the integer lattice: for
+    k = 1..n_bins-1, ``boundary_units[k]`` is the value at 0-based
+    global rank ``ceil(k*N/n_bins) - 1`` under ASC value order —
+    equivalently the smallest lattice value whose cumulative count
+    reaches ceil(k*N/n_bins). Discrete order statistics, no
+    interpolation, no float: ties share a value, so the boundary is
+    deterministic even though which tied ROW holds the rank is not.
+    The training-pipeline use is quantile bucketing (length-grouped
+    batching, balanced range partitioning) where approx_percentile's
+    error bound is the wrong contract for a reproducibility gate.
+
+    Returns ``(bin int, boundary_units long)`` for k = 1..n_bins-1,
+    ordered by bin. NULL values are missing measurements, excluded
+    (and excluded from N).
+
+    Scale shape: rides ``global_index`` — a stats pass, value-range
+    bucketing with driver-held per-bucket counts, and within-bucket
+    window ranks (never a global single-partition window); the rank →
+    boundary lookup is a broadcast equi-join against the (n_bins - 1)-
+    row target table. Driver-side state: one count row per non-empty
+    bucket plus the N scalar — bounded by n_buckets, not data.
+    """
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    x = df.filter(F.col(value_col).isNotNull()).select(
+        F.round(F.col(value_col) * scale).cast("long").alias("v")
+    )
+    n = x.count()
+    spark = df.sparkSession
+    if n == 0:
+        return spark.createDataFrame([], "bin int, boundary_units long")
+    targets = [
+        (k, (k * n + n_bins - 1) // n_bins - 1) for k in range(1, n_bins)
+    ]
+    tdf = spark.createDataFrame(targets, "bin int, _ri long")
+    idx = global_index(x, "v", out_col="_ri")
+    return (
+        idx.join(F.broadcast(tdf), "_ri")
+        .select("bin", F.col("v").alias("boundary_units"))
+        .orderBy("bin")
+    )

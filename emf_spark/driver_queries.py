@@ -6009,6 +6009,32 @@ ORDER BY id_a, id_b
 """
 
 
+def q_data_equidepth(spark, sf):
+    """Exact equi-depth deciles of events.value on the cents lattice
+    (ordering.equidepth_boundaries): boundary k = the value at 0-based
+    global rank ceil(k*N/10) - 1 — discrete order statistics with no
+    interpolation, deterministic under ties, riding global_index's
+    value-range bucketing (never a global single-partition window)."""
+    from emf_spark.datax.ordering import equidepth_boundaries
+
+    return equidepth_boundaries(_t(spark, sf, "events"), n_bins=10)
+
+
+SQL_DATA_EQUIDEPTH = """
+WITH x AS (SELECT CAST(round(CAST(value AS DOUBLE) * 100, 0) AS BIGINT) AS v
+           FROM events WHERE value IS NOT NULL),
+n AS (SELECT COUNT(*) AS n FROM x),
+c AS (SELECT v, COUNT(*) AS c FROM x GROUP BY 1),
+cum AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cc FROM c),
+k AS (SELECT CAST(u.k AS INT) AS bin,
+             (u.k * (SELECT n FROM n) + 9) // 10 AS target
+      FROM (SELECT unnest(range(1, 10)) AS k) u)
+SELECT k.bin, CAST(MIN(cum.v) AS BIGINT) AS boundary_units
+FROM k JOIN cum ON cum.cc >= k.target
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES: dict[str, Callable] = {
     "emf_dim_hash_group": q_dim_hash_group,
     "emf_value_count_hist": q_value_count_hist,
@@ -6072,6 +6098,7 @@ QUERIES: dict[str, Callable] = {
     "ts_apdex": q_ts_apdex,
     "text_keywords": q_text_keywords,
     "dedup_containment": q_dedup_containment,
+    "data_equidepth": q_data_equidepth,
     "ann_kmeans_clusters": q_ann_kmeans_clusters,
     "dedup_embedding": q_dedup_embedding,
     "data_split": q_data_split,
@@ -6220,6 +6247,7 @@ ORACLE_SQL: dict[str, str] = {
     "ts_apdex": SQL_TS_APDEX,
     "text_keywords": SQL_TEXT_KEYWORDS,
     "dedup_containment": SQL_DEDUP_CONTAINMENT,
+    "data_equidepth": SQL_DATA_EQUIDEPTH,
     "ann_kmeans_clusters": _sql_kmeans(),
     "dedup_embedding": _sql_dedup_embedding(),
     "data_split": SQL_DATA_SPLIT,

@@ -353,3 +353,40 @@ def test_skew_profile_shares_and_order(spark):
         .executedPlan().toString()
     with _pytest.raises(ValueError, match="top"):
         skew_profile(df, ["k"], top=0)
+
+
+# ------------------------------------------------- equidepth_boundaries
+def test_equidepth_boundaries_brute_force(spark):
+    """Boundaries equal the brute-force sorted order statistics at
+    rank ceil(k*N/B) - 1, ties included; nulls excluded from N; empty
+    input yields an empty frame; n_bins guard raises."""
+    import math
+
+    import pytest as _pytest
+
+    from emf_spark.datax.ordering import equidepth_boundaries
+
+    vals = [0.01, 0.01, 0.01, 0.02, 0.05, 0.05, 1.00, 2.50, 2.50,
+            2.50, 2.50, 3.00, 9.99, None]
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    n_bins = 4
+    units = sorted(round(v * 100) for v in vals if v is not None)
+    want = [
+        (k, units[math.ceil(k * len(units) / n_bins) - 1])
+        for k in range(1, n_bins)
+    ]
+    got = [
+        (r["bin"], r["boundary_units"])
+        for r in equidepth_boundaries(df, n_bins=n_bins).collect()
+    ]
+    assert got == want
+    # tie stress: every row identical -> every boundary is that value
+    same = spark.createDataFrame([(7.00,)] * 9, "value double")
+    assert [r["boundary_units"]
+            for r in equidepth_boundaries(same, n_bins=3).collect()] == [700, 700]
+
+    empty = spark.createDataFrame([(None,)], "value double")
+    assert equidepth_boundaries(empty, n_bins=3).count() == 0
+
+    with _pytest.raises(ValueError):
+        equidepth_boundaries(df, n_bins=1)

@@ -1241,3 +1241,77 @@ def test_streaming_template_mining_matches_batch(spark, tmp_path):
     n = spark.read.parquet(out).count()
     run()
     assert spark.read.parquet(out).count() == n
+
+
+def test_streaming_hll_matches_batch_bit_for_bit(spark, tmp_path):
+    """Cross-micro-batch HLL register fold: after two micro-batches
+    (values deliberately split out of order and overlapping), each
+    group's max-batch_seq row equals batch hll_distinct over the full
+    input bit-for-bit on hll_sum_scaled/hll_zero_regs/hll_raw, and
+    within 1e-9 on hll_estimate's ln branch; checkpoint re-run emits
+    nothing new."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from emf_spark.datax.sketches import hll_distinct
+    from emf_spark.streaming.sketches import streaming_hll_distinct
+
+    rows = [("g1", f"u{i % 37}") for i in range(100)] + [
+        ("g2", f"v{i}") for i in range(250)
+    ]
+    # out-of-order, overlapping split: batch parity must not depend on it
+    b0, b1 = rows[1::2], rows[0::2]
+
+    ind = str(tmp_path / "in")
+    os.makedirs(ind, exist_ok=True)
+    for i, b in enumerate((b0, b1)):
+        g, v = zip(*b)
+        pq.write_table(
+            pa.table({"grp": pa.array(g), "val": pa.array(v)}),
+            f"{ind}/b{i}.parquet",
+        )
+        os.utime(f"{ind}/b{i}.parquet", (1_700_000_000 + i,) * 2)
+
+    stream = (
+        spark.readStream.schema("grp string, val string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ind)
+    )
+    out = str(tmp_path / "out")
+
+    def run():
+        q = (
+            streaming_hll_distinct(stream, "val", ["grp"])
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run()
+    emitted = spark.read.parquet(out).collect()
+    assert len(emitted) == 4  # 2 groups x 2 batches
+    final = {}
+    for r in emitted:
+        if r["grp"] not in final or r["batch_seq"] > final[r["grp"]]["batch_seq"]:
+            final[r["grp"]] = r
+
+    bdf = spark.createDataFrame(rows, "grp string, val string")
+    want = {r["grp"]: r for r in
+            hll_distinct(bdf, "val", ["grp"]).collect()}
+    for g in ("g1", "g2"):
+        for c in ("hll_sum_scaled", "hll_zero_regs", "hll_raw"):
+            assert final[g][c] == want[g][c], (g, c)
+        assert abs(final[g]["hll_estimate"] - want[g]["hll_estimate"]) < 1e-9
+    # sanity: estimates near true cardinalities (37 and 250)
+    assert 25 < final["g1"]["hll_estimate"] < 50
+    assert 200 < final["g2"]["hll_estimate"] < 310
+
+    n = spark.read.parquet(out).count()
+    run()
+    assert spark.read.parquet(out).count() == n

@@ -91,3 +91,70 @@ def check_constraints(
         ]
     )
     return one.select(F.explode(rows).alias("_r")).select("_r.*")
+
+
+def distribution_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    cat_col: str,
+) -> DataFrame:
+    """Categorical distribution drift between a REFERENCE window and a
+    CURRENT window — the feature/label drift monitor of a training
+    pipeline (the job PSI/KL usually do), kept integer-exact: for each
+    category, ``drift_ppm = |n_ref*T_cur - n_cur*T_ref| * 1e6 div
+    (T_ref*T_cur)`` is the absolute rate difference |p_ref - p_cur| in
+    parts per million (cross-multiplied so no float ever forms), and
+    ``sign`` is +1 where the category GREW, -1 where it shrank, 0 flat.
+    Half the ppm column's sum is the total-variation distance — the
+    drift scalar with an exact integer form, which PSI/KL (logs) lack;
+    alert thresholds compare integers.
+
+    Returns one row per category seen in EITHER window:
+    ``(category, n_ref, n_cur, drift_ppm, sign)``; categories absent
+    from a window count 0 there (maximal drift for that mass). NULL
+    categories are a category.
+
+    Scale shape: one map-combinable count aggregate per side, a
+    full-outer equi-join on the (tiny, |categories|-row) collapsed
+    frames, and the two 1-row total scalars as sanctioned broadcasts.
+    An EMPTY window makes the ppm denominator zero — ANSI mode throws
+    loudly (a drift monitor with no reference or no current data is
+    misconfigured, not zero-drift).
+    The bigint product n*T needs n*T*1e6 < ~9e18; beyond ~3e6-row
+    windows per side swap the ppm literal for a DECIMAL(38) cast
+    (ANSI throws loudly at the boundary).
+    """
+    a = ref.groupBy(F.col(cat_col).alias("category")).agg(
+        F.count(F.lit(1)).alias("n_ref")
+    )
+    b = cur.groupBy(F.col(cat_col).alias("category")).agg(
+        F.count(F.lit(1)).alias("n_cur")
+    )
+    ta = ref.agg(F.count(F.lit(1)).alias("t_ref"))
+    tb = cur.agg(F.count(F.lit(1)).alias("t_cur"))
+    return (
+        # null-safe join key: a NULL category must meet ITSELF across
+        # windows, not split into two one-sided rows
+        a.join(b, a["category"].eqNullSafe(b["category"]), "full_outer")
+        .select(
+            F.coalesce(a["category"], b["category"]).alias("category"),
+            F.coalesce(a["n_ref"], F.lit(0)).alias("n_ref"),
+            F.coalesce(b["n_cur"], F.lit(0)).alias("n_cur"),
+        )
+        .crossJoin(ta)
+        .crossJoin(tb)
+        .select(
+            "category",
+            "n_ref",
+            "n_cur",
+            F.expr(
+                "(abs(n_ref * t_cur - n_cur * t_ref) * 1000000)"
+                " div (t_ref * t_cur)"
+            ).alias("drift_ppm"),
+            F.signum(
+                (F.col("n_cur") * F.col("t_ref")
+                 - F.col("n_ref") * F.col("t_cur")).cast("double")
+            ).cast("int").alias("sign"),
+        )
+        .orderBy("category")
+    )

@@ -6035,6 +6035,46 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_data_drift(spark, sf):
+    """Categorical distribution drift (quality.distribution_drift):
+    event_type mix of the first half-month vs the rest — per-category
+    |p_ref - p_cur| in integer-exact ppm via cross-multiplied counts
+    (the PSI/KL job without logs, so the verdict replays bit-for-bit),
+    sign = grew/shrank/flat. Two count aggregates, a full-outer join
+    on the tiny collapsed category frames, two 1-row scalar
+    broadcasts."""
+    from emf_spark.datax.quality import distribution_drift
+
+    ev = _t(spark, sf, "events")
+    early = ev.filter(F.dayofmonth("ts") <= 15)
+    late = ev.filter(F.dayofmonth("ts") > 15)
+    return distribution_drift(early, late, "event_type")
+
+
+SQL_DATA_DRIFT = """
+WITH e AS (SELECT event_type, day(ts) <= 15 AS early FROM events),
+a AS (SELECT event_type AS category, COUNT(*) AS n_ref FROM e
+      WHERE early GROUP BY 1),
+b AS (SELECT event_type AS category, COUNT(*) AS n_cur FROM e
+      WHERE NOT early GROUP BY 1),
+t AS (SELECT COUNT(*) FILTER (WHERE early) AS t_ref,
+             COUNT(*) FILTER (WHERE NOT early) AS t_cur FROM e)
+SELECT COALESCE(a.category, b.category) AS category,
+       COALESCE(n_ref, 0) AS n_ref,
+       COALESCE(n_cur, 0) AS n_cur,
+       CAST((abs(COALESCE(n_ref, 0) * t_cur
+                 - COALESCE(n_cur, 0) * t_ref) * 1000000)
+            // (t_ref * t_cur) AS BIGINT) AS drift_ppm,
+       CAST(CASE WHEN COALESCE(n_cur, 0) * t_ref
+                      > COALESCE(n_ref, 0) * t_cur THEN 1
+                 WHEN COALESCE(n_cur, 0) * t_ref
+                      < COALESCE(n_ref, 0) * t_cur THEN -1
+                 ELSE 0 END AS INT) AS sign
+FROM a FULL OUTER JOIN b ON a.category IS NOT DISTINCT FROM b.category, t
+ORDER BY 1
+"""
+
+
 QUERIES: dict[str, Callable] = {
     "emf_dim_hash_group": q_dim_hash_group,
     "emf_value_count_hist": q_value_count_hist,
@@ -6099,6 +6139,7 @@ QUERIES: dict[str, Callable] = {
     "text_keywords": q_text_keywords,
     "dedup_containment": q_dedup_containment,
     "data_equidepth": q_data_equidepth,
+    "data_drift": q_data_drift,
     "ann_kmeans_clusters": q_ann_kmeans_clusters,
     "dedup_embedding": q_dedup_embedding,
     "data_split": q_data_split,
@@ -6248,6 +6289,7 @@ ORACLE_SQL: dict[str, str] = {
     "text_keywords": SQL_TEXT_KEYWORDS,
     "dedup_containment": SQL_DEDUP_CONTAINMENT,
     "data_equidepth": SQL_DATA_EQUIDEPTH,
+    "data_drift": SQL_DATA_DRIFT,
     "ann_kmeans_clusters": _sql_kmeans(),
     "dedup_embedding": _sql_dedup_embedding(),
     "data_split": SQL_DATA_SPLIT,

@@ -3374,7 +3374,7 @@ def test_driver_registry_alignment():
     from emf_spark.driver_queries import ORACLE_SQL, QUERIES
 
     assert set(ORACLE_SQL) == set(QUERIES)
-    assert len(QUERIES) == 143
+    assert len(QUERIES) == 144
 
     # the driver-facing surface rotates the registry (the external
     # 50-row gate samples the FIRST 50 of queries(); rotation gives
@@ -3553,3 +3553,31 @@ def test_containment_pairs_bruteforce_parity(spark):
 
     with pytest.raises(ValueError, match="threshold"):
         containment_pairs(df, threshold=1.5)
+
+
+def test_distribution_drift_hand_computed(spark):
+    """distribution_drift vs hand math: category absent from one
+    window (maximal one-sided drift), grew/shrank/flat signs, NULL
+    category as a category, exact cross-multiplied ppm."""
+    from emf_spark.datax.quality import distribution_drift
+
+    ref = spark.createDataFrame(
+        [("a",), ("a",), ("b",), ("b",), ("gone",), (None,)], "c string"
+    )  # T_ref=6: a 2/6, b 2/6, gone 1/6, null 1/6
+    cur = spark.createDataFrame(
+        [("a",), ("a",), ("a",), ("b",), ("new",), (None,)], "c string"
+    )  # T_cur=6: a 3/6, b 1/6, new 1/6, null 1/6
+    got = {r["category"]: r for r in distribution_drift(ref, cur, "c").collect()}
+
+    sixth = 1_000_000 // 6  # 166666 (floor)
+    assert (got["a"]["n_ref"], got["a"]["n_cur"]) == (2, 3)
+    assert got["a"]["drift_ppm"] == sixth and got["a"]["sign"] == 1
+    assert got["b"]["drift_ppm"] == sixth and got["b"]["sign"] == -1
+    assert (got["gone"]["n_cur"], got["gone"]["drift_ppm"],
+            got["gone"]["sign"]) == (0, sixth, -1)
+    assert (got["new"]["n_ref"], got["new"]["drift_ppm"],
+            got["new"]["sign"]) == (0, sixth, 1)
+    assert got[None]["drift_ppm"] == 0 and got[None]["sign"] == 0
+    assert len(got) == 5
+    # total variation distance = half the ppm sum = 2/6 of the mass
+    assert sum(r["drift_ppm"] for r in got.values()) == 4 * sixth

@@ -431,7 +431,12 @@ def test_scalar_broadcast_queries_have_one_row_build_side(spark):
     from emf_spark import driver_queries as dq
 
     SF = "/root/testdata/sf0.001"
-    for name in ("tpch_important_parts", "tpch_global_sales_opportunity"):
+    for name in (
+        "tpch_important_parts",
+        "tpch_global_sales_opportunity",
+        "text_keywords",
+        "data_drift",
+    ):
         p = plan_of(dq.QUERIES[name](spark, SF))
         assert "CartesianProduct" not in p, name
         # every aggregate feeding the BNLJ build side must be global

@@ -81,6 +81,51 @@ def graph(spark, m: int):
     ).filter(F.col("src") != F.col("dst"))
 
 
+def loglines(spark, n: int):
+    """Three-format log mix with hash-derived variable fields —
+    fixed template diversity, so template-mining wall should track
+    ~n (the token stream is the only thing that grows)."""
+    i = F.col("id")
+    h = F.pmod(F.xxhash64(i), F.lit(100_000)).cast("string")
+    return spark.range(n).select(
+        F.when(
+            i % 3 == 0,
+            F.concat(F.lit("INFO user u"), h, F.lit(" viewed page /p/"),
+                     (i % 997).cast("string"), F.lit(" in "),
+                     (i % 345).cast("string"), F.lit(" ms")),
+        ).when(
+            i % 3 == 1,
+            F.concat(F.lit("INFO user u"), h, F.lit(" purchased sku-"),
+                     (i % 89).cast("string"), F.lit(" qty "),
+                     (i % 7).cast("string")),
+        ).otherwise(
+            F.concat(F.lit("WARN handler-"), (i % 5).cast("string"),
+                     F.lit(" slow shard "), (i % 16).cast("string"))
+        ).alias("line")
+    )
+
+
+def contdocs(spark, n: int, length: int = 30, vocab: int = 5000):
+    """Docs of ``length`` hash-derived words; every 5th doc is a
+    10-word EXCERPT of its group's base doc (containment 1.0, tiny
+    Jaccard) — candidates stay within planted groups + rare 3-shingle
+    hash collisions, so ssjoin wall should grow ~linearly, far from
+    the all-ordered-pairs exponent 2."""
+    i = F.col("id")
+    base = F.when(i % 5 == 4, i - 4).otherwise(i)
+    ln = F.when(i % 5 == 4, F.lit(10)).otherwise(F.lit(length))
+    words = F.transform(
+        F.sequence(F.lit(1), ln),
+        lambda j: F.concat(
+            F.lit("w"),
+            F.pmod(F.xxhash64(base * 131 + j), F.lit(vocab)).cast("string"),
+        ),
+    )
+    return spark.range(n).select(
+        i.alias("doc_id"), F.array_join(words, " ").alias("text")
+    )
+
+
 def exponent(sizes: list[int], walls: list[float]) -> float:
     """log-log slope between the first and last measured point."""
     return round(
@@ -147,6 +192,38 @@ def main():
     }
     out["triangles"] = {
         "points": tr, "exponent": exponent(g_sizes, [p["seconds"] for p in tr])
+    }
+
+    from emf_spark.datax.dedup import containment_pairs
+    from emf_spark.operators.templates import mine_templates
+
+    mine_templates(loglines(spark, 10_000)).write.format("noop").mode(
+        "overwrite"
+    ).save()  # warm-up, excluded
+    tm_sizes = [200_000, 800_000] if quick else [200_000, 800_000, 3_200_000]
+    tm = []
+    for n in tm_sizes:
+        df = loglines(spark, n).localCheckpoint(eager=True)
+        w = _wall(lambda: mine_templates(df))
+        tm.append({"lines": n, "seconds": w, "lines_per_s": round(n / w, 1)})
+    out["template_mining"] = {
+        "points": tm,
+        "exponent": exponent(tm_sizes, [p["seconds"] for p in tm]),
+    }
+
+    containment_pairs(
+        contdocs(spark, 2_000), threshold=0.8
+    ).write.format("noop").mode("overwrite").save()  # warm-up, excluded
+    ct_sizes = [10_000, 40_000] if quick else [10_000, 40_000, 160_000]
+    ct = []
+    for n in ct_sizes:
+        df = contdocs(spark, n).localCheckpoint(eager=True)
+        w = _wall(lambda: containment_pairs(df, threshold=0.8))
+        ct.append({"docs": n, "seconds": w, "docs_per_s": round(n / w, 1)})
+    out["containment_pairs"] = {
+        "points": ct,
+        "exponent": exponent(ct_sizes, [p["seconds"] for p in ct]),
+        "allpairs_exponent_for_reference": 2.0,
     }
 
     dest = Path(__file__).resolve().parent.parent / "BENCH" / "SCALE_CURVES.json"

@@ -283,8 +283,24 @@ def datax_main(argv) -> int:
     iv.add_argument("--id-col", default="doc_id")
     iv.add_argument("--buckets", type=int, default=4096)
     iv.add_argument("--out", required=True)
+    tm = sub.add_parser(
+        "templates", help="Drain-family log template mining (consensus)"
+    )
+    tm.add_argument("--logs", required=True)
+    tm.add_argument("--line-col", default="line")
+    tm.add_argument("--min-count", type=int, default=1)
+    tm.add_argument("--out", required=True)
+
+    dr = sub.add_parser(
+        "drift", help="categorical distribution drift, reference vs current"
+    )
+    dr.add_argument("--ref", required=True)
+    dr.add_argument("--cur", required=True)
+    dr.add_argument("--col", required=True)
+    dr.add_argument("--out", required=True)
+
     for p in (d, dc, ts, ab, pi, vo, ig, co, bp, fu, sa, se, ch, mx, re_, pr,
-              ix, pf, fm, ra, rs, bu, an, tr, pa, ld, qu, mg, sh, iv):
+              ix, pf, fm, ra, rs, bu, an, tr, pa, ld, qu, mg, sh, iv, tm, dr):
         p.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args(argv)
     spark = _get_session(args.cpus)
@@ -639,6 +655,37 @@ def datax_main(argv) -> int:
             "op": "quality",
             "checks": len(rows),
             "failed": sum(0 if r["passed"] else 1 for r in rows),
+        }))
+    elif args.op == "templates":
+        from emf_spark.operators.templates import mine_templates
+
+        res = mine_templates(
+            spark.read.parquet(args.logs),
+            line_col=args.line_col,
+            min_count=args.min_count,
+        )
+        res.write.mode("overwrite").parquet(args.out)
+        out = spark.read.parquet(args.out)
+        print(json.dumps({
+            "op": "templates",
+            "templates": out.count(),
+            "lines": out.agg({"n_lines": "sum"}).collect()[0][0],
+        }))
+    elif args.op == "drift":
+        from emf_spark.datax.quality import distribution_drift
+
+        res = distribution_drift(
+            spark.read.parquet(args.ref),
+            spark.read.parquet(args.cur),
+            args.col,
+        )
+        res.write.mode("overwrite").parquet(args.out)
+        rows = spark.read.parquet(args.out).collect()
+        print(json.dumps({
+            "op": "drift",
+            "categories": len(rows),
+            # half the ppm sum = exact total-variation distance
+            "tvd_ppm": sum(r["drift_ppm"] for r in rows) // 2,
         }))
     else:
         from emf_spark.datax import similarity as sim

@@ -3581,3 +3581,40 @@ def test_distribution_drift_hand_computed(spark):
     assert len(got) == 5
     # total variation distance = half the ppm sum = 2/6 of the mass
     assert sum(r["drift_ppm"] for r in got.values()) == 4 * sixth
+
+
+def test_cli_templates_and_drift(spark, tmp_path):
+    """The fifth-round additions reachable from the CLI: templates
+    (Drain-family mining) and drift (ref-vs-current ppm), each writing
+    parquet and printing a JSON summary."""
+    import json as _json
+
+    from emf_spark import cli
+
+    logs = spark.createDataFrame(
+        [(f"INFO user u{i} logged in",) for i in range(6)]
+        + [("WARN disk sda1 full",), ("WARN disk sdb2 full",)],
+        ["line"],
+    )
+    lp = str(tmp_path / "logs")
+    logs.write.parquet(lp)
+    to = str(tmp_path / "tmpl")
+    rc = cli.main(["datax", "templates", "--logs", lp, "--out", to,
+                   "--min-count", "2"])
+    assert rc == 0
+    rows = {r["template"]: r["n_lines"]
+            for r in spark.read.parquet(to).collect()}
+    assert rows == {"INFO user <*> logged in": 6, "WARN disk <*> full": 2}
+
+    ref = spark.createDataFrame([("a",)] * 3 + [("b",)] * 1, ["c"])
+    cur = spark.createDataFrame([("a",)] * 1 + [("b",)] * 3, ["c"])
+    rp, cp = str(tmp_path / "ref"), str(tmp_path / "cur")
+    ref.write.parquet(rp)
+    cur.write.parquet(cp)
+    do = str(tmp_path / "drift")
+    rc = cli.main(["datax", "drift", "--ref", rp, "--cur", cp,
+                   "--col", "c", "--out", do])
+    assert rc == 0
+    got = {r["category"]: (r["drift_ppm"], r["sign"])
+           for r in spark.read.parquet(do).collect()}
+    assert got == {"a": (500_000, -1), "b": (500_000, 1)}

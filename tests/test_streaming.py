@@ -1315,3 +1315,67 @@ def test_streaming_hll_matches_batch_bit_for_bit(spark, tmp_path):
     n = spark.read.parquet(out).count()
     run()
     assert spark.read.parquet(out).count() == n
+
+
+def test_streaming_drift_monitor_matches_batch(spark, tmp_path):
+    """Versioned drift monitor: after two micro-batches the latest
+    drift partition is row-identical to batch distribution_drift
+    (reference, everything ingested) — including a category the stream
+    introduces that the reference never saw; checkpoint re-run writes
+    no new versions."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from emf_spark.datax.quality import distribution_drift
+    from emf_spark.streaming.drift import (
+        current_drift,
+        init_reference,
+        run_drift_monitor,
+    )
+
+    ref_rows = ["a"] * 6 + ["b"] * 3 + ["gone"]
+    b0 = ["a"] * 2 + ["b"] * 2
+    b1 = ["a"] * 1 + ["b"] * 4 + ["new"]
+
+    ref = spark.createDataFrame([(c,) for c in ref_rows], ["c"])
+    store = str(tmp_path / "store")
+    init_reference(ref, "c", store)
+
+    ind = str(tmp_path / "in")
+    os.makedirs(ind, exist_ok=True)
+    for i, b in enumerate((b0, b1)):
+        pq.write_table(pa.table({"c": pa.array(b)}), f"{ind}/b{i}.parquet")
+        os.utime(f"{ind}/b{i}.parquet", (1_700_000_000 + i,) * 2)
+
+    drift_dir = str(tmp_path / "drift")
+
+    def run():
+        q = run_drift_monitor(
+            spark, ind, store, drift_dir, str(tmp_path / "ckpt"), "c",
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(300)
+
+    run()
+    got = sorted(
+        tuple(r) for r in current_drift(spark, store, drift_dir).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in distribution_drift(
+            ref, spark.createDataFrame([(c,) for c in b0 + b1], ["c"]), "c"
+        ).collect()
+    )
+    assert got == want
+    # the stream-only category is present with n_ref = 0
+    assert any(r[0] == "new" and r[1] == 0 for r in got)
+    # mid-stream snapshot exists: batch 0's verdict vs ref only
+    mid = spark.read.parquet(f"{drift_dir}/batch_id=0").collect()
+    assert {r["category"] for r in mid} == {"a", "b", "gone"}
+
+    from emf_spark.streaming.cdc import _versions
+    n_versions = len(_versions(spark, f"{store}/cum"))
+    run()
+    assert len(_versions(spark, f"{store}/cum")) == n_versions

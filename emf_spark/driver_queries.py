@@ -6075,6 +6075,102 @@ ORDER BY 1
 """
 
 
+def q_emf_multiline(spark, sf):
+    """Multiline log-record assembly (operators/multiline.py): fold
+    continuation lines (indented stack frames / context) into the
+    start line that owns them — the Fluent Bit multiline-parser stage
+    upstream of the reference plugin's record consumption
+    (fluent-bit-emf/main.go:65-76 receives assembled records). Lines
+    are rendered deterministically from events: every event emits a
+    timestamped start line; events with event_id%3==0 or %5==0 add an
+    indented continuation, and %5==0 events PREPEND one — so file 0
+    (owned by event 0) opens with a continuation line and exercises
+    the orphan-preamble record_seq=0 branch. ONE exchange on the file
+    key + a linear running-sum window + a record-collapsing partial
+    aggregate; no UDFs."""
+    from emf_spark.operators.multiline import assemble_multiline
+
+    ev = _t(spark, sf, "events")
+    start = F.concat(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
+        F.lit(" "),
+        F.upper("event_type"),
+        F.lit(" event="),
+        F.col("event_id").cast("string"),
+    )
+    cont_pre = F.concat(F.lit("    at frame_"), F.col("event_id").cast("string"))
+    cont_post = F.concat(
+        F.lit("    value_cents="),
+        F.round(F.col("value") * 100).cast("long").cast("string"),
+    )
+    five = F.col("event_id") % 5 == 0
+    three = F.col("event_id") % 3 == 0
+    parts = F.filter(
+        F.array(
+            F.struct(
+                F.lit(0).alias("pos"),
+                F.when(five, cont_pre).alias("line"),
+            ),
+            F.struct(F.lit(1).alias("pos"), start.alias("line")),
+            F.struct(
+                F.lit(2).alias("pos"),
+                F.when(five | three, cont_post).alias("line"),
+            ),
+        ),
+        lambda s: s["line"].isNotNull(),
+    )
+    lines = (
+        ev.select(
+            (F.col("event_id") % 4).alias("f"),
+            F.col("event_id"),
+            F.explode(parts).alias("p"),
+        )
+        .select(
+            "f",
+            (F.col("event_id") * 4 + F.col("p.pos")).alias("line_no"),
+            F.col("p.line").alias("line"),
+        )
+    )
+    return assemble_multiline(
+        lines,
+        line_col="line",
+        order_col="line_no",
+        group_cols=["f"],
+        start_pattern=r"^\d{4}-",
+    )
+
+
+SQL_EMF_MULTILINE = r"""
+WITH ev AS (
+  SELECT event_id, event_id % 4 AS f,
+         strftime(ts, '%Y-%m-%d %H:%M:%S') || ' ' || upper(event_type)
+           || ' event=' || CAST(event_id AS VARCHAR) AS start_line,
+         '    at frame_' || CAST(event_id AS VARCHAR) AS cont_pre,
+         '    value_cents='
+           || CAST(CAST(round(CAST(value AS DOUBLE) * 100, 0) AS BIGINT)
+                   AS VARCHAR) AS cont_post
+  FROM events),
+lines AS (
+  SELECT f, event_id * 4 + 0 AS line_no, cont_pre AS line FROM ev
+  WHERE event_id % 5 = 0
+  UNION ALL
+  SELECT f, event_id * 4 + 1 AS line_no, start_line AS line FROM ev
+  UNION ALL
+  SELECT f, event_id * 4 + 2 AS line_no, cont_post AS line FROM ev
+  WHERE event_id % 5 = 0 OR event_id % 3 = 0),
+rec AS (
+  SELECT f, line_no, line,
+         SUM(CASE WHEN regexp_matches(line, '^\d{4}-') THEN 1 ELSE 0 END)
+           OVER (PARTITION BY f ORDER BY line_no) AS record_seq
+  FROM lines)
+SELECT f, CAST(record_seq AS BIGINT) AS record_seq,
+       MIN(line_no) AS start_order,
+       COUNT(*) AS n_lines,
+       string_agg(line, chr(10) ORDER BY line_no) AS record
+FROM rec GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 QUERIES: dict[str, Callable] = {
     "emf_dim_hash_group": q_dim_hash_group,
     "emf_value_count_hist": q_value_count_hist,
@@ -6140,6 +6236,7 @@ QUERIES: dict[str, Callable] = {
     "dedup_containment": q_dedup_containment,
     "data_equidepth": q_data_equidepth,
     "data_drift": q_data_drift,
+    "emf_multiline": q_emf_multiline,
     "ann_kmeans_clusters": q_ann_kmeans_clusters,
     "dedup_embedding": q_dedup_embedding,
     "data_split": q_data_split,
@@ -6290,6 +6387,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_containment": SQL_DEDUP_CONTAINMENT,
     "data_equidepth": SQL_DATA_EQUIDEPTH,
     "data_drift": SQL_DATA_DRIFT,
+    "emf_multiline": SQL_EMF_MULTILINE,
     "ann_kmeans_clusters": _sql_kmeans(),
     "dedup_embedding": _sql_dedup_embedding(),
     "data_split": SQL_DATA_SPLIT,

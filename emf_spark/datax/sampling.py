@@ -62,6 +62,78 @@ def stratified_fractions(
     return df.filter(frac < keep_frac)
 
 
+def tail_sample(
+    df: DataFrame,
+    trace_cols: list[str],
+    interesting: F.Column,
+    base_rate: float = 0.01,
+    salt: str = "tail",
+    reason_col: str = "keep_reason",
+) -> DataFrame:
+    """Tail-based trace sampling — the OpenTelemetry tail-sampler
+    policy as a batch operator: keep EVERY row of a trace whose
+    completed shape is interesting (an error span, a slow total, a
+    fan-out explosion — whatever ``interesting`` says), plus a
+    deterministic ``base_rate`` hash fraction of the boring traces so
+    downstream rate estimates stay unbiased. The decision needs the
+    whole trace, which is exactly why head sampling (hash-gate the
+    row) can't express it and why this is a grouped op.
+
+    ``interesting`` is an AGGREGATE Column evaluated per trace (e.g.
+    ``F.max((F.col("status") == "error").cast("int")) == 1``); it may
+    evaluate to NULL (e.g. a max over all-NULL latencies), which
+    counts as not-interesting. ``base_rate`` traces are chosen by the
+    portable 56-bit md5 hash of the joined trace key + salt — no RNG,
+    re-runs and external engines agree trace-for-trace.
+
+    Returns the kept rows with ``reason_col`` appended
+    ('interesting' wins over 'sampled'). Rows whose trace key is NULL
+    in any component still group and join (null-safe equi-join).
+
+    Plan shape: ONE map-combinable aggregate collapses the stream to a
+    per-trace decision frame, then ONE equi-join on the trace key
+    brings decisions back — both shuffles keyed by trace, no windows,
+    no UDFs. At 10^12 rows the decision frame is |traces| rows; AQE
+    broadcasts it when small, shuffle-joins co-keyed when not.
+    """
+    if not trace_cols:
+        raise ValueError("trace_cols must be non-empty")
+    if not 0.0 <= base_rate <= 1.0:
+        raise ValueError(f"base_rate must be in [0, 1], got {base_rate}")
+    for c in ("_interesting", "_keyfrac", reason_col):
+        if c in df.columns:
+            raise ValueError(f"column '{c}' collides with tail_sample internals")
+    frac = hash_fraction(
+        F.concat_ws("\x1f", *[F.col(c).cast("string") for c in trace_cols]), salt
+    )
+    dec = (
+        df.groupBy(*trace_cols)
+        .agg(interesting.cast("boolean").alias("_interesting"))
+        .withColumn(
+            reason_col,
+            F.when(F.col("_interesting"), F.lit("interesting")).otherwise(
+                F.when(frac < F.lit(base_rate), F.lit("sampled"))
+            ),
+        )
+        .filter(F.col(reason_col).isNotNull())
+        .drop("_interesting")
+    )
+    # dec derives from df, so joining on df[c] == dec[c] is the classic
+    # ambiguous self-join; rename the decision frame's key columns to
+    # make the join condition unambiguous by construction
+    renamed = dec.select(
+        *[F.col(c).alias(f"_k{i}") for i, c in enumerate(trace_cols)],
+        reason_col,
+    )
+    cond = [
+        F.col(c).eqNullSafe(F.col(f"_k{i}")) for i, c in enumerate(trace_cols)
+    ]
+    return (
+        df.join(renamed, cond, "inner")
+        .drop(*[f"_k{i}" for i in range(len(trace_cols))])
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     max_tokens: int,

@@ -6171,6 +6171,62 @@ FROM rec GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_events_tail_sampling(spark, sf):
+    """Tail-based trace sampling (sampling.tail_sample): keep every
+    event of a user-hour trace that contains an error or a >= 99.00
+    latency, plus a deterministic 2% hash fraction of boring traces —
+    the OpenTelemetry tail-sampler decision, which needs the COMPLETED
+    trace and therefore can't be a row-local head sample. ONE
+    map-combinable aggregate to the per-trace decision frame + ONE
+    null-safe equi-join back; portable md5 trace hash so the oracle
+    replays the sampled set exactly."""
+    from emf_spark.datax.sampling import tail_sample
+
+    ev = _t(spark, sf, "events")
+    ep = F.unix_timestamp("ts").cast("long")
+    df = ev.select(
+        "event_id",
+        "user_id",
+        (ep - ep % 3600).alias("hr"),
+        "event_type",
+        "value",
+    )
+    interesting = (F.max(F.when(F.col("event_type") == "error", 1).otherwise(0)) == 1) | (
+        F.max(F.round(F.col("value") * 100).cast("long")) >= 9900
+    )
+    kept = tail_sample(
+        df, ["user_id", "hr"], interesting, base_rate=0.02, salt="tail"
+    )
+    return kept.select("event_id", "user_id", "hr", "event_type", "keep_reason")
+
+
+SQL_EVENTS_TAIL_SAMPLING = """
+WITH e AS (
+  SELECT event_id, user_id, event_type, value,
+         ep - ep % 3600 AS hr
+  FROM (SELECT *, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ep FROM events)),
+t AS (
+  SELECT user_id, hr,
+         (MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) = 1)
+         OR (MAX(CAST(round(CAST(value AS DOUBLE) * 100, 0) AS BIGINT))
+             >= 9900) AS interesting
+  FROM e GROUP BY 1, 2),
+d AS (
+  SELECT user_id, hr,
+         CASE WHEN interesting THEN 'interesting'
+              WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)
+                        || chr(31) || CAST(hr AS VARCHAR) || 'tail'), 1, 14)
+                        AS BIGINT) / 72057594037927936.0 < 0.02
+                   THEN 'sampled' END AS keep_reason
+  FROM t)
+SELECT e.event_id, e.user_id, e.hr, e.event_type, d.keep_reason
+FROM e JOIN d ON e.user_id IS NOT DISTINCT FROM d.user_id
+             AND e.hr IS NOT DISTINCT FROM d.hr
+WHERE d.keep_reason IS NOT NULL
+ORDER BY 1
+"""
+
+
 QUERIES: dict[str, Callable] = {
     "emf_dim_hash_group": q_dim_hash_group,
     "emf_value_count_hist": q_value_count_hist,
@@ -6237,6 +6293,7 @@ QUERIES: dict[str, Callable] = {
     "data_equidepth": q_data_equidepth,
     "data_drift": q_data_drift,
     "emf_multiline": q_emf_multiline,
+    "events_tail_sampling": q_events_tail_sampling,
     "ann_kmeans_clusters": q_ann_kmeans_clusters,
     "dedup_embedding": q_dedup_embedding,
     "data_split": q_data_split,
@@ -6388,6 +6445,7 @@ ORACLE_SQL: dict[str, str] = {
     "data_equidepth": SQL_DATA_EQUIDEPTH,
     "data_drift": SQL_DATA_DRIFT,
     "emf_multiline": SQL_EMF_MULTILINE,
+    "events_tail_sampling": SQL_EVENTS_TAIL_SAMPLING,
     "ann_kmeans_clusters": _sql_kmeans(),
     "dedup_embedding": _sql_dedup_embedding(),
     "data_split": SQL_DATA_SPLIT,

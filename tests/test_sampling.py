@@ -163,3 +163,77 @@ def test_balanced_sample_gate_keeps_null_class_rows(spark):
     )
     assert gated == plain
     assert sum(1 for _, c in gated if c is None) == 5
+
+
+def test_tail_sample_keeps_whole_interesting_traces(spark):
+    """A trace with ANY error keeps ALL its rows tagged 'interesting';
+    base_rate=0 keeps nothing else; NULL aggregate verdicts (all-NULL
+    latency) count as not-interesting; NULL trace keys still group."""
+    from pyspark.sql import functions as F
+
+    from emf_spark.datax.sampling import tail_sample
+
+    rows = [
+        (1, 10, "ok", 1.0),
+        (2, 10, "error", 2.0),   # trace 10: interesting via error
+        (3, 20, "ok", 150.0),    # trace 20: interesting via latency
+        (4, 20, "ok", 1.0),
+        (5, 30, "ok", None),     # trace 30: NULL latency max -> boring
+        (6, None, "ok", 1.0),    # NULL trace key groups + joins
+        (7, None, "error", 1.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id bigint, trace bigint, status string, lat double")
+    interesting = (
+        F.max(F.when(F.col("status") == "error", 1).otherwise(0)) == 1
+    ) | (F.max(F.round(F.col("lat") * 100).cast("long")) >= 10_000)
+    kept = tail_sample(df, ["trace"], interesting, base_rate=0.0).collect()
+    got = {r["event_id"]: (r["trace"], r["keep_reason"]) for r in kept}
+    assert got == {
+        1: (10, "interesting"),
+        2: (10, "interesting"),
+        3: (20, "interesting"),
+        4: (20, "interesting"),
+        6: (None, "interesting"),
+        7: (None, "interesting"),
+    }
+
+    # base_rate=1.0 keeps every trace; boring ones tagged 'sampled'
+    all_kept = tail_sample(df, ["trace"], interesting, base_rate=1.0).collect()
+    reasons = {r["event_id"]: r["keep_reason"] for r in all_kept}
+    assert len(all_kept) == 7 and reasons[5] == "sampled"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="base_rate"):
+        tail_sample(df, ["trace"], interesting, base_rate=1.5)
+    with _pytest.raises(ValueError, match="trace_cols"):
+        tail_sample(df, [], interesting)
+    with _pytest.raises(ValueError, match="collides"):
+        tail_sample(df.withColumn("keep_reason", F.lit("x")), ["trace"], interesting)
+
+
+def test_tail_sample_fraction_is_deterministic_and_trace_atomic(spark):
+    """The sampled subset is a pure function of (trace key, salt): two
+    runs agree, a different salt differs somewhere, and every sampled
+    trace is kept atomically (all rows or none)."""
+    from pyspark.sql import functions as F
+
+    from emf_spark.datax.sampling import tail_sample
+
+    rows = [(i, i // 3, "ok", 1.0) for i in range(300)]
+    df = spark.createDataFrame(rows, "event_id bigint, trace bigint, status string, lat double")
+    boring = F.max(F.when(F.col("status") == "error", 1).otherwise(0)) == 1
+
+    def kept_ids(salt):
+        return sorted(
+            r["event_id"]
+            for r in tail_sample(df, ["trace"], boring, 0.3, salt=salt).collect()
+        )
+
+    a, b = kept_ids("s1"), kept_ids("s1")
+    assert a == b and 0 < len(a) < 300
+    assert kept_ids("s2") != a
+    traces = {}
+    for e in a:
+        traces.setdefault(e // 3, []).append(e)
+    assert all(len(v) == 3 for v in traces.values())

@@ -6227,6 +6227,68 @@ ORDER BY 1
 """
 
 
+def q_events_cidr_enrich(spark, sf):
+    """GeoIP-style longest-prefix-match enrichment (operators/cidr.py
+    cidr_enrich): events synthesize a deterministic IPv4 from event_id;
+    the block table nests nation /16s inside region /8s so the LPM
+    actually has to pick the inner block. The block set is COMPILED
+    dim-side into disjoint winner intervals, so the fact-side plan is
+    one broadcast equi-join on the /16 bucket with a range residual —
+    at most one match per row, zero fact shuffle, zero post-aggregate
+    (the naive plan fans out per nesting level and shuffles the
+    matches for an argmax)."""
+    from emf_spark.operators.cidr import cidr_enrich
+
+    ev = _t(spark, sf, "events")
+    facts = ev.select(
+        "event_id",
+        ((F.col("event_id") * F.lit(1103515245) + F.lit(12345))
+         % F.lit(100663296)).cast("long").alias("ip"),
+    )
+    region = _t(spark, sf, "region").select(
+        (F.col("r_regionkey").cast("long") * F.lit(16777216)).alias("net"),
+        F.lit(8).alias("prefix_len"),
+        F.col("r_name").alias("block_name"),
+    )
+    nation = _t(spark, sf, "nation").select(
+        (
+            F.col("n_regionkey").cast("long") * F.lit(16777216)
+            + F.col("n_nationkey").cast("long") * F.lit(65536)
+        ).alias("net"),
+        F.lit(16).alias("prefix_len"),
+        F.col("n_name").alias("block_name"),
+    )
+    out = cidr_enrich(facts, region.unionByName(nation), ip_col="ip")
+    return out.select("event_id", "ip", "block_name", "matched_prefix_len")
+
+
+SQL_EVENTS_CIDR_ENRICH = """
+WITH e AS (
+  SELECT event_id,
+         (event_id * 1103515245 + 12345) % 100663296 AS ip
+  FROM events),
+c AS (
+  SELECT r_regionkey::BIGINT * 16777216 AS lo,
+         r_regionkey::BIGINT * 16777216 + 16777215 AS hi,
+         8 AS prefix_len, r_name AS block_name
+  FROM region
+  UNION ALL
+  SELECT n_regionkey::BIGINT * 16777216 + n_nationkey::BIGINT * 65536,
+         n_regionkey::BIGINT * 16777216 + n_nationkey::BIGINT * 65536 + 65535,
+         16, n_name
+  FROM nation),
+m AS (
+  SELECT e.event_id, c.prefix_len, c.block_name,
+         ROW_NUMBER() OVER (PARTITION BY e.event_id
+                            ORDER BY c.prefix_len DESC, c.lo DESC) AS rn
+  FROM e JOIN c ON e.ip BETWEEN c.lo AND c.hi)
+SELECT e.event_id, e.ip, m.block_name,
+       m.prefix_len AS matched_prefix_len
+FROM e LEFT JOIN (SELECT * FROM m WHERE rn = 1) m USING (event_id)
+ORDER BY 1
+"""
+
+
 QUERIES: dict[str, Callable] = {
     "emf_dim_hash_group": q_dim_hash_group,
     "emf_value_count_hist": q_value_count_hist,
@@ -6294,6 +6356,7 @@ QUERIES: dict[str, Callable] = {
     "data_drift": q_data_drift,
     "emf_multiline": q_emf_multiline,
     "events_tail_sampling": q_events_tail_sampling,
+    "events_cidr_enrich": q_events_cidr_enrich,
     "ann_kmeans_clusters": q_ann_kmeans_clusters,
     "dedup_embedding": q_dedup_embedding,
     "data_split": q_data_split,
@@ -6446,6 +6509,7 @@ ORACLE_SQL: dict[str, str] = {
     "data_drift": SQL_DATA_DRIFT,
     "emf_multiline": SQL_EMF_MULTILINE,
     "events_tail_sampling": SQL_EVENTS_TAIL_SAMPLING,
+    "events_cidr_enrich": SQL_EVENTS_CIDR_ENRICH,
     "ann_kmeans_clusters": _sql_kmeans(),
     "dedup_embedding": _sql_dedup_embedding(),
     "data_split": SQL_DATA_SPLIT,

@@ -6289,6 +6289,59 @@ ORDER BY 1
 """
 
 
+def q_emf_record_modify(spark, sf):
+    """Fluent Bit modify/nest filter chain (operators/modify.py): an
+    ordered rule list — rename, blocked rename, conditional set, copy,
+    nest-under-prefix, remove_wildcard, regex-conditioned set —
+    compiled into ONE nested higher-order-map expression per record:
+    no explode, no UDF, no shuffle; the chain pipelines inside the
+    scan's codegen stage. Output is the canonical sorted k<US>v<RS>
+    serialization so the compare is engine-portable."""
+    from emf_spark.operators.modify import canonical_kv, compile_modify
+
+    ev = _t(spark, sf, "events")
+    rec = F.create_map(
+        F.lit("event_type"), F.col("event_type"),
+        F.lit("sev"),
+        F.when(F.col("event_type") == "error", F.lit("high")).otherwise("low"),
+        F.lit("tmp_seq"), F.col("event_id").cast("string"),
+        F.lit("tmp_shard"), (F.col("event_id") % 4).cast("string"),
+        F.lit("host"),
+        F.concat(F.lit("h"), (F.col("user_id") % 8).cast("string")),
+    )
+    rules = [
+        {"op": "rename", "old": "sev", "new": "severity"},
+        # blocked: host exists, rename must no-op
+        {"op": "rename", "old": "event_type", "new": "host"},
+        {"op": "copy", "old": "event_type", "new": "kind"},
+        {"op": "set", "key": "alert", "value": "1",
+         "when": [("key_value_equals", "event_type", "error")]},
+        {"op": "nest", "prefix": "tmp_", "under": "meta"},
+        {"op": "remove_wildcard", "prefix": "meta.tmp_sh"},
+        {"op": "set", "key": "pipeline", "value": "emf",
+         "when": [("a_key_matches", "^meta\\.")]},
+    ]
+    out = ev.select("event_id", rec.alias("record"))
+    out = out.withColumn("record", compile_modify(rules)(F.col("record")))
+    return out.select("event_id", canonical_kv(F.col("record")).alias("rec"))
+
+
+SQL_EMF_RECORD_MODIFY = """
+SELECT event_id,
+       (CASE WHEN event_type = 'error'
+             THEN 'alert' || chr(31) || '1' || chr(30) ELSE '' END)
+       || 'event_type' || chr(31) || event_type || chr(30)
+       || 'host' || chr(31) || 'h' || CAST(user_id % 8 AS VARCHAR) || chr(30)
+       || 'kind' || chr(31) || event_type || chr(30)
+       || 'meta.tmp_seq' || chr(31) || CAST(event_id AS VARCHAR) || chr(30)
+       || 'pipeline' || chr(31) || 'emf' || chr(30)
+       || 'severity' || chr(31)
+       || (CASE WHEN event_type = 'error' THEN 'high' ELSE 'low' END) AS rec
+FROM events
+ORDER BY 1
+"""
+
+
 QUERIES: dict[str, Callable] = {
     "emf_dim_hash_group": q_dim_hash_group,
     "emf_value_count_hist": q_value_count_hist,
@@ -6357,6 +6410,7 @@ QUERIES: dict[str, Callable] = {
     "emf_multiline": q_emf_multiline,
     "events_tail_sampling": q_events_tail_sampling,
     "events_cidr_enrich": q_events_cidr_enrich,
+    "emf_record_modify": q_emf_record_modify,
     "ann_kmeans_clusters": q_ann_kmeans_clusters,
     "dedup_embedding": q_dedup_embedding,
     "data_split": q_data_split,
@@ -6510,6 +6564,7 @@ ORACLE_SQL: dict[str, str] = {
     "emf_multiline": SQL_EMF_MULTILINE,
     "events_tail_sampling": SQL_EVENTS_TAIL_SAMPLING,
     "events_cidr_enrich": SQL_EVENTS_CIDR_ENRICH,
+    "emf_record_modify": SQL_EMF_RECORD_MODIFY,
     "ann_kmeans_clusters": _sql_kmeans(),
     "dedup_embedding": _sql_dedup_embedding(),
     "data_split": SQL_DATA_SPLIT,

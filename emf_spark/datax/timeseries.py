@@ -462,3 +462,87 @@ def apdex(
             ).alias("apdex_ppm"),
         )
     )
+
+
+def cusum(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    target_cents: int,
+    slack_cents: int,
+    threshold_cents: int,
+    scale: int = 100,
+) -> DataFrame:
+    """Two-sided CUSUM change-point detector (Page 1954) per series —
+    the sequential drift alarm SRE runbooks reach for when a latency or
+    error-rate mean SHIFTS and stays shifted, which threshold alerts on
+    single samples miss and windowed means answer a full window late.
+
+    Textbook recursion (one-sided upper): ``S_0 = 0; S_n = max(0,
+    S_{n-1} + (x_n - target - slack))``, alarm when ``S_n >=
+    threshold``; the lower side mirrors with ``(target - slack) -
+    x_n``. The recursion looks inherently sequential, but it has a
+    CLOSED FORM over prefix sums: with ``d_i = x_i - (target+slack)``
+    and ``P_n = sum(d_1..d_n)``,
+
+        ``S_n = P_n - min(0, min_{j<=n} P_j)``
+
+    (the running minimum absorbs every reset-to-zero), so the whole
+    detector is two LINEAR window functions — a running sum and a
+    running min over the same (series, order) window — never an
+    iterative loop. Everything stays on the integer-cent lattice
+    (``round(value*scale)``), so DuckDB replays it bit-for-bit.
+
+    Returns the series keys + ``(ts, tiebreak)`` + ``cusum_hi_cents``
+    / ``cusum_lo_cents`` (the running statistics, always >= 0) and
+    ``alarm_hi`` / ``alarm_lo`` (int 0/1, statistic >= threshold).
+    NULL values are excluded up front (missing samples, not evidence
+    of drift — and they would poison every later prefix sum).
+
+    Scale shape: both running aggregates share one window spec
+    (partition by series, order by (ts, tiebreak), rows unbounded
+    preceding), so Catalyst plans a SINGLE Window node — one hash
+    Exchange on the series key + one per-series sort, same cost as any
+    lag/ffill op here; a million series parallelize, and per-series
+    work is the unavoidable sequential unit. No joins, no collect.
+    """
+    if scale < 1 or threshold_cents < 1:
+        raise ValueError("scale and threshold_cents must be >= 1")
+    if slack_cents < 0:
+        raise ValueError("slack_cents must be >= 0")
+    for c in ("cusum_hi_cents", "cusum_lo_cents", "alarm_hi", "alarm_lo"):
+        if c in df.columns:
+            raise ValueError(f"column {c!r} collides with cusum outputs")
+    x = _scaled(value_col, scale)
+    d_hi = x - F.lit(target_cents + slack_cents)
+    d_lo = F.lit(target_cents - slack_cents) - x
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col(ts_col).asc(), F.col(tiebreak_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # Spark rejects nested window expressions; compute prefix sums in a
+    # first projection, running mins over them in a second — same
+    # window spec both times, so still ONE Exchange + ONE sort.
+    out = (
+        df.filter(F.col(value_col).isNotNull())
+        .withColumn("_p_hi", F.sum(d_hi).over(w))
+        .withColumn("_p_lo", F.sum(d_lo).over(w))
+    )
+    s_hi = F.col("_p_hi") - F.least(F.lit(0), F.min("_p_hi").over(w))
+    s_lo = F.col("_p_lo") - F.least(F.lit(0), F.min("_p_lo").over(w))
+    return (
+        out.withColumn("cusum_hi_cents", s_hi)
+        .withColumn("cusum_lo_cents", s_lo)
+        .withColumn(
+            "alarm_hi",
+            F.when(F.col("cusum_hi_cents") >= threshold_cents, 1).otherwise(0),
+        )
+        .withColumn(
+            "alarm_lo",
+            F.when(F.col("cusum_lo_cents") >= threshold_cents, 1).otherwise(0),
+        )
+        .drop("_p_hi", "_p_lo")
+    )

@@ -6342,6 +6342,58 @@ ORDER BY 1
 """
 
 
+def q_ts_cusum(spark, sf):
+    """Two-sided CUSUM change-point detector per event_type series
+    (timeseries.cusum): Page's recursion S_n = max(0, S_{n-1} + d_n)
+    de-sequentialized into its closed form S_n = P_n - min(0, min
+    prefix P) — two linear window passes over ONE (series, ts,
+    tiebreak) window spec, one Exchange + one per-series sort, all on
+    the integer-cent lattice so DuckDB replays bit-for-bit."""
+    from emf_spark.datax.timeseries import cusum
+
+    ev = _t(spark, sf, "events")
+    out = cusum(
+        ev,
+        key_cols=["event_type"],
+        ts_col="ts",
+        value_col="value",
+        tiebreak_col="event_id",
+        target_cents=10000,
+        slack_cents=500,
+        threshold_cents=50000,
+    )
+    return out.select(
+        "event_type", "event_id", "cusum_hi_cents", "cusum_lo_cents",
+        "alarm_hi", "alarm_lo",
+    )
+
+
+SQL_TS_CUSUM = """
+WITH d AS (
+  SELECT event_type, ts, event_id,
+         CAST(round(CAST(value AS DOUBLE) * 100, 0) AS BIGINT) AS x
+  FROM events WHERE value IS NOT NULL),
+p AS (
+  SELECT event_type, ts, event_id,
+         CAST(SUM(x - 10500) OVER w AS BIGINT) AS p_hi,
+         CAST(SUM(9500 - x) OVER w AS BIGINT) AS p_lo
+  FROM d
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING)),
+s AS (
+  SELECT event_type, event_id,
+         p_hi - LEAST(0, MIN(p_hi) OVER w) AS cusum_hi_cents,
+         p_lo - LEAST(0, MIN(p_lo) OVER w) AS cusum_lo_cents
+  FROM p
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING))
+SELECT event_type, event_id, cusum_hi_cents, cusum_lo_cents,
+       CASE WHEN cusum_hi_cents >= 50000 THEN 1 ELSE 0 END AS alarm_hi,
+       CASE WHEN cusum_lo_cents >= 50000 THEN 1 ELSE 0 END AS alarm_lo
+FROM s
+"""
+
+
 QUERIES: dict[str, Callable] = {
     "emf_dim_hash_group": q_dim_hash_group,
     "emf_value_count_hist": q_value_count_hist,
@@ -6411,6 +6463,7 @@ QUERIES: dict[str, Callable] = {
     "events_tail_sampling": q_events_tail_sampling,
     "events_cidr_enrich": q_events_cidr_enrich,
     "emf_record_modify": q_emf_record_modify,
+    "ts_cusum": q_ts_cusum,
     "ann_kmeans_clusters": q_ann_kmeans_clusters,
     "dedup_embedding": q_dedup_embedding,
     "data_split": q_data_split,
@@ -6565,6 +6618,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_tail_sampling": SQL_EVENTS_TAIL_SAMPLING,
     "events_cidr_enrich": SQL_EVENTS_CIDR_ENRICH,
     "emf_record_modify": SQL_EMF_RECORD_MODIFY,
+    "ts_cusum": SQL_TS_CUSUM,
     "ann_kmeans_clusters": _sql_kmeans(),
     "dedup_embedding": _sql_dedup_embedding(),
     "data_split": SQL_DATA_SPLIT,

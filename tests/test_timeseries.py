@@ -241,3 +241,82 @@ def test_apdex_boundaries_and_ppm(spark):
         TS.apdex(df, threshold_cents=0)
     with pytest.raises(ValueError):
         TS.apdex(df, window_seconds=0)
+
+
+def _cusum_ref(xs, target, slack, threshold):
+    """Textbook Page recursion, cents."""
+    s_hi = s_lo = 0
+    out = []
+    for x in xs:
+        s_hi = max(0, s_hi + (x - target - slack))
+        s_lo = max(0, s_lo + (target - slack - x))
+        out.append((s_hi, s_lo, int(s_hi >= threshold), int(s_lo >= threshold)))
+    return out
+
+
+def test_cusum_matches_textbook_recursion(spark):
+    """Closed form (prefix sum - running min) == Page's recursion on a
+    randomized multi-series stream, incl. resets to zero and both-side
+    alarms."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    expect = {}
+    for k in ("a", "b", "c"):
+        # drifting series: baseline 100.00 +- noise, with a +20 shift
+        # in the middle third and a -20 shift at the tail
+        xs = []
+        for i in range(60):
+            base = 100.0 + (20.0 if 20 <= i < 40 else (-20.0 if i >= 42 else 0.0))
+            xs.append(round(base + rng.uniform(-3, 3), 2))
+        cents = [round(x * 100) for x in xs]
+        expect[k] = _cusum_ref(cents, 10000, 200, 30000)
+        t0 = DT(2024, 1, 1)
+        rows += [(k, t0 + TD(minutes=i), i, xs[i]) for i in range(60)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, id long, value double")
+    got = TS.cusum(df, ["k"], "ts", "value", "id",
+                   target_cents=10000, slack_cents=200, threshold_cents=30000)
+    by = {(r["k"], r["id"]): (r["cusum_hi_cents"], r["cusum_lo_cents"],
+                              r["alarm_hi"], r["alarm_lo"])
+          for r in got.collect()}
+    for k in ("a", "b", "c"):
+        for i, want in enumerate(expect[k]):
+            assert by[(k, i)] == want, (k, i)
+    # both shift directions actually alarmed somewhere
+    assert any(v[2] for v in expect["a"])
+    assert any(v[3] for v in expect["a"])
+
+
+def test_cusum_nulls_excluded_and_guards(spark):
+    t0 = DT(2024, 1, 1)
+    rows = [("a", t0, 0, 150.0), ("a", t0 + TD(minutes=1), 1, None),
+            ("a", t0 + TD(minutes=2), 2, 150.0)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, id long, value double")
+    got = TS.cusum(df, ["k"], "ts", "value", "id", 10000, 0, 9000)
+    rows = sorted(got.collect(), key=lambda r: r["id"])
+    assert [r["id"] for r in rows] == [0, 2]  # null sample dropped
+    # 5000 after row 0, 10000 after row 2 (null did not reset anything)
+    assert [r["cusum_hi_cents"] for r in rows] == [5000, 10000]
+    assert [r["alarm_hi"] for r in rows] == [0, 1]
+
+    with pytest.raises(ValueError, match="threshold"):
+        TS.cusum(df, ["k"], "ts", "value", "id", 10000, 0, 0)
+    with pytest.raises(ValueError, match="slack"):
+        TS.cusum(df, ["k"], "ts", "value", "id", 10000, -1, 100)
+    with pytest.raises(ValueError, match="collides"):
+        TS.cusum(df.withColumn("alarm_hi", F.lit(1)),
+                 ["k"], "ts", "value", "id", 10000, 0, 100)
+
+
+def test_cusum_plan_single_exchange(spark):
+    """Both running aggregates ride ONE hash Exchange on the series
+    key (the two Window nodes share partitioning+ordering, so the
+    second requires no new shuffle or sort)."""
+    df = spark.createDataFrame(
+        [("a", DT(2024, 1, 1), 0, 1.0)],
+        "k string, ts timestamp, id long, value double")
+    plan = TS.cusum(df, ["k"], "ts", "value", "id", 100, 0, 100)\
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Sort ") <= 1, plan

@@ -6394,6 +6394,96 @@ FROM s
 """
 
 
+def q_emf_logfmt_parse(spark, sf):
+    """logfmt line parsing (operators/kvparse.parse_logfmt): render a
+    deterministic logfmt line per event — quoted value carrying spaces,
+    '=' and escaped quotes (the props JSON, quotes backslash-escaped),
+    an explicit-empty value, a bare boolean flag, and a duplicate key —
+    parse it back, and emit the recovered fields. The parse is two
+    aligned regexp scans + an in-row last-wins fold: a narrow
+    projection, no explode/UDF/shuffle. The oracle states the roundtrip
+    contract directly from the source columns."""
+    from emf_spark.operators.kvparse import parse_logfmt
+
+    ev = _t(spark, sf, "events")
+    line = F.concat(
+        F.lit("svc=s"), (F.col("user_id") % 5).cast("string"),
+        F.lit(" level="), F.col("event_type"),
+        F.lit(' msg="'),
+        F.regexp_replace(F.col("props"), '"', '\\\\"'),
+        F.lit('" n='), F.col("event_id").cast("string"),
+        F.lit(" empty= flag dup=x dup="), F.col("event_type"),
+    )
+    rec = parse_logfmt(line)
+    return ev.select(
+        "event_id",
+        F.try_element_at(rec, F.lit("svc")).alias("svc"),
+        F.try_element_at(rec, F.lit("level")).alias("level"),
+        F.try_element_at(rec, F.lit("msg")).alias("msg"),
+        F.try_element_at(rec, F.lit("n")).alias("n"),
+        F.try_element_at(rec, F.lit("empty")).alias("empty"),
+        F.try_element_at(rec, F.lit("flag")).alias("flag"),
+        F.try_element_at(rec, F.lit("dup")).alias("dup"),
+        F.size(F.map_keys(rec)).alias("n_keys"),
+    )
+
+
+SQL_EMF_LOGFMT_PARSE = """
+SELECT event_id,
+       's' || CAST(user_id % 5 AS VARCHAR) AS svc,
+       event_type AS level,
+       props AS msg,
+       CAST(event_id AS VARCHAR) AS n,
+       '' AS empty,
+       'true' AS flag,
+       event_type AS dup,
+       7 AS n_keys
+FROM events
+ORDER BY 1
+"""
+
+
+def q_emf_ltsv_parse(spark, sf):
+    """LTSV line parsing (operators/kvparse.parse_ltsv): render a
+    tab-separated label:value line per event — a value containing ':'
+    (split on FIRST colon only), a colon-less junk field (skipped), a
+    duplicate label (last wins) — parse, emit recovered fields. Same
+    narrow-projection execution shape as logfmt."""
+    from emf_spark.operators.kvparse import parse_ltsv
+
+    ev = _t(spark, sf, "events")
+    line = F.concat(
+        F.lit("host:h"), (F.col("user_id") % 8).cast("string"),
+        F.lit("\tstatus:"), F.col("event_type"),
+        F.lit("\treq:GET /api?t="), F.col("event_type"), F.lit("&r=a:b"),
+        F.lit("\tjunkfield\tdup:1\tdup:"), F.col("event_id").cast("string"),
+    )
+    rec = parse_ltsv("_line")
+    return (
+        ev.withColumn("_line", line)
+        .select(
+            "event_id",
+            F.try_element_at(rec, F.lit("host")).alias("host"),
+            F.try_element_at(rec, F.lit("status")).alias("status"),
+            F.try_element_at(rec, F.lit("req")).alias("req"),
+            F.try_element_at(rec, F.lit("dup")).alias("dup"),
+            F.size(F.map_keys(rec)).alias("n_keys"),
+        )
+    )
+
+
+SQL_EMF_LTSV_PARSE = """
+SELECT event_id,
+       'h' || CAST(user_id % 8 AS VARCHAR) AS host,
+       event_type AS status,
+       'GET /api?t=' || event_type || '&r=a:b' AS req,
+       CAST(event_id AS VARCHAR) AS dup,
+       4 AS n_keys
+FROM events
+ORDER BY 1
+"""
+
+
 QUERIES: dict[str, Callable] = {
     "emf_dim_hash_group": q_dim_hash_group,
     "emf_value_count_hist": q_value_count_hist,
@@ -6464,6 +6554,8 @@ QUERIES: dict[str, Callable] = {
     "events_cidr_enrich": q_events_cidr_enrich,
     "emf_record_modify": q_emf_record_modify,
     "ts_cusum": q_ts_cusum,
+    "emf_logfmt_parse": q_emf_logfmt_parse,
+    "emf_ltsv_parse": q_emf_ltsv_parse,
     "ann_kmeans_clusters": q_ann_kmeans_clusters,
     "dedup_embedding": q_dedup_embedding,
     "data_split": q_data_split,
@@ -6619,6 +6711,8 @@ ORACLE_SQL: dict[str, str] = {
     "events_cidr_enrich": SQL_EVENTS_CIDR_ENRICH,
     "emf_record_modify": SQL_EMF_RECORD_MODIFY,
     "ts_cusum": SQL_TS_CUSUM,
+    "emf_logfmt_parse": SQL_EMF_LOGFMT_PARSE,
+    "emf_ltsv_parse": SQL_EMF_LTSV_PARSE,
     "ann_kmeans_clusters": _sql_kmeans(),
     "dedup_embedding": _sql_dedup_embedding(),
     "data_split": SQL_DATA_SPLIT,

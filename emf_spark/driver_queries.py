@@ -6484,6 +6484,60 @@ ORDER BY 1
 """
 
 
+def q_events_service_graph(spark, sf):
+    """Service-dependency graph from spans (operators/traces.
+    service_graph): blocks of 8 events form a trace with a fixed
+    binary-ish topology (span idx i's parent is idx i//2; idx 0 is
+    root), service = event_type. Parent resolution is ONE co-partitioned
+    equi-join on (trace, span) with root spans split out BEFORE the
+    join (NULL join keys would all hash to one partition); torn parents
+    surface as __missing__; rollup is one map-combinable aggregate
+    keyed (client, server)."""
+    from emf_spark.operators.traces import service_graph
+
+    ev = _t(spark, sf, "events")
+    spans = ev.select(
+        (F.col("event_id") / 8).cast("bigint").alias("trace_id"),
+        F.col("event_id").alias("span_id"),
+        F.when(
+            F.col("event_id") % 8 == 0, F.lit(None).cast("bigint")
+        ).otherwise(
+            (F.col("event_id") / 8).cast("bigint") * 8
+            + ((F.col("event_id") % 8) / 2).cast("bigint")
+        ).alias("parent_id"),
+        F.col("event_type").alias("service"),
+        F.round(F.col("value") * 100).cast("bigint").alias("dur_cents"),
+        (F.col("event_type") == "error").alias("is_err"),
+    )
+    return service_graph(
+        spans, "trace_id", "span_id", "parent_id", "service",
+        duration_cents_col="dur_cents", error_col="is_err",
+    )
+
+
+SQL_EVENTS_SERVICE_GRAPH = """
+WITH s AS (
+  SELECT event_id // 8 AS trace_id, event_id AS span_id,
+         CASE WHEN event_id % 8 = 0 THEN NULL
+              ELSE (event_id // 8) * 8 + (event_id % 8) // 2 END AS parent_id,
+         event_type AS service,
+         COALESCE(CAST(round(CAST(value AS DOUBLE) * 100, 0) AS BIGINT), 0) AS d,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS e
+  FROM events),
+edges AS (
+  SELECT CASE WHEN c.parent_id IS NULL THEN '__root__'
+              ELSE COALESCE(p.service, '__missing__') END AS client,
+         c.service AS server, c.d, c.e
+  FROM s c LEFT JOIN s p
+    ON c.parent_id IS NOT NULL
+   AND c.trace_id = p.trace_id AND c.parent_id = p.span_id)
+SELECT client, server, COUNT(*) AS calls,
+       CAST(SUM(e) AS BIGINT) AS errors,
+       CAST(SUM(d) AS BIGINT) AS duration_cents
+FROM edges GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, Callable] = {
     "emf_dim_hash_group": q_dim_hash_group,
     "emf_value_count_hist": q_value_count_hist,
@@ -6556,6 +6610,7 @@ QUERIES: dict[str, Callable] = {
     "ts_cusum": q_ts_cusum,
     "emf_logfmt_parse": q_emf_logfmt_parse,
     "emf_ltsv_parse": q_emf_ltsv_parse,
+    "events_service_graph": q_events_service_graph,
     "ann_kmeans_clusters": q_ann_kmeans_clusters,
     "dedup_embedding": q_dedup_embedding,
     "data_split": q_data_split,
@@ -6713,6 +6768,7 @@ ORACLE_SQL: dict[str, str] = {
     "ts_cusum": SQL_TS_CUSUM,
     "emf_logfmt_parse": SQL_EMF_LOGFMT_PARSE,
     "emf_ltsv_parse": SQL_EMF_LTSV_PARSE,
+    "events_service_graph": SQL_EVENTS_SERVICE_GRAPH,
     "ann_kmeans_clusters": _sql_kmeans(),
     "dedup_embedding": _sql_dedup_embedding(),
     "data_split": SQL_DATA_SPLIT,

@@ -6538,6 +6538,111 @@ FROM edges GROUP BY 1, 2
 """
 
 
+def q_events_url_normalize(spark, sf):
+    """URL canonicalization (operators/url.url_normalize): messy
+    rendered URLs — uppercase scheme/host, www., explicit default
+    port, tracking params (utm_*, fbclid), unsorted query, fragment —
+    normalize to the canonical spelling dedup can group on. Pure
+    expression chain (regexp component extraction + array ops), no
+    UDF, no shuffle; the oracle states the render→canon contract
+    directly from the source columns."""
+    from emf_spark.operators.url import url_normalize
+
+    ev = _t(spark, sf, "events")
+    url = F.concat(
+        F.lit("HTTPS://WWW.N"), (F.col("user_id") % 25).cast("string"),
+        F.lit(".Example.COM:443/p/"), (F.col("event_id") % 10).cast("string"),
+        F.lit("?utm_source=x&b="), F.col("user_id").cast("string"),
+        F.lit("&a=1&fbclid="), F.col("event_id").cast("string"),
+        F.when(F.col("event_id") % 2 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    return ev.select(
+        "event_id", url_normalize(url).alias("canon_url")
+    )
+
+
+SQL_EVENTS_URL_NORMALIZE = """
+SELECT event_id,
+       'https://n' || CAST(user_id % 25 AS VARCHAR) || '.example.com/p/'
+       || CAST(event_id % 10 AS VARCHAR) || '?a=1&b='
+       || CAST(user_id AS VARCHAR) AS canon_url
+FROM events
+ORDER BY 1
+"""
+
+
+def q_events_suffix_enrich(spark, sf):
+    """Domain-suffix longest-match enrichment (operators/url.
+    suffix_enrich): hosts resolve against a nation-level (3-label) +
+    region-level (2-label) suffix table, longest suffix wins — the
+    hostname sibling of the CIDR LPM. max_labels broadcast left
+    equi-joins coalesced longest-first: zero fact shuffle, zero
+    fan-out, one pipelined stage. Hosts exercise all three outcomes:
+    no match, region-only match, nation match shadowing region."""
+    from emf_spark.operators.url import suffix_enrich
+
+    ev = _t(spark, sf, "events")
+    na = _t(spark, sf, "nation")
+    rg = _t(spark, sf, "region")
+    nk = F.col("user_id") % 25
+    rk = nk % 5
+    m = F.col("user_id") % 7
+    host = (
+        F.when(m == 0, F.lit("h.un.known"))
+        .when(m == 1, F.concat(F.lit("svc.r"), rk.cast("string"), F.lit(".test")))
+        .otherwise(
+            F.concat(
+                F.lit("h"), (F.col("user_id") % 4).cast("string"),
+                F.lit(".n"), nk.cast("string"),
+                F.lit(".r"), rk.cast("string"), F.lit(".test"),
+            )
+        )
+    )
+    dim = na.select(
+        F.concat(
+            F.lit("n"), F.col("n_nationkey").cast("string"),
+            F.lit(".r"), (F.col("n_nationkey") % 5).cast("string"),
+            F.lit(".test"),
+        ).alias("sfx"),
+        F.col("n_name").alias("label"),
+        F.lit("nation").alias("kind"),
+    ).unionByName(
+        rg.select(
+            F.concat(
+                F.lit("r"), F.col("r_regionkey").cast("string"), F.lit(".test")
+            ).alias("sfx"),
+            F.col("r_name").alias("label"),
+            F.lit("region").alias("kind"),
+        )
+    )
+    facts = ev.select("event_id", host.alias("host"))
+    return suffix_enrich(facts, "host", dim, "sfx", ["label", "kind"], max_labels=4)
+
+
+SQL_EVENTS_SUFFIX_ENRICH = """
+WITH f AS (
+  SELECT event_id, user_id % 25 AS nk, (user_id % 25) % 5 AS rk,
+         user_id % 7 AS m, user_id % 4 AS h4
+  FROM events)
+SELECT f.event_id,
+       CASE WHEN m = 0 THEN 'h.un.known'
+            WHEN m = 1 THEN 'svc.r' || CAST(rk AS VARCHAR) || '.test'
+            ELSE 'h' || CAST(h4 AS VARCHAR) || '.n' || CAST(nk AS VARCHAR)
+                 || '.r' || CAST(rk AS VARCHAR) || '.test' END AS host,
+       CASE WHEN m = 0 THEN NULL
+            WHEN m = 1 THEN 'r' || CAST(rk AS VARCHAR) || '.test'
+            ELSE 'n' || CAST(nk AS VARCHAR) || '.r' || CAST(rk AS VARCHAR)
+                 || '.test' END AS matched_suffix,
+       CASE WHEN m = 0 THEN NULL WHEN m = 1 THEN r.r_name
+            ELSE n.n_name END AS label,
+       CASE WHEN m = 0 THEN NULL WHEN m = 1 THEN 'region'
+            ELSE 'nation' END AS kind
+FROM f
+LEFT JOIN nation n ON f.m NOT IN (0, 1) AND n.n_nationkey = f.nk
+LEFT JOIN region r ON f.m = 1 AND r.r_regionkey = f.rk
+"""
+
+
 QUERIES: dict[str, Callable] = {
     "emf_dim_hash_group": q_dim_hash_group,
     "emf_value_count_hist": q_value_count_hist,
@@ -6611,6 +6716,8 @@ QUERIES: dict[str, Callable] = {
     "emf_logfmt_parse": q_emf_logfmt_parse,
     "emf_ltsv_parse": q_emf_ltsv_parse,
     "events_service_graph": q_events_service_graph,
+    "events_url_normalize": q_events_url_normalize,
+    "events_suffix_enrich": q_events_suffix_enrich,
     "ann_kmeans_clusters": q_ann_kmeans_clusters,
     "dedup_embedding": q_dedup_embedding,
     "data_split": q_data_split,
@@ -6769,6 +6876,8 @@ ORACLE_SQL: dict[str, str] = {
     "emf_logfmt_parse": SQL_EMF_LOGFMT_PARSE,
     "emf_ltsv_parse": SQL_EMF_LTSV_PARSE,
     "events_service_graph": SQL_EVENTS_SERVICE_GRAPH,
+    "events_url_normalize": SQL_EVENTS_URL_NORMALIZE,
+    "events_suffix_enrich": SQL_EVENTS_SUFFIX_ENRICH,
     "ann_kmeans_clusters": _sql_kmeans(),
     "dedup_embedding": _sql_dedup_embedding(),
     "data_split": SQL_DATA_SPLIT,

@@ -546,3 +546,103 @@ def cusum(
         )
         .drop("_p_hi", "_p_lo")
     )
+
+
+def histogram_quantile(
+    df: DataFrame,
+    key_cols: list[str],
+    le_col: str,
+    cum_col: str,
+    q_num: int,
+    q_den: int,
+) -> DataFrame:
+    """PromQL's ``histogram_quantile`` over pre-aggregated CUMULATIVE
+    bucket counts — the read-side op for every scrape-style histogram
+    (and for what the EMF SEH path writes once bucketized): per series,
+    find the first bucket whose cumulative count reaches rank
+    ``q*total`` and interpolate linearly inside it.
+
+    The quantile ``q = q_num/q_den`` stays RATIONAL: bucket selection
+    compares ``cum*q_den >= q_num*total`` (cross-multiplied, no float)
+    and the interpolation
+
+        ``prev_le + (le-prev_le) * (rank-prev_cum) / (cum-prev_cum)``
+
+    is emitted in integer MICRO-units of the ``le`` lattice:
+    ``quantile_micro = prev_le*1e6 + ((le-prev_le) * 1_000_000 *
+    (q_num*total - q_den*prev_cum)) div (q_den*(cum-prev_cum))`` — all
+    BIGINT, truncating div on non-negative operands, so DuckDB replays
+    it bit-for-bit. Headroom: the interpolation product needs
+    ``bucket_width * 1e6 * q_den * bucket_count`` < 2^63 (ANSI mode
+    RAISES on overflow rather than silently wrapping) — at width 1000
+    and q_den 100 that is ~9e10 samples per single bucket, far beyond
+    any real per-series histogram.
+
+    Semantics pinned to PromQL's: the virtual bucket below the first
+    ``le`` starts at 0 (``prev_le``/``prev_cum`` default 0); the last
+    bucket must cover the distribution (the producer's +Inf bucket —
+    pass its finite stand-in); an all-zero series yields no row
+    (excluded explicitly — PromQL returns NaN there, and rank 0 would
+    otherwise select an empty bucket and divide by zero). Cumulative counts must be
+    non-decreasing in ``le``: a violation RAISES in-plan, riding the
+    ``cum`` value every downstream comparison evaluates, so malformed
+    producer data cannot silently yield a wrong quantile.
+
+    Scale shape: one Exchange on the series key feeding a lag window
+    and a partition-max (same partitioning, one sort), then a
+    map-combinable struct-min aggregate picks the target bucket — no
+    joins, no second shuffle of the bucket stream, O(series) output.
+    """
+    if q_den < 1 or q_num < 1 or q_num > q_den:
+        raise ValueError("quantile must satisfy 0 < q_num/q_den <= 1")
+    for c in ("le", "quantile_micro"):
+        if c in key_cols:
+            raise ValueError(f"key column {c!r} collides with outputs")
+    wo = Window.partitionBy(*key_cols).orderBy(F.col(le_col).asc())
+    wp = Window.partitionBy(*key_cols)
+    le = F.col(le_col).cast("bigint")
+    cum = F.col(cum_col).cast("bigint")
+    staged = df.select(
+        *key_cols,
+        le.alias("_hq_le"),
+        cum.alias("_hq_cum"),
+        F.coalesce(F.lag(le).over(wo), F.lit(0)).alias("_hq_ple"),
+        F.coalesce(F.lag(cum).over(wo), F.lit(0)).alias("_hq_pcum"),
+        F.max(cum).over(wp).alias("_hq_total"),
+    )
+    cum_g = F.when(
+        F.col("_hq_cum") < F.col("_hq_pcum"),
+        F.raise_error(
+            F.concat(
+                F.lit("histogram_quantile: cumulative counts decrease at le="),
+                F.col("_hq_le").cast("string"),
+            )
+        ).cast("bigint"),
+    ).otherwise(F.col("_hq_cum"))
+    cand = staged.select(
+        *key_cols, "_hq_le", "_hq_ple", "_hq_pcum", "_hq_total",
+        cum_g.alias("_hq_cum"),
+    ).filter(
+        (F.col("_hq_total") > 0)
+        & (F.col("_hq_cum") * q_den >= F.lit(q_num) * F.col("_hq_total"))
+    )
+    pick = F.min(
+        F.struct(
+            F.col("_hq_le").alias("le"),
+            F.col("_hq_ple").alias("ple"),
+            F.col("_hq_pcum").alias("pcum"),
+            F.col("_hq_cum").alias("cum"),
+            F.col("_hq_total").alias("total"),
+        )
+    ).alias("_p")
+    out = cand.groupBy(*key_cols).agg(pick)
+    p = F.col("_p")
+    quantile = p["ple"] * 1_000_000 + F.expr(
+        f"((_p.le - _p.ple) * 1000000 * ({q_num} * _p.total - {q_den} * _p.pcum)) "
+        f"div ({q_den} * (_p.cum - _p.pcum))"
+    )
+    return out.select(
+        *key_cols,
+        p["le"].alias("le"),
+        quantile.cast("bigint").alias("quantile_micro"),
+    )

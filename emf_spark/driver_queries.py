@@ -6643,6 +6643,57 @@ LEFT JOIN region r ON f.m = 1 AND r.r_regionkey = f.rk
 """
 
 
+def q_ts_histogram_quantile(spark, sf):
+    """PromQL histogram_quantile (timeseries.histogram_quantile): build
+    per-event_type CUMULATIVE bucket counts on a fixed cent lattice,
+    then pick p95 — bucket selection by cross-multiplied rational
+    compare (cum*100 >= 95*total), linear interpolation emitted in
+    integer micro-units with a single truncating div, so the quantile
+    is bit-portable. One Exchange (lag window + partition-max share a
+    partitioning) + one struct-min argpick aggregate."""
+    from emf_spark.datax.timeseries import histogram_quantile
+
+    les = [5000 * i for i in range(1, 11)]
+    ev = _t(spark, sf, "events")
+    e = ev.filter(F.col("value").isNotNull()).select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("x")
+    )
+    h = (
+        e.select(
+            "event_type", "x",
+            F.explode(F.array(*[F.lit(l) for l in les])).alias("le"),
+        )
+        .groupBy("event_type", "le")
+        .agg(F.sum(F.when(F.col("x") <= F.col("le"), 1).otherwise(0))
+             .cast("bigint").alias("cum"))
+    )
+    return histogram_quantile(h, ["event_type"], "le", "cum", 95, 100)
+
+
+SQL_TS_HISTOGRAM_QUANTILE = """
+WITH les AS (SELECT UNNEST(CAST([5000,10000,15000,20000,25000,30000,35000,
+                                 40000,45000,50000] AS BIGINT[])) AS le),
+e AS (SELECT event_type,
+             CAST(round(CAST(value AS DOUBLE) * 100, 0) AS BIGINT) AS x
+      FROM events WHERE value IS NOT NULL),
+h AS (SELECT event_type, le,
+             CAST(COUNT(*) FILTER (WHERE x <= le) AS BIGINT) AS cum
+      FROM e CROSS JOIN les GROUP BY 1, 2),
+lagd AS (SELECT event_type, le, cum,
+                COALESCE(LAG(le) OVER w, 0) AS ple,
+                COALESCE(LAG(cum) OVER w, 0) AS pcum,
+                MAX(cum) OVER (PARTITION BY event_type) AS total
+         FROM h WINDOW w AS (PARTITION BY event_type ORDER BY le)),
+cand AS (SELECT * FROM lagd WHERE cum * 100 >= 95 * total
+         QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY le) = 1)
+SELECT event_type, le,
+       CAST(ple * 1000000
+            + ((le - ple) * 1000000 * (95 * total - 100 * pcum))
+              // (100 * (cum - pcum)) AS BIGINT) AS quantile_micro
+FROM cand
+"""
+
+
 QUERIES: dict[str, Callable] = {
     "emf_dim_hash_group": q_dim_hash_group,
     "emf_value_count_hist": q_value_count_hist,
@@ -6718,6 +6769,7 @@ QUERIES: dict[str, Callable] = {
     "events_service_graph": q_events_service_graph,
     "events_url_normalize": q_events_url_normalize,
     "events_suffix_enrich": q_events_suffix_enrich,
+    "ts_histogram_quantile": q_ts_histogram_quantile,
     "ann_kmeans_clusters": q_ann_kmeans_clusters,
     "dedup_embedding": q_dedup_embedding,
     "data_split": q_data_split,
@@ -6878,6 +6930,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_service_graph": SQL_EVENTS_SERVICE_GRAPH,
     "events_url_normalize": SQL_EVENTS_URL_NORMALIZE,
     "events_suffix_enrich": SQL_EVENTS_SUFFIX_ENRICH,
+    "ts_histogram_quantile": SQL_TS_HISTOGRAM_QUANTILE,
     "ann_kmeans_clusters": _sql_kmeans(),
     "dedup_embedding": _sql_dedup_embedding(),
     "data_split": SQL_DATA_SPLIT,

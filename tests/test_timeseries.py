@@ -320,3 +320,85 @@ def test_cusum_plan_single_exchange(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert plan.count("Sort ") <= 1, plan
+
+
+def _hq_ref(buckets, q_num, q_den):
+    """PromQL histogram_quantile reference on (le, cum) pairs sorted by
+    le, integer micro-units."""
+    total = max(c for _, c in buckets)
+    ple, pcum = 0, 0
+    for le, cum in sorted(buckets):
+        if cum * q_den >= q_num * total:
+            return (le, ple * 1_000_000
+                    + ((le - ple) * 1_000_000 * (q_num * total - q_den * pcum))
+                    // (q_den * (cum - pcum)))
+        ple, pcum = le, cum
+    return None
+
+
+def _hq_run(spark, rows, q_num, q_den):
+    df = spark.createDataFrame(rows, "k string, le long, cum long")
+    got = TS.histogram_quantile(df, ["k"], "le", "cum", q_num, q_den)
+    return {r["k"]: (r["le"], r["quantile_micro"]) for r in got.collect()}
+
+
+def test_histogram_quantile_matches_reference(spark):
+    import random
+
+    rng = random.Random(11)
+    rows, expect = [], {}
+    for k in ("a", "b", "c", "d"):
+        les = [1000 * i for i in range(1, 11)]
+        counts = [rng.randrange(0, 50) for _ in les]
+        cums, acc = [], 0
+        for c in counts:
+            acc += c
+            cums.append(acc)
+        buckets = list(zip(les, cums))
+        for q in ((50, 100), (95, 100), (999, 1000), (1, 1)):
+            expect[(k, q)] = _hq_ref(buckets, *q)
+        rows += [(k, le, cum) for le, cum in buckets]
+    for q in ((50, 100), (95, 100), (999, 1000), (1, 1)):
+        got = _hq_run(spark, rows, *q)
+        for k in ("a", "b", "c", "d"):
+            assert got[k] == expect[(k, q)], (k, q)
+
+
+def test_histogram_quantile_edges(spark):
+    # rank lands exactly on a bucket's cumulative count -> zero
+    # interpolation remainder; first-bucket pick uses the virtual
+    # (le=0, cum=0) lower bound
+    got = _hq_run(spark, [("a", 100, 10), ("a", 200, 10)], 1, 1)
+    assert got["a"] == (100, 100_000_000)  # q=1.0 -> top of first bucket
+    got = _hq_run(spark, [("b", 100, 4), ("b", 200, 8)], 50, 100)
+    assert got["b"] == (100, 100_000_000)  # rank 4 == cum of bucket 1
+    # all-zero series: no bucket reaches a positive rank -> no row
+    got = _hq_run(spark, [("z", 100, 0), ("z", 200, 0)], 95, 100)
+    assert "z" not in got
+
+    with pytest.raises(ValueError, match="q_num/q_den"):
+        TS.histogram_quantile(
+            spark.createDataFrame([("a", 1, 1)], "k string, le long, cum long"),
+            ["k"], "le", "cum", 0, 100)
+    with pytest.raises(ValueError, match="q_num/q_den"):
+        TS.histogram_quantile(
+            spark.createDataFrame([("a", 1, 1)], "k string, le long, cum long"),
+            ["k"], "le", "cum", 101, 100)
+
+
+def test_histogram_quantile_monotonicity_guard(spark):
+    df = spark.createDataFrame(
+        [("a", 100, 10), ("a", 200, 5)], "k string, le long, cum long")
+    with pytest.raises(Exception, match="cumulative counts decrease"):
+        TS.histogram_quantile(df, ["k"], "le", "cum", 50, 100).collect()
+
+
+def test_histogram_quantile_plan_single_exchange(spark):
+    df = spark.createDataFrame(
+        [("a", 100, 10), ("a", 200, 20)], "k string, le long, cum long")
+    plan = TS.histogram_quantile(df, ["k"], "le", "cum", 95, 100)\
+        ._jdf.queryExecution().executedPlan().toString()
+    # lag window + partition-max share the series partitioning; the
+    # final argpick aggregate adds its own exchange at most once
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "Join" not in plan, plan

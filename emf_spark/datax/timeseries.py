@@ -646,3 +646,77 @@ def histogram_quantile(
         p["le"].alias("le"),
         quantile.cast("bigint").alias("quantile_micro"),
     )
+
+
+def seasonal_baseline(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    step_seconds: int,
+    season_seconds: int,
+    threshold_ppm: int,
+    min_history: int = 2,
+) -> DataFrame:
+    """Seasonal-naive volume-anomaly detection — the log-pipeline alarm
+    for "this Tuesday 3pm is 4x every other Tuesday 3pm", which global
+    thresholds (mad_anomalies) and unconditioned drift (distribution_
+    drift) both miss because volume is PERIODIC: each time bucket is
+    compared only against PRIOR buckets in the same seasonal slot
+    (slot = position of the bucket inside the ``season_seconds``
+    cycle, e.g. hour-of-week for step=3600, season=604800).
+
+    Per (series, bucket): ``n`` (event count), ``baseline_n`` (how many
+    prior same-slot buckets exist), ``ratio_ppm`` = current/mean-prior
+    in parts-per-million computed by cross-multiplied integer division
+    ``(1e6 * n * baseline_n) div baseline_sum`` (NULL until any
+    history), and ``anomalous`` (int 0/1) = ratio >= threshold_ppm AND
+    baseline_n >= min_history — early slots with thin history never
+    alarm. All integer, DuckDB-replayable bit-for-bit.
+
+    Only OBSERVED buckets appear: a zero-event bucket contributes no
+    row and no baseline sample. Pipelines alarming on silence should
+    densify first (resample_ffill) — absence-of-logs is a different
+    detector with a different false-positive profile.
+
+    Scale shape: ONE map-combinable count aggregate keyed
+    (series, bucket) collapses the event stream, then one window
+    partitioned (series, slot) ordered by bucket with an
+    unbounded-preceding-to-1-preceding frame computes the running
+    prior sum/count — two exchanges total, both over the already
+    collapsed O(series x buckets) frame, never the raw stream; no
+    joins, no collect."""
+    if step_seconds < 1 or season_seconds < step_seconds:
+        raise ValueError("need step_seconds >= 1 and season_seconds >= step_seconds")
+    if season_seconds % step_seconds != 0:
+        raise ValueError("season_seconds must be a multiple of step_seconds")
+    if threshold_ppm < 1 or min_history < 1:
+        raise ValueError("threshold_ppm and min_history must be >= 1")
+    u = F.unix_timestamp(F.col(ts_col))
+    bucket = (u - u % step_seconds).alias("bucket_start")
+    counts = df.groupBy(*key_cols, bucket).agg(F.count(F.lit(1)).alias("n"))
+    slot = (F.col("bucket_start") % season_seconds).alias("slot")
+    w = (
+        Window.partitionBy(*key_cols, "slot")
+        .orderBy(F.col("bucket_start").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    staged = counts.select(
+        *key_cols, "bucket_start", "n", slot
+    ).select(
+        *key_cols, "bucket_start", "slot", "n",
+        F.coalesce(F.count("n").over(w), F.lit(0)).alias("baseline_n"),
+        F.coalesce(F.sum("n").over(w), F.lit(0)).alias("baseline_sum"),
+    )
+    ratio = F.when(
+        F.col("baseline_n") > 0,
+        F.expr("(1000000 * n * baseline_n) div baseline_sum"),
+    )
+    return staged.select(
+        *key_cols, "bucket_start", "slot", "n", "baseline_n",
+        ratio.cast("bigint").alias("ratio_ppm"),
+        F.when(
+            (F.col("baseline_n") >= min_history)
+            & (ratio >= threshold_ppm),
+            1,
+        ).otherwise(0).alias("anomalous"),
+    )

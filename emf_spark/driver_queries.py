@@ -6694,6 +6694,45 @@ FROM cand
 """
 
 
+def q_ts_seasonal_anomaly(spark, sf):
+    """Seasonal-naive volume anomaly (timeseries.seasonal_baseline):
+    each (event_type, hour) bucket compared only against PRIOR buckets
+    in the same hour-of-day slot — the periodic-volume alarm global
+    thresholds miss. ratio_ppm = (1e6*n*baseline_n) div baseline_sum,
+    all integer; thin-history slots (<2 priors) never alarm. One
+    count aggregate + one (series, slot) window over the collapsed
+    frame — two exchanges, never the raw stream."""
+    from emf_spark.datax.timeseries import seasonal_baseline
+
+    ev = _t(spark, sf, "events")
+    return seasonal_baseline(
+        ev, ["event_type"], "ts",
+        step_seconds=3600, season_seconds=86400,
+        threshold_ppm=1_500_000, min_history=2,
+    )
+
+
+SQL_TS_SEASONAL_ANOMALY = """
+WITH c AS (
+  SELECT event_type, e - e % 3600 AS bucket_start, COUNT(*) AS n
+  FROM (SELECT event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) AS e FROM events)
+  GROUP BY 1, 2),
+s AS (
+  SELECT event_type, bucket_start, bucket_start % 86400 AS slot, n,
+         COUNT(n) OVER w AS bn, COALESCE(SUM(n) OVER w, 0) AS bs
+  FROM c
+  WINDOW w AS (PARTITION BY event_type, bucket_start % 86400
+               ORDER BY bucket_start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+SELECT event_type, bucket_start, slot, n, bn AS baseline_n,
+       CASE WHEN bn > 0
+            THEN CAST((1000000 * n * bn) // bs AS BIGINT) END AS ratio_ppm,
+       CASE WHEN bn >= 2 AND (1000000 * n * bn) // bs >= 1500000
+            THEN 1 ELSE 0 END AS anomalous
+FROM s
+"""
+
+
 QUERIES: dict[str, Callable] = {
     "emf_dim_hash_group": q_dim_hash_group,
     "emf_value_count_hist": q_value_count_hist,
@@ -6770,6 +6809,7 @@ QUERIES: dict[str, Callable] = {
     "events_url_normalize": q_events_url_normalize,
     "events_suffix_enrich": q_events_suffix_enrich,
     "ts_histogram_quantile": q_ts_histogram_quantile,
+    "ts_seasonal_anomaly": q_ts_seasonal_anomaly,
     "ann_kmeans_clusters": q_ann_kmeans_clusters,
     "dedup_embedding": q_dedup_embedding,
     "data_split": q_data_split,
@@ -6931,6 +6971,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_url_normalize": SQL_EVENTS_URL_NORMALIZE,
     "events_suffix_enrich": SQL_EVENTS_SUFFIX_ENRICH,
     "ts_histogram_quantile": SQL_TS_HISTOGRAM_QUANTILE,
+    "ts_seasonal_anomaly": SQL_TS_SEASONAL_ANOMALY,
     "ann_kmeans_clusters": _sql_kmeans(),
     "dedup_embedding": _sql_dedup_embedding(),
     "data_split": SQL_DATA_SPLIT,

@@ -402,3 +402,58 @@ def test_histogram_quantile_plan_single_exchange(spark):
     # final argpick aggregate adds its own exchange at most once
     assert plan.count("Exchange hashpartitioning") <= 2, plan
     assert "Join" not in plan, plan
+
+
+def test_seasonal_baseline_slots_and_ratio(spark):
+    """Same-slot-only comparison: hour-10 buckets across days baseline
+    each other, never hour-11; ratio is the cross-multiplied integer
+    mean; thin history never alarms."""
+    t0 = DT(2024, 1, 1, 10, 0, 0)
+    rows = []
+    eid = 0
+    # series 'a', hour-10 slot across 4 days: 10, 10, 10, 40 events
+    for day, cnt in enumerate((10, 10, 10, 40)):
+        for _ in range(cnt):
+            rows.append(("a", t0 + TD(days=day)))
+    # hour-11 same days: constant 100 — must not contaminate hour-10
+    for day in range(4):
+        for _ in range(100):
+            rows.append(("a", t0 + TD(days=day, hours=1)))
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    got = {(r["k"], r["bucket_start"]): r for r in TS.seasonal_baseline(
+        df, ["k"], "ts", 3600, 86400, threshold_ppm=2_000_000,
+        min_history=2).collect()}
+    e0 = int(t0.timestamp())
+    day = 86400
+    # day 0: no history
+    r0 = got[("a", e0)]
+    assert (r0["baseline_n"], r0["ratio_ppm"], r0["anomalous"]) == (0, None, 0)
+    # day 1: 1 prior (10) -> ratio 1.0 but min_history=2 blocks alarm
+    r1 = got[("a", e0 + day)]
+    assert (r1["baseline_n"], r1["ratio_ppm"], r1["anomalous"]) == (1, 1_000_000, 0)
+    # day 3: priors 10,10,10 -> 40/10 = 4x -> alarm
+    r3 = got[("a", e0 + 3 * day)]
+    assert (r3["baseline_n"], r3["ratio_ppm"], r3["anomalous"]) == (3, 4_000_000, 1)
+    # hour-11 buckets: steady 100s, never anomalous, own slot
+    r11 = got[("a", e0 + 3 * day + 3600)]
+    assert (r11["n"], r11["baseline_n"], r11["ratio_ppm"], r11["anomalous"]) == (
+        100, 3, 1_000_000, 0)
+    assert all(v["slot"] == (k[1] % 86400) for k, v in got.items())
+
+
+def test_seasonal_baseline_guards(spark):
+    df = spark.createDataFrame([("a", DT(2024, 1, 1))], "k string, ts timestamp")
+    with pytest.raises(ValueError, match="step_seconds"):
+        TS.seasonal_baseline(df, ["k"], "ts", 0, 86400, 1)
+    with pytest.raises(ValueError, match="multiple"):
+        TS.seasonal_baseline(df, ["k"], "ts", 3600, 5000, 1)
+    with pytest.raises(ValueError, match="threshold_ppm"):
+        TS.seasonal_baseline(df, ["k"], "ts", 3600, 86400, 0)
+
+
+def test_seasonal_baseline_plan_two_exchanges_no_join(spark):
+    df = spark.createDataFrame([("a", DT(2024, 1, 1))], "k string, ts timestamp")
+    plan = TS.seasonal_baseline(df, ["k"], "ts", 3600, 86400, 1_000_000)\
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "Join" not in plan, plan

@@ -1379,3 +1379,102 @@ def test_streaming_drift_monitor_matches_batch(spark, tmp_path):
     n_versions = len(_versions(spark, f"{store}/cum"))
     run()
     assert len(_versions(spark, f"{store}/cum")) == n_versions
+
+
+def test_streaming_cusum_matches_batch_and_resumes(spark, tmp_path):
+    """streaming/cusum.py: two event-time-ordered micro-batches of a
+    drifting two-series stream; the concatenated per-sample emissions
+    are row-identical to the batch timeseries.cusum over the full
+    input (closed form on both sides, O(1) state carrying it across
+    the batch boundary); checkpoint re-run emits nothing."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from emf_spark.datax.timeseries import cusum
+    from emf_spark.streaming.cusum import streaming_cusum
+
+    base = 1_700_000_000_000_000  # micros
+    rows = []
+    for i in range(40):
+        u = i % 2
+        # series 0 drifts +30 after i>=20; series 1 drifts -30; one NULL
+        v = None if i == 7 else (
+            100.0 + (30.0 if u == 0 and i >= 20 else 0.0)
+            - (30.0 if u == 1 and i >= 20 else 0.0) + (i % 3) * 0.5)
+        rows.append((i, u, base + i * 60_000_000, v))
+    batches = [rows[:20], rows[20:]]
+
+    ind = str(tmp_path / "in")
+    os.makedirs(ind, exist_ok=True)
+    for i, b in enumerate(batches):
+        ids, us, tss, vs = zip(*b)
+        pq.write_table(
+            pa.table({
+                "event_id": pa.array(ids, pa.int64()),
+                "user_id": pa.array(us, pa.int64()),
+                "ts": pa.array(list(tss), pa.timestamp("us")),
+                "value": pa.array(vs, pa.float64()),
+            }),
+            f"{ind}/b{i}.parquet",
+        )
+        os.utime(f"{ind}/b{i}.parquet", (1_700_000_000 + i,) * 2)
+
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, user_id bigint, ts timestamp, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ind)
+    )
+    out = str(tmp_path / "out")
+    args = dict(target_cents=10000, slack_cents=100, threshold_cents=20000)
+    q = (
+        streaming_cusum(stream, ["user_id"], "ts", "value", "event_id", **args)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r["user_id"], r["tiebreak"]): (
+            r["cusum_hi_cents"], r["cusum_lo_cents"],
+            r["alarm_hi"], r["alarm_lo"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert len(got) == 39  # 40 rows minus the NULL sample
+
+    bdf = spark.createDataFrame(
+        [(i, u, __import__("datetime").datetime.utcfromtimestamp(t / 1e6), v)
+         for i, u, t, v in rows],
+        "event_id bigint, user_id bigint, ts timestamp, value double",
+    )
+    want = {
+        (r["user_id"], r["event_id"]): (
+            r["cusum_hi_cents"], r["cusum_lo_cents"],
+            r["alarm_hi"], r["alarm_lo"])
+        for r in cusum(bdf, ["user_id"], "ts", "value", "event_id",
+                       **args).collect()
+    }
+    assert got == want
+    # the drift actually alarmed on both sides of the batch boundary
+    assert any(v[2] for k, v in got.items() if k[0] == 0)
+    assert any(v[3] for k, v in got.items() if k[0] == 1)
+
+    n = spark.read.parquet(out).count()
+    q2 = (
+        streaming_cusum(stream, ["user_id"], "ts", "value", "event_id", **args)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(300)
+    assert spark.read.parquet(out).count() == n

@@ -6733,6 +6733,64 @@ FROM s
 """
 
 
+def q_emf_log_to_metrics(spark, sf):
+    """Fluent Bit log_to_metrics filter (operators/log2metrics.py):
+    two conditioned counters + a last-wins gauge + a cumulative
+    histogram compiled into ONE map-combinable aggregate per hour
+    window over ONE scan, then a literal-sized explode unpivots to
+    long format — one shuffle, no joins, no UDFs. Conditions reuse the
+    modify filter's grammar; field reads are try_cast so bad values
+    skip sampling instead of failing the job."""
+    from emf_spark.operators.log2metrics import log_to_metrics
+
+    ev = _t(spark, sf, "events")
+    rec = F.create_map(
+        F.lit("level"), F.col("event_type"),
+        F.lit("took"), F.round(F.col("value") * 100).cast("bigint").cast("string"),
+        F.lit("code"), (F.col("event_id") % 5).cast("string"),
+    )
+    rules = [
+        {"kind": "counter", "name": "errors_total",
+         "when": [("key_value_equals", "level", "error")]},
+        {"kind": "counter", "name": "code0_total",
+         "when": [("key_value_equals", "code", "0")]},
+        {"kind": "gauge", "name": "took_last", "field": "took"},
+        {"kind": "histogram", "name": "took_hist", "field": "took",
+         "les": [5000, 15000, 30000, 60000]},
+    ]
+    return log_to_metrics(
+        ev.select("ts", "event_id", rec.alias("record")),
+        "record", "ts", "event_id", rules, 3600,
+    )
+
+
+SQL_EMF_LOG_TO_METRICS = """
+WITH b AS (
+  SELECT e - e % 3600 AS w, event_type, event_id,
+         CAST(round(CAST(value AS DOUBLE) * 100, 0) AS BIGINT) AS x, e
+  FROM (SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) AS e, event_type,
+               event_id, value FROM events))
+SELECT w AS bucket_start, 'errors_total' AS metric,
+       CAST(NULL AS BIGINT) AS le,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS value
+FROM b GROUP BY w
+UNION ALL
+SELECT w, 'code0_total', CAST(NULL AS BIGINT),
+       CAST(COUNT(*) FILTER (WHERE event_id % 5 = 0) AS BIGINT)
+FROM b GROUP BY w
+UNION ALL
+SELECT w, 'took_last', CAST(NULL AS BIGINT),
+       (ARRAY_AGG(x ORDER BY e DESC, event_id DESC))[1]
+FROM b GROUP BY w
+UNION ALL
+SELECT w, 'took_hist', le,
+       CAST(COUNT(*) FILTER (WHERE x <= le) AS BIGINT)
+FROM b CROSS JOIN (SELECT UNNEST(CAST([5000, 15000, 30000, 60000]
+                                      AS BIGINT[])) AS le)
+GROUP BY w, le
+"""
+
+
 QUERIES: dict[str, Callable] = {
     "emf_dim_hash_group": q_dim_hash_group,
     "emf_value_count_hist": q_value_count_hist,
@@ -6810,6 +6868,7 @@ QUERIES: dict[str, Callable] = {
     "events_suffix_enrich": q_events_suffix_enrich,
     "ts_histogram_quantile": q_ts_histogram_quantile,
     "ts_seasonal_anomaly": q_ts_seasonal_anomaly,
+    "emf_log_to_metrics": q_emf_log_to_metrics,
     "ann_kmeans_clusters": q_ann_kmeans_clusters,
     "dedup_embedding": q_dedup_embedding,
     "data_split": q_data_split,
@@ -6972,6 +7031,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_suffix_enrich": SQL_EVENTS_SUFFIX_ENRICH,
     "ts_histogram_quantile": SQL_TS_HISTOGRAM_QUANTILE,
     "ts_seasonal_anomaly": SQL_TS_SEASONAL_ANOMALY,
+    "emf_log_to_metrics": SQL_EMF_LOG_TO_METRICS,
     "ann_kmeans_clusters": _sql_kmeans(),
     "dedup_embedding": _sql_dedup_embedding(),
     "data_split": SQL_DATA_SPLIT,

@@ -720,3 +720,62 @@ def seasonal_baseline(
             1,
         ).otherwise(0).alias("anomalous"),
     )
+
+
+def flag_episodes(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    tiebreak_col: str,
+    flag_col: str,
+) -> DataFrame:
+    """Collapse a per-sample 0/1 flag stream (cusum/seasonal alarms,
+    threshold breaches) into EPISODES — maximal runs of consecutive
+    flagged samples per series — the alert-dedup step that pages once
+    per incident instead of once per sample. NULL flags count as 0.
+
+    Per episode: ``(*key_cols, episode, n_samples, start_ts, end_ts,
+    start_tie, end_tie)`` — ``episode`` numbers 1..k per series in
+    time order; start/end are the FIRST/LAST flagged sample by
+    ``(ts, tiebreak)`` (the tiebreak of the first row, not min(tie) —
+    a later row can carry a smaller tiebreak).
+
+    Scale shape: episode identity is a rising-edge running sum —
+    ``edge = flag & !lag(flag)`` then ``sum(edge)`` over the same
+    (series, (ts, tiebreak)) window spec — so both passes share ONE
+    Exchange + one per-series sort (the cusum plan shape), followed by
+    a map-combinable struct-min/max aggregate per (series, episode).
+    No joins; unflagged samples drop before the aggregate."""
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col("_fe_ts").asc(), F.col("_fe_tie").asc()
+    )
+    wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flag = F.coalesce(F.col(flag_col).cast("int"), F.lit(0))
+    u = F.unix_timestamp(F.col(ts_col))
+    staged = df.select(
+        *key_cols,
+        u.alias("_fe_ts"),
+        F.col(tiebreak_col).alias("_fe_tie"),
+        flag.alias("_fe_f"),
+    ).withColumn(
+        "_fe_edge",
+        F.when(
+            (F.col("_fe_f") == 1)
+            & (F.coalesce(F.lag("_fe_f").over(w), F.lit(0)) == 0),
+            1,
+        ).otherwise(0),
+    ).withColumn("_fe_ep", F.sum("_fe_edge").over(wr))
+    first = F.min(F.struct(F.col("_fe_ts"), F.col("_fe_tie"))).alias("_s")
+    last = F.max(F.struct(F.col("_fe_ts"), F.col("_fe_tie"))).alias("_e")
+    return (
+        staged.filter(F.col("_fe_f") == 1)
+        .groupBy(*key_cols, F.col("_fe_ep").alias("episode"))
+        .agg(F.count(F.lit(1)).alias("n_samples"), first, last)
+        .select(
+            *key_cols, "episode", "n_samples",
+            F.col("_s")["_fe_ts"].alias("start_ts"),
+            F.col("_e")["_fe_ts"].alias("end_ts"),
+            F.col("_s")["_fe_tie"].alias("start_tie"),
+            F.col("_e")["_fe_tie"].alias("end_tie"),
+        )
+    )

@@ -6791,6 +6791,47 @@ GROUP BY w, le
 """
 
 
+def q_ts_flag_episodes(spark, sf):
+    """Alert-episode grouping (timeseries.flag_episodes): collapse a
+    per-sample threshold flag (value >= 150.00) into maximal
+    consecutive-flagged runs per event_type series — rising-edge
+    running sum over ONE (series, (ts, tiebreak)) window spec (one
+    Exchange + one sort, the cusum plan shape) + a struct-min/max
+    aggregate per episode. The alert-dedup step between the anomaly
+    detectors (cusum, seasonal) and the pager."""
+    from emf_spark.datax.timeseries import flag_episodes
+
+    ev = _t(spark, sf, "events")
+    flagged = ev.select(
+        "event_type", "ts", "event_id",
+        (F.round(F.col("value") * 100) >= 15000).cast("int").alias("flag"),
+    )
+    return flag_episodes(flagged, ["event_type"], "ts", "event_id", "flag")
+
+
+SQL_TS_FLAG_EPISODES = """
+WITH f AS (
+  SELECT event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts, event_id,
+         CASE WHEN round(CAST(value AS DOUBLE) * 100, 0) >= 15000
+              THEN 1 ELSE 0 END AS flag
+  FROM events),
+e AS (
+  SELECT *, CASE WHEN flag = 1 AND COALESCE(LAG(flag) OVER w, 0) = 0
+                 THEN 1 ELSE 0 END AS edge
+  FROM f WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+g AS (
+  SELECT *, CAST(SUM(edge) OVER w2 AS BIGINT) AS episode
+  FROM e WINDOW w2 AS (PARTITION BY event_type ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING))
+SELECT event_type, episode, COUNT(*) AS n_samples,
+       MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+       (ARRAY_AGG(event_id ORDER BY ts, event_id))[1] AS start_tie,
+       (ARRAY_AGG(event_id ORDER BY ts DESC, event_id DESC))[1] AS end_tie
+FROM g WHERE flag = 1
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, Callable] = {
     "emf_dim_hash_group": q_dim_hash_group,
     "emf_value_count_hist": q_value_count_hist,
@@ -6869,6 +6910,7 @@ QUERIES: dict[str, Callable] = {
     "ts_histogram_quantile": q_ts_histogram_quantile,
     "ts_seasonal_anomaly": q_ts_seasonal_anomaly,
     "emf_log_to_metrics": q_emf_log_to_metrics,
+    "ts_flag_episodes": q_ts_flag_episodes,
     "ann_kmeans_clusters": q_ann_kmeans_clusters,
     "dedup_embedding": q_dedup_embedding,
     "data_split": q_data_split,
@@ -7032,6 +7074,7 @@ ORACLE_SQL: dict[str, str] = {
     "ts_histogram_quantile": SQL_TS_HISTOGRAM_QUANTILE,
     "ts_seasonal_anomaly": SQL_TS_SEASONAL_ANOMALY,
     "emf_log_to_metrics": SQL_EMF_LOG_TO_METRICS,
+    "ts_flag_episodes": SQL_TS_FLAG_EPISODES,
     "ann_kmeans_clusters": _sql_kmeans(),
     "dedup_embedding": _sql_dedup_embedding(),
     "data_split": SQL_DATA_SPLIT,

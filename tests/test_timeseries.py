@@ -457,3 +457,41 @@ def test_seasonal_baseline_plan_two_exchanges_no_join(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") <= 2, plan
     assert "Join" not in plan, plan
+
+
+def test_flag_episodes_runs_and_boundaries(spark):
+    t0 = DT(2024, 1, 1)
+    rows = [
+        # series a: 1 1 0 1 None 1 1 -> episodes [0,1], [3,3], [5,6]
+        # (NULL flag breaks a run like a 0)
+        ("a", t0 + TD(minutes=0), 0, 1), ("a", t0 + TD(minutes=1), 1, 1),
+        ("a", t0 + TD(minutes=2), 2, 0), ("a", t0 + TD(minutes=3), 3, 1),
+        ("a", t0 + TD(minutes=4), 4, None), ("a", t0 + TD(minutes=5), 5, 1),
+        ("a", t0 + TD(minutes=6), 6, 1),
+        # series b: never flagged -> no rows
+        ("b", t0, 10, 0),
+        # series c: same-second ties order by tiebreak: 20 then 21
+        ("c", t0, 21, 1), ("c", t0, 20, 1),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, id long, flag int")
+    got = {(r["k"], r["episode"]): (r["n_samples"], r["start_tie"],
+                                    r["end_tie"], r["start_ts"], r["end_ts"])
+           for r in TS.flag_episodes(df, ["k"], "ts", "id", "flag").collect()}
+    e0 = int(t0.timestamp())
+    assert got[("a", 1)] == (2, 0, 1, e0, e0 + 60)
+    assert got[("a", 2)] == (1, 3, 3, e0 + 180, e0 + 180)
+    assert got[("a", 3)] == (2, 5, 6, e0 + 300, e0 + 360)
+    assert not any(k == "b" for k, _ in got)
+    assert got[("c", 1)] == (2, 20, 21, e0, e0)
+    assert len(got) == 4
+
+
+def test_flag_episodes_plan_single_exchange(spark):
+    df = spark.createDataFrame(
+        [("a", DT(2024, 1, 1), 0, 1)], "k string, ts timestamp, id long, flag int")
+    plan = TS.flag_episodes(df, ["k"], "ts", "id", "flag")\
+        ._jdf.queryExecution().executedPlan().toString()
+    # lag + running sum share one (series, order) window partitioning;
+    # the final per-episode aggregate may add one more
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "Join" not in plan, plan

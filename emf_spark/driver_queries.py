@@ -6832,6 +6832,133 @@ GROUP BY 1, 2
 """
 
 
+def q_events_user_agent(spark, sf):
+    """User-agent classification (operators/useragent.py): render one
+    deterministic UA string per event from 12 real-world template
+    classes (product version digits vary with user_id; every 97th
+    user sends no UA) and classify with parse_user_agent — the whole
+    classifier is ONE narrow CASE/rlike projection (no UDF, no
+    explode, no shuffle) feeding a single map-combinable aggregate
+    over (family, os, device, is_bot). The bot-vs-human split every
+    web-log pipeline needs before its rates mean anything."""
+    from emf_spark.operators.useragent import parse_user_agent
+
+    ev = _fan(spark, _t(spark, sf, "events"))
+    v = (F.col("user_id") % 28 + 100).cast("int").cast("string")
+    k = F.col("user_id") % 12
+    _wk = "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/"
+    ua = (
+        F.when(F.col("user_id") % 97 == 0, F.lit(None).cast("string"))
+        .when(k == 0, F.concat(F.lit(_wk), v, F.lit(".0.0.0 Safari/537.36")))
+        .when(k == 1, F.concat(F.lit("Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/"), v, F.lit(".1 Safari/605.1.15")))
+        .when(k == 2, F.concat(F.lit("Mozilla/5.0 (X11; Linux x86_64; rv:"), v, F.lit(".0) Gecko/20100101 Firefox/"), v, F.lit(".0")))
+        .when(k == 3, F.concat(F.lit(_wk), v, F.lit(".0.0.0 Safari/537.36 Edg/"), v, F.lit(".0.1")))
+        .when(k == 4, F.concat(F.lit("Mozilla/5.0 (iPhone; CPU iPhone OS 17_5 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/"), v, F.lit(".0 Mobile/15E148 Safari/604.1")))
+        .when(k == 5, F.concat(F.lit("Mozilla/5.0 (Linux; Android 14; Pixel 8) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/"), v, F.lit(".0.0.0 Mobile Safari/537.36")))
+        .when(k == 6, F.concat(F.lit("Mozilla/5.0 (Linux; Android 14; SM-X910) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/"), v, F.lit(".0.0.0 Safari/537.36")))
+        .when(k == 7, F.lit("Googlebot/2.1 (+http://www.google.com/bot.html)"))
+        .when(k == 8, F.lit("curl/8.5.0"))
+        .when(k == 9, F.lit("Mozilla/5.0 (compatible; MSIE 9.0; Windows NT 6.1; Trident/5.0)"))
+        .when(k == 10, F.lit("Mozilla/5.0 (iPad; CPU OS 16_6 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/16.6 Mobile/15E148 Safari/604.1"))
+        .otherwise(F.concat(F.lit("Opera/9.80 (Windows NT 6.0) Presto/2.12.388 Version/"), v, F.lit(".16")))
+    )
+    # two projections, not one: the rendered-UA CASE is not cheap, so
+    # CollapseProject keeps the barrier and each rlike guard references
+    # one attribute instead of re-expanding the 12-branch render —
+    # composed inline, the generated doConsume blows the JVM's 64 KB
+    # method limit and the whole stage falls out of codegen
+    p = ev.select(ua.alias("ua")).select(
+        parse_user_agent(F.col("ua")).alias("p")
+    )
+    return p.groupBy(
+        F.col("p.family").alias("family"),
+        F.col("p.os").alias("os"),
+        F.col("p.device").alias("device"),
+        # int not boolean: a NULL bool round-trips asymmetrically through
+        # the two pandas bridges (None vs NaN); NULL int is NaN on both
+        F.col("p.is_bot").cast("int").alias("is_bot"),
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.count(F.col("p.version")).alias("n_versioned"),
+        F.max(F.col("p.major")).alias("max_major"),
+        F.min(F.col("p.os_version")).alias("min_os_version"),
+    )
+
+
+# The oracle REPLAYS the classifier's exact ordered rule regexes in
+# DuckDB (RE2) — the rules live in the Java∩RE2 subset by design
+# (useragent.py module docstring), so this is a true cross-engine
+# check of the classification, not a per-template lookup table.
+SQL_EVENTS_USER_AGENT = """
+WITH base AS (
+  SELECT CASE
+    WHEN user_id % 97 = 0 THEN NULL
+    WHEN user_id % 12 = 0 THEN 'Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/' || v || '.0.0.0 Safari/537.36'
+    WHEN user_id % 12 = 1 THEN 'Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/' || v || '.1 Safari/605.1.15'
+    WHEN user_id % 12 = 2 THEN 'Mozilla/5.0 (X11; Linux x86_64; rv:' || v || '.0) Gecko/20100101 Firefox/' || v || '.0'
+    WHEN user_id % 12 = 3 THEN 'Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/' || v || '.0.0.0 Safari/537.36 Edg/' || v || '.0.1'
+    WHEN user_id % 12 = 4 THEN 'Mozilla/5.0 (iPhone; CPU iPhone OS 17_5 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/' || v || '.0 Mobile/15E148 Safari/604.1'
+    WHEN user_id % 12 = 5 THEN 'Mozilla/5.0 (Linux; Android 14; Pixel 8) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/' || v || '.0.0.0 Mobile Safari/537.36'
+    WHEN user_id % 12 = 6 THEN 'Mozilla/5.0 (Linux; Android 14; SM-X910) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/' || v || '.0.0.0 Safari/537.36'
+    WHEN user_id % 12 = 7 THEN 'Googlebot/2.1 (+http://www.google.com/bot.html)'
+    WHEN user_id % 12 = 8 THEN 'curl/8.5.0'
+    WHEN user_id % 12 = 9 THEN 'Mozilla/5.0 (compatible; MSIE 9.0; Windows NT 6.1; Trident/5.0)'
+    WHEN user_id % 12 = 10 THEN 'Mozilla/5.0 (iPad; CPU OS 16_6 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/16.6 Mobile/15E148 Safari/604.1'
+    ELSE 'Opera/9.80 (Windows NT 6.0) Presto/2.12.388 Version/' || v || '.16'
+  END AS ua
+  FROM (SELECT user_id, CAST(CAST(user_id % 28 + 100 AS INTEGER) AS VARCHAR) AS v FROM events)),
+lc AS (SELECT ua, lower(ua) AS l FROM base),
+cls AS (
+  SELECT
+    CASE WHEN ua IS NULL THEN NULL
+         WHEN regexp_matches(l, '(bot|crawler|spider|crawling|curl/|wget/|python-requests|go-http-client|httpclient)') THEN 'bot'
+         WHEN regexp_matches(l, 'edg[a-z]*/') THEN 'edge'
+         WHEN regexp_matches(l, '(opr/|opera)') THEN 'opera'
+         WHEN regexp_matches(l, 'firefox/') THEN 'firefox'
+         WHEN regexp_matches(l, '(chrome|crios)/') THEN 'chrome'
+         WHEN regexp_matches(l, 'safari') THEN 'safari'
+         WHEN regexp_matches(l, '(msie |trident/)') THEN 'ie'
+         ELSE 'other' END AS family,
+    CASE WHEN ua IS NULL THEN NULL
+         WHEN regexp_matches(l, '(bot|crawler|spider|crawling|curl/|wget/|python-requests|go-http-client|httpclient)') THEN NULL
+         WHEN regexp_matches(l, 'edg[a-z]*/') THEN (CASE WHEN regexp_matches(l, 'edg[a-z]*/([0-9][0-9.]*)') THEN regexp_extract(l, 'edg[a-z]*/([0-9][0-9.]*)', 1) END)
+         WHEN regexp_matches(l, '(opr/|opera)') THEN (CASE WHEN regexp_matches(l, '(?:opr|opera)[/ ]([0-9][0-9.]*)') THEN regexp_extract(l, '(?:opr|opera)[/ ]([0-9][0-9.]*)', 1) END)
+         WHEN regexp_matches(l, 'firefox/') THEN (CASE WHEN regexp_matches(l, 'firefox/([0-9][0-9.]*)') THEN regexp_extract(l, 'firefox/([0-9][0-9.]*)', 1) END)
+         WHEN regexp_matches(l, '(chrome|crios)/') THEN (CASE WHEN regexp_matches(l, '(?:chrome|crios)/([0-9][0-9.]*)') THEN regexp_extract(l, '(?:chrome|crios)/([0-9][0-9.]*)', 1) END)
+         WHEN regexp_matches(l, 'safari') THEN (CASE WHEN regexp_matches(l, 'version/([0-9][0-9.]*)') THEN regexp_extract(l, 'version/([0-9][0-9.]*)', 1) END)
+         WHEN regexp_matches(l, '(msie |trident/)') THEN (CASE WHEN regexp_matches(l, '(?:msie |rv:)([0-9][0-9.]*)') THEN regexp_extract(l, '(?:msie |rv:)([0-9][0-9.]*)', 1) END)
+         ELSE NULL END AS version,
+    CASE WHEN ua IS NULL THEN NULL
+         WHEN regexp_matches(l, 'windows nt') THEN 'windows'
+         WHEN regexp_matches(l, 'android') THEN 'android'
+         WHEN regexp_matches(l, '(iphone|ipad|ipod)') THEN 'ios'
+         WHEN regexp_matches(l, 'mac os x') THEN 'macos'
+         WHEN regexp_matches(l, 'linux') THEN 'linux'
+         ELSE 'other' END AS os,
+    CASE WHEN ua IS NULL THEN NULL
+         WHEN regexp_matches(l, 'windows nt') THEN (CASE WHEN regexp_matches(l, 'windows nt ([0-9][0-9.]*)') THEN regexp_extract(l, 'windows nt ([0-9][0-9.]*)', 1) END)
+         WHEN regexp_matches(l, 'android') THEN (CASE WHEN regexp_matches(l, 'android ([0-9][0-9.]*)') THEN regexp_extract(l, 'android ([0-9][0-9.]*)', 1) END)
+         WHEN regexp_matches(l, '(iphone|ipad|ipod)') THEN (CASE WHEN regexp_matches(l, ' os ([0-9][0-9_]*)') THEN replace(regexp_extract(l, ' os ([0-9][0-9_]*)', 1), '_', '.') END)
+         WHEN regexp_matches(l, 'mac os x') THEN (CASE WHEN regexp_matches(l, 'mac os x ([0-9][0-9_.]*)') THEN regexp_extract(l, 'mac os x ([0-9][0-9_.]*)', 1) END)
+         ELSE NULL END AS os_version,
+    CASE WHEN ua IS NULL THEN NULL
+         WHEN regexp_matches(l, '(bot|crawler|spider|crawling|curl/|wget/|python-requests|go-http-client|httpclient)') THEN 'bot'
+         WHEN regexp_matches(l, '(ipad|tablet)') THEN 'tablet'
+         WHEN regexp_matches(l, '(mobile|iphone|ipod)') THEN 'mobile'
+         WHEN regexp_matches(l, 'android') THEN 'tablet'
+         ELSE 'desktop' END AS device,
+    CASE WHEN ua IS NULL THEN NULL
+         ELSE CAST(regexp_matches(l, '(bot|crawler|spider|crawling|curl/|wget/|python-requests|go-http-client|httpclient)') AS INTEGER) END AS is_bot
+  FROM lc)
+SELECT family, os, device, is_bot,
+       COUNT(*) AS cnt,
+       COUNT(version) AS n_versioned,
+       MAX(CAST(regexp_extract(version, '^([0-9]+)', 1) AS INTEGER)) AS max_major,
+       MIN(os_version) AS min_os_version
+FROM cls GROUP BY 1, 2, 3, 4
+"""
+
+
 QUERIES: dict[str, Callable] = {
     "emf_dim_hash_group": q_dim_hash_group,
     "emf_value_count_hist": q_value_count_hist,
@@ -6911,6 +7038,7 @@ QUERIES: dict[str, Callable] = {
     "ts_seasonal_anomaly": q_ts_seasonal_anomaly,
     "emf_log_to_metrics": q_emf_log_to_metrics,
     "ts_flag_episodes": q_ts_flag_episodes,
+    "events_user_agent": q_events_user_agent,
     "ann_kmeans_clusters": q_ann_kmeans_clusters,
     "dedup_embedding": q_dedup_embedding,
     "data_split": q_data_split,
@@ -7075,6 +7203,7 @@ ORACLE_SQL: dict[str, str] = {
     "ts_seasonal_anomaly": SQL_TS_SEASONAL_ANOMALY,
     "emf_log_to_metrics": SQL_EMF_LOG_TO_METRICS,
     "ts_flag_episodes": SQL_TS_FLAG_EPISODES,
+    "events_user_agent": SQL_EVENTS_USER_AGENT,
     "ann_kmeans_clusters": _sql_kmeans(),
     "dedup_embedding": _sql_dedup_embedding(),
     "data_split": SQL_DATA_SPLIT,

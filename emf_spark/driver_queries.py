@@ -6959,6 +6959,45 @@ FROM cls GROUP BY 1, 2, 3, 4
 """
 
 
+def q_events_path_transitions(spark, sf):
+    """Clickstream path transitions (datax/paths.py): order each
+    user's events by (event time, event_id), count consecutive
+    (src, dst) event-type bigrams plus the _start_/_end_ Sankey
+    endpoint edges, and normalize per source as integer-ppm Markov
+    transition probabilities. One per-session window + one hash
+    aggregate over the big data; the per-source normalization window
+    runs on the collapsed O(pages^2) frame."""
+    from emf_spark.datax.paths import path_transitions
+
+    ev = _fan(spark, _t(spark, sf, "events"))
+    return path_transitions(
+        ev, session_col="user_id", ts_col="ts",
+        type_col="event_type", tiebreak_col="event_id",
+    )
+
+
+SQL_EVENTS_PATH_TRANSITIONS = """
+WITH seq AS (
+  SELECT event_type AS src,
+         LEAD(event_type) OVER w AS nxt,
+         LEAD(TRUE) OVER w AS has_next,
+         ROW_NUMBER() OVER w = 1 AS is_first
+  FROM events WHERE user_id IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+edges AS (
+  SELECT src, CASE WHEN has_next THEN nxt ELSE '_end_' END AS dst FROM seq
+  UNION ALL
+  SELECT '_start_' AS src, src AS dst FROM seq WHERE is_first
+),
+counts AS (SELECT src, dst, COUNT(*) AS cnt FROM edges GROUP BY 1, 2)
+SELECT src, dst, cnt,
+       CAST((1000000 * cnt) // CAST(SUM(cnt) OVER (PARTITION BY src) AS BIGINT)
+            AS BIGINT) AS p_ppm
+FROM counts
+"""
+
+
 QUERIES: dict[str, Callable] = {
     "emf_dim_hash_group": q_dim_hash_group,
     "emf_value_count_hist": q_value_count_hist,
@@ -7039,6 +7078,7 @@ QUERIES: dict[str, Callable] = {
     "emf_log_to_metrics": q_emf_log_to_metrics,
     "ts_flag_episodes": q_ts_flag_episodes,
     "events_user_agent": q_events_user_agent,
+    "events_path_transitions": q_events_path_transitions,
     "ann_kmeans_clusters": q_ann_kmeans_clusters,
     "dedup_embedding": q_dedup_embedding,
     "data_split": q_data_split,
@@ -7204,6 +7244,7 @@ ORACLE_SQL: dict[str, str] = {
     "emf_log_to_metrics": SQL_EMF_LOG_TO_METRICS,
     "ts_flag_episodes": SQL_TS_FLAG_EPISODES,
     "events_user_agent": SQL_EVENTS_USER_AGENT,
+    "events_path_transitions": SQL_EVENTS_PATH_TRANSITIONS,
     "ann_kmeans_clusters": _sql_kmeans(),
     "dedup_embedding": _sql_dedup_embedding(),
     "data_split": SQL_DATA_SPLIT,

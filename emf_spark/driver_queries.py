@@ -7053,6 +7053,8 @@ QUERIES: dict[str, Callable] = {
     # gate (first 50 of queries(), offset 50) checks them this round
     "emf_grok_syslog": q_grok_syslog,
     "emf_grok_httpd_error": q_grok_httpd_error,
+    "events_user_agent": q_events_user_agent,
+    "events_path_transitions": q_events_path_transitions,
     "ts_interval_merge": q_ts_interval_merge,
     "dedup_jaccard_exact": q_dedup_jaccard_exact,
     "events_attribution": q_events_attribution,
@@ -7077,8 +7079,6 @@ QUERIES: dict[str, Callable] = {
     "ts_seasonal_anomaly": q_ts_seasonal_anomaly,
     "emf_log_to_metrics": q_emf_log_to_metrics,
     "ts_flag_episodes": q_ts_flag_episodes,
-    "events_user_agent": q_events_user_agent,
-    "events_path_transitions": q_events_path_transitions,
     "ann_kmeans_clusters": q_ann_kmeans_clusters,
     "dedup_embedding": q_dedup_embedding,
     "data_split": q_data_split,
@@ -7219,6 +7219,8 @@ ORACLE_SQL: dict[str, str] = {
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,
     "emf_grok_syslog": SQL_GROK_SYSLOG,
     "emf_grok_httpd_error": SQL_GROK_HTTPD_ERROR,
+    "events_user_agent": SQL_EVENTS_USER_AGENT,
+    "events_path_transitions": SQL_EVENTS_PATH_TRANSITIONS,
     "ts_interval_merge": SQL_TS_INTERVAL_MERGE,
     "dedup_jaccard_exact": SQL_DEDUP_JACCARD_EXACT,
     "events_attribution": SQL_EVENTS_ATTRIBUTION,
@@ -7243,8 +7245,6 @@ ORACLE_SQL: dict[str, str] = {
     "ts_seasonal_anomaly": SQL_TS_SEASONAL_ANOMALY,
     "emf_log_to_metrics": SQL_EMF_LOG_TO_METRICS,
     "ts_flag_episodes": SQL_TS_FLAG_EPISODES,
-    "events_user_agent": SQL_EVENTS_USER_AGENT,
-    "events_path_transitions": SQL_EVENTS_PATH_TRANSITIONS,
     "ann_kmeans_clusters": _sql_kmeans(),
     "dedup_embedding": _sql_dedup_embedding(),
     "data_split": SQL_DATA_SPLIT,

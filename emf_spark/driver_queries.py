@@ -6293,11 +6293,12 @@ def q_emf_record_modify(spark, sf):
     """Fluent Bit modify/nest filter chain (operators/modify.py): an
     ordered rule list — rename, blocked rename, conditional set, copy,
     nest-under-prefix, remove_wildcard, regex-conditioned set —
-    compiled into ONE nested higher-order-map expression per record:
-    no explode, no UDF, no shuffle; the chain pipelines inside the
+    applied as ONE higher-order-map projection PER RULE (records_modify)
+    so plan size and per-row cost stay linear in chain length: no
+    explode, no UDF, no shuffle; the whole chain pipelines inside the
     scan's codegen stage. Output is the canonical sorted k<US>v<RS>
     serialization so the compare is engine-portable."""
-    from emf_spark.operators.modify import canonical_kv, compile_modify
+    from emf_spark.operators.modify import canonical_kv, records_modify
 
     ev = _t(spark, sf, "events")
     rec = F.create_map(
@@ -6322,7 +6323,7 @@ def q_emf_record_modify(spark, sf):
          "when": [("a_key_matches", "^meta\\.")]},
     ]
     out = ev.select("event_id", rec.alias("record"))
-    out = out.withColumn("record", compile_modify(rules)(F.col("record")))
+    out = records_modify(out, "record", rules)
     return out.select("event_id", canonical_kv(F.col("record")).alias("rec"))
 
 

@@ -21,13 +21,24 @@ routing. Rule list and semantics mirror the public filter docs:
   ``key_value_matches`` (RE2-style regex on the value),
   ``a_key_matches`` (regex on any key)
 
-Execution model — the part that matters at scale: the whole rule chain
-COMPILES to one nested Catalyst expression per record built from
-``map_filter`` / ``map_concat`` / ``transform_keys`` /
-``map_contains_key`` higher-order functions. No explode, no
-re-aggregate, no UDF, no shuffle — a rule chain of any length is a
-single narrow projection that pipelines inside whole-stage codegen,
-so it costs the same scan it rides on at 100 TB.
+Execution model — the part that matters at scale: each rule becomes
+ONE narrow projection built from ``map_filter`` / ``map_concat`` /
+``transform_keys`` / ``map_contains_key`` higher-order functions, and
+``records_modify`` chains one projection PER RULE so every stage's
+input is a named attribute evaluated once per row. No explode, no
+re-aggregate, no UDF, no shuffle — the chain pipelines inside a single
+whole-stage-codegen span and its cost is LINEAR in rule count.
+
+(Why not one nested Column for the whole chain: a rename/copy rule
+references its input 4-6× — ``has_old``, ``no_new``, the value lookup,
+both CASE branches — so substituting the previous rule's full
+expression at every reference grows the Catalyst tree ~5× per rule.
+A 7-rule chain compiled that way evaluated thousands of duplicated map
+ops per row and benched at ~5.8k rows/s where its single-pass peers on
+the same scan run 5-14× faster. Catalyst's CollapseProject deliberately
+does NOT re-inline non-cheap expressions referenced more than once, so
+the per-rule projection chain stays linear after optimization —
+pinned by tests/test_modify.py::test_chain_cost_linear_in_rule_count.)
 
 Determinism notes: NULL records pass through NULL (no fabrication);
 rules apply strictly in list order (a ``set`` is visible to every later
@@ -140,10 +151,9 @@ def _apply(m: Column, rule: dict) -> Column:
     )
 
 
-def compile_modify(rules: list[dict]):
-    """Compile an ordered rule list into a Column->Column transform.
-    Validates ops/conditions eagerly (driver-side) so a typo'd rule
-    fails at build time, not mid-job."""
+def _validate(rules: list[dict]) -> None:
+    """Eager driver-side validation so a typo'd rule fails at build
+    time, not mid-job."""
     for r in rules:
         if r["op"] not in _OPS:
             raise ValueError(f"unknown modify op {r['op']!r}")
@@ -151,17 +161,33 @@ def compile_modify(rules: list[dict]):
             if c[0] not in _CONDS:
                 raise ValueError(f"unknown modify condition {c[0]!r}")
 
+
+def _apply_one(m: Column, r: dict) -> Column:
+    """One rule (incl. its ``when`` gate) over an input map column."""
+    applied = _apply(m, r)
+    conds = r.get("when", ())
+    if conds:
+        gate = _cond(m, conds[0])
+        for c in conds[1:]:
+            gate = gate & _cond(m, c)
+        applied = F.when(gate, applied).otherwise(m)
+    return applied
+
+
+def compile_modify(rules: list[dict]):
+    """Compile an ordered rule list into a Column->Column transform.
+
+    NOTE: the returned transform is one nested expression whose size
+    grows geometrically with rule count (see module docstring); it is
+    kept for call sites that need a pure Column (short chains, tests).
+    For DataFrame columns always prefer ``records_modify``, which
+    chains one projection per rule and stays linear."""
+    _validate(rules)
+
     def transform(m: Column) -> Column:
         out = m
         for r in rules:
-            applied = _apply(out, r)
-            conds = r.get("when", ())
-            if conds:
-                gate = F.lit(True)
-                for c in conds:
-                    gate = gate & _cond(out, c)
-                applied = F.when(gate, applied).otherwise(out)
-            out = applied
+            out = _apply_one(out, r)
         # NULL record -> NULL record, whatever the rules say
         return F.when(m.isNull(), F.lit(None).cast("map<string,string>")).otherwise(out)
 
@@ -169,8 +195,18 @@ def compile_modify(rules: list[dict]):
 
 
 def records_modify(df: DataFrame, col: str, rules: list[dict]) -> DataFrame:
-    """Apply a compiled modify chain to ``df[col]`` in place."""
-    return df.withColumn(col, compile_modify(rules)(F.col(col)))
+    """Apply a modify chain to ``df[col]`` in place, ONE projection per
+    rule: each stage's input is a named attribute evaluated once per
+    row, so plan size and per-row cost are linear in rule count (the
+    single-Column form duplicates the whole upstream tree at every
+    reference — module docstring). NULL records pass through NULL
+    without an explicit guard because every per-rule building block
+    (map_concat/map_filter/transform_keys and all gate conditions) is
+    NULL-propagating — pinned by test_null_record_passthrough."""
+    _validate(rules)
+    for r in rules:
+        df = df.withColumn(col, _apply_one(F.col(col), r))
+    return df
 
 
 def canonical_kv(m: Column) -> Column:

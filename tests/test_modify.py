@@ -136,3 +136,35 @@ def test_chain_is_single_narrow_projection(spark):
     plan = records_modify(df, "r", rules)._jdf.queryExecution().executedPlan().toString()
     for bad in ("Exchange", "Generate", "BatchEvalPython", "ArrowEvalPython"):
         assert bad not in plan, plan
+
+
+def test_chain_cost_linear_in_rule_count(spark):
+    """Regression pin for the r5 Catalyst expression-tree blowup: a
+    rename/copy rule references its input 4-6x, so compiling the whole
+    chain into one Column multiplies the tree ~5x PER RULE (a 14-rule
+    chain would build a ~5^14-node py4j expression — unrunnable).
+    records_modify applies one projection per rule instead; the
+    optimized plan must stay small (CollapseProject must not re-inline
+    the non-cheap map expressions) and the chain must run instantly."""
+    import time
+
+    df = spark.range(1000).select(
+        "id",
+        F.create_map(F.lit("k0"), F.col("id").cast("string")).alias("r"),
+    )
+    # 14 alternating rename/copy rules — the worst-case fanout ops
+    rules = []
+    for i in range(7):
+        rules.append({"op": "rename", "old": f"k{i}", "new": f"k{i + 1}"})
+        rules.append({"op": "copy", "old": f"k{i + 1}", "new": f"c{i}"})
+    t0 = time.time()
+    out = records_modify(df, "r", rules)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    n = out.count()
+    wall = time.time() - t0
+    assert n == 1000
+    # geometric compilation would exceed both bounds by orders of magnitude
+    assert len(plan) < 60_000, f"optimized plan re-inlined: {len(plan)} chars"
+    assert wall < 60, f"14-rule chain took {wall:.1f}s"
+    got = dict(out.collect()[0]["r"])
+    assert got["k7"] == "0" and all(got[f"c{i}"] == "0" for i in range(7))

@@ -285,11 +285,13 @@ def vocab_topk(
 
     The tokenizer-building primitive: lowercase, split on
     non-[a-z0-9'], explode, count, deterministic top-k (count desc,
-    token asc — ties must not depend on partition layout). The global
-    top-k materializes via a single-partition window over the ALREADY
-    AGGREGATED token counts — vocabulary cardinality, not corpus
-    cardinality, so the narrow final sort is fine at any corpus size
-    (vocab ~1e6 rows even at 100 TB of text)."""
+    token asc — ties must not depend on partition layout; token is
+    unique after the aggregate so the ordering is total). The global
+    top-k is limit-then-rank (the repo's rank.top_ranked shape):
+    ``orderBy().limit(k)`` plans TakeOrderedAndProject — per-partition
+    top-k plus a k-row merge — so no single task ever sees the full
+    vocab frequency frame; the row_number window then runs over <= k
+    surviving rows instead of the whole vocabulary."""
     toks = df.select(
         F.explode(
             F.split(F.lower(F.col(text_col)), r"[^a-z0-9']+")
@@ -298,10 +300,12 @@ def vocab_topk(
     counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
     from pyspark.sql.window import Window
 
-    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    order = [F.col("cnt").desc(), F.col("token").asc()]
+    w = Window.orderBy(*order)
     return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        counts.orderBy(*order)
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
         .select("rank", "token", "cnt")
     )
 

@@ -2787,18 +2787,22 @@ def q_text_bpe_encode(spark, sf):
     the classic single-pass-per-rule BPE scan, identical under Java
     regex and RE2, so the oracle replays the very same rewrite chain.
     Encoding runs once per DISTINCT word (vocab cardinality), never per
-    occurrence; top-40 by (cnt desc, token) via the narrow
-    post-aggregate window."""
+    occurrence; top-40 by (cnt desc, token) via limit-then-rank
+    (TakeOrderedAndProject + a 40-row window — token is unique, the
+    ordering is total, so this is exactly the rank<=40 cut without any
+    single task sorting the full vocab frame)."""
     from pyspark.sql.window import Window
 
     from emf_spark.datax.textstats import bpe_encode_corpus
 
     d = _t(spark, sf, "documents")
     freq = bpe_encode_corpus(d, BPE_MERGES)
-    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    order = [F.col("cnt").desc(), F.col("token").asc()]
+    w = Window.orderBy(*order)
     return (
-        freq.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 40)
+        freq.orderBy(*order)
+        .limit(40)
+        .withColumn("rank", F.row_number().over(w))
         .select("rank", "token", "cnt")
     )
 
@@ -3239,7 +3243,11 @@ def q_tpch_returned_item_revenue(spark, sf):
     top 20. Three joins (lineitem⋈orders shuffle on orderkey; customer
     and nation broadcast — dimension sides), integer-e4 revenue
     (cents x (100 - discount-pct)) so the sum is partitioning-exact,
-    deterministic top-k tie-break on custkey."""
+    deterministic top-k tie-break on custkey. Top-20 is limit-then-rank
+    (TakeOrderedAndProject + a 20-row window): the per-customer
+    aggregate grows linearly with data scale, so the classic Q10 trap —
+    a global row_number window funnelling every customer through one
+    partition — is avoided; custkey is unique so the cut is exact."""
     o = _t(spark, sf, "orders")
     l = _t(spark, sf, "lineitem")
     c = _t(spark, sf, "customer")
@@ -3256,10 +3264,12 @@ def q_tpch_returned_item_revenue(spark, sf):
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.sum(rev).alias("revenue_e4"))
     )
-    w = Window.orderBy(F.col("revenue_e4").desc(), F.col("c_custkey").asc())
+    order = [F.col("revenue_e4").desc(), F.col("c_custkey").asc()]
+    w = Window.orderBy(*order)
     return (
-        agg.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 20)
+        agg.orderBy(*order)
+        .limit(20)
+        .withColumn("rk", F.row_number().over(w))
         .select("c_custkey", "c_name", "n_name", "revenue_e4", "rk")
     )
 

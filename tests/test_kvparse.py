@@ -47,6 +47,15 @@ def test_logfmt_bare_value_charset(spark):
     assert got == {"a.b": "x-y", "k_2": "v/w", "path": "/x?q=1"}
 
 
+def test_logfmt_unterminated_quote_keeps_raw(spark):
+    # an unterminated quote is bare-matched by the scanner; the raw
+    # value must be kept as-is instead of silently dropping its first
+    # and last characters (r5 advisory: the unquote branch now requires
+    # a CLOSING quote)
+    assert _one(spark, 'a=1 k="abc', logfmt_records) == {"a": "1", "k": '"abc'}
+    assert _one(spark, 'k="', logfmt_records) == {"k": '"'}
+
+
 def test_ltsv_grammar(spark):
     got = _one(spark, "host:h1\treq:GET /x?a:b\tskipme\tdup:1\tdup:2", ltsv_records)
     assert got == {"host": "h1", "req": "GET /x?a:b", "dup": "2"}

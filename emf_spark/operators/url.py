@@ -58,7 +58,12 @@ def url_normalize(
     # component extraction: authority = after ://, up to / ? #
     hostport = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1)
     path = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)", 1)
-    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    # strip the fragment BEFORE extracting the query: a '?' inside the
+    # fragment ('https://h/p#f?x=1', SPA '/#/route?x=1') is NOT a query
+    # and must not resurface as one (r5 advisory)
+    query = F.regexp_extract(
+        F.regexp_replace(url, r"#.*", ""), r"\?(.*)", 1
+    )
 
     host = F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1))
     host = F.regexp_replace(host, r"\.$", "")  # trailing root dot
@@ -117,9 +122,18 @@ def suffix_enrich(
     if max_labels < 1:
         raise ValueError("max_labels must be >= 1")
     out_cols = ["matched_suffix", *attr_cols]
+    internals = [f"_sx_s{lvl}" for lvl in range(1, max_labels + 1)] + [
+        f"_sx_a{lvl}" for lvl in range(1, max_labels + 1)
+    ] + ["_sx_n", "_sx_suffix", "_sx_a"]
     for c in out_cols:
         if c in facts.columns:
             raise ValueError(f"column {c!r} collides with suffix_enrich outputs")
+    for c in internals:
+        # join-internal names would fail with ambiguous references
+        # mid-join (cidr_enrich guards its internals; r5 advisory asked
+        # for the same here)
+        if c in facts.columns:
+            raise ValueError(f"column {c!r} collides with suffix_enrich internals")
 
     sfx = _canon_suffix(F.col(suffix_col))
     n = F.size(F.split(sfx, r"\."))

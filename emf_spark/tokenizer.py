@@ -49,13 +49,38 @@ def _detok_batch(series: pd.Series) -> pd.Series:
     arr = pa.array(series, type=pa.list_(pa.int32()))
     if isinstance(arr, pa.ChunkedArray):  # pragma: no cover
         arr = arr.combine_chunks()
-    offsets = arr.offsets.to_numpy(zero_copy_only=False)
     vals = arr.values
+    if arr.null_count == 0 and vals.null_count == 0 and arr.offset == 0:
+        # Zero-alloc-per-row fast path: narrow the int32 token buffer
+        # to bytes once (vectorized), strict-validate the WHOLE batch
+        # as UTF-8 in one C pass, and when it validates build the Arrow
+        # string column directly over the original list offsets —
+        # no per-row Python str objects anywhere (guide-§4.2 re-slice:
+        # same data buffer, new offsets interpretation).
+        buf = vals.to_numpy(zero_copy_only=False).astype(np.uint8).tobytes()
+        try:
+            buf.decode("utf-8")
+            sarr = pa.StringArray.from_buffers(
+                len(arr), arr.buffers()[1], pa.py_buffer(buf)
+            )
+            return pd.Series(pd.arrays.ArrowExtensionArray(sarr))
+        except UnicodeDecodeError:
+            # a row carries invalid UTF-8: per-row decode with
+            # errors="replace" below (rare; correctness contract)
+            pass
+        offsets = arr.offsets.to_numpy(zero_copy_only=False)
+        return pd.Series(
+            [
+                buf[offsets[i] : offsets[i + 1]].decode("utf-8", errors="replace")
+                for i in range(len(arr))
+            ],
+            dtype=object,
+        )
+    offsets = arr.offsets.to_numpy(zero_copy_only=False)
     elem_valid = None
     if vals.null_count:
         elem_valid = vals.is_valid().to_numpy(zero_copy_only=False)
         vals = vals.fill_null(0)
-    # Null-free fast path: flatten once, slice by offsets.
     flat = vals.to_numpy(zero_copy_only=False).astype(np.uint8)
     buf = flat.tobytes()
     out = [

@@ -19,6 +19,15 @@ def test_normalize_case_port_fragment_tracking_sort(spark):
     assert got == "https://example.com/Path/X?a=1&b=2"  # path case KEPT
 
 
+def test_normalize_fragment_question_mark_not_a_query(spark):
+    # '?' INSIDE the fragment is not a query: the fragment is stripped
+    # first, so no query resurfaces (r5 advisory)
+    assert _norm(spark, "https://h.example/p#f?x=1") == "https://h.example/p"
+    assert _norm(spark, "https://h.example/#/route?x=1") == "https://h.example/"
+    # real query + fragment-with-? keeps only the real query
+    assert _norm(spark, "https://h.example/p?a=1#f?x=2") == "https://h.example/p?a=1"
+
+
 def test_normalize_edges(spark):
     # trailing root dot + default http port + empty path -> '/'
     assert _norm(spark, "http://Host.:80") == "http://host/"

@@ -580,7 +580,7 @@ def q_grok_parse(spark, sf):
     lines, grok them back, aggregate by extracted fields."""
     from emf_spark.operators.grok import grok_extract
 
-    ev = _t(spark, sf, "events")
+    ev = _fan(spark, _t(spark, sf, "events"))
     line = F.concat(
         F.col("event_type"),
         F.lit(" uid="),
@@ -1018,7 +1018,7 @@ def q_dedup_minhash(spark, sf):
     all-pairs oracle and the LSH path agree."""
     from emf_spark.datax import dedup as dd
 
-    d = _t(spark, sf, "documents")
+    d = _fan(spark, _t(spark, sf, "documents"))
     return dd.minhash_near_duplicates(
         d,
         num_perm=32,
@@ -1064,7 +1064,7 @@ def q_dedup_simhash(spark, sf):
     the oracle replicates the cap + pre-dedupe exactly in SQL."""
     from emf_spark.datax import dedup as dd
 
-    d = _t(spark, sf, "documents")
+    d = _fan(spark, _t(spark, sf, "documents"))
     return dd.simhash_near_duplicates(
         d, max_hamming=3, n_bits=56, word_hash=dd.portable_hash56
     ).orderBy("id_a", "id_b")
@@ -1121,7 +1121,7 @@ def q_text_fingerprint(spark, sf):
     identical sketches."""
     from emf_spark.datax import textstats
 
-    d = _t(spark, sf, "documents")
+    d = _fan(spark, _t(spark, sf, "documents"))
     return (
         textstats.fingerprint(d, portable=True)
         .groupBy("fingerprint_key")
@@ -3094,7 +3094,7 @@ def q_dedup_cluster_labels(spark, sf):
     forest-only propagation hash-fails the gate."""
     from emf_spark.datax import dedup as dd
 
-    d = _t(spark, sf, "documents")
+    d = _fan(spark, _t(spark, sf, "documents"))
     pairs = dd.minhash_near_duplicates(
         d,
         num_perm=32,
@@ -5733,7 +5733,7 @@ def q_dedup_jaccard_exact(spark, sf):
     all-pairs shingle join, feasible only at oracle scale."""
     from emf_spark.datax import dedup as dd
 
-    d = _t(spark, sf, "documents")
+    d = _fan(spark, _t(spark, sf, "documents"))
     return dd.jaccard_threshold_pairs(d, threshold=0.6).orderBy(
         "id_a", "id_b"
     )
@@ -6100,7 +6100,7 @@ def q_emf_multiline(spark, sf):
     aggregate; no UDFs."""
     from emf_spark.operators.multiline import assemble_multiline
 
-    ev = _t(spark, sf, "events")
+    ev = _fan(spark, _t(spark, sf, "events"))
     start = F.concat(
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
         F.lit(" "),
@@ -6249,7 +6249,7 @@ def q_events_cidr_enrich(spark, sf):
     matches for an argmax)."""
     from emf_spark.operators.cidr import cidr_enrich
 
-    ev = _t(spark, sf, "events")
+    ev = _fan(spark, _t(spark, sf, "events"))
     facts = ev.select(
         "event_id",
         ((F.col("event_id") * F.lit(1103515245) + F.lit(12345))
@@ -6310,7 +6310,7 @@ def q_emf_record_modify(spark, sf):
     serialization so the compare is engine-portable."""
     from emf_spark.operators.modify import canonical_kv, records_modify
 
-    ev = _t(spark, sf, "events")
+    ev = _fan(spark, _t(spark, sf, "events"))
     rec = F.create_map(
         F.lit("event_type"), F.col("event_type"),
         F.lit("sev"),
@@ -6416,7 +6416,7 @@ def q_emf_logfmt_parse(spark, sf):
     contract directly from the source columns."""
     from emf_spark.operators.kvparse import parse_logfmt
 
-    ev = _t(spark, sf, "events")
+    ev = _fan(spark, _t(spark, sf, "events"))
     line = F.concat(
         F.lit("svc=s"), (F.col("user_id") % 5).cast("string"),
         F.lit(" level="), F.col("event_type"),
@@ -6462,7 +6462,7 @@ def q_emf_ltsv_parse(spark, sf):
     narrow-projection execution shape as logfmt."""
     from emf_spark.operators.kvparse import parse_ltsv
 
-    ev = _t(spark, sf, "events")
+    ev = _fan(spark, _t(spark, sf, "events"))
     line = F.concat(
         F.lit("host:h"), (F.col("user_id") % 8).cast("string"),
         F.lit("\tstatus:"), F.col("event_type"),
@@ -6559,7 +6559,7 @@ def q_events_url_normalize(spark, sf):
     directly from the source columns."""
     from emf_spark.operators.url import url_normalize
 
-    ev = _t(spark, sf, "events")
+    ev = _fan(spark, _t(spark, sf, "events"))
     url = F.concat(
         F.lit("HTTPS://WWW.N"), (F.col("user_id") % 25).cast("string"),
         F.lit(".Example.COM:443/p/"), (F.col("event_id") % 10).cast("string"),
@@ -6754,7 +6754,7 @@ def q_emf_log_to_metrics(spark, sf):
     skip sampling instead of failing the job."""
     from emf_spark.operators.log2metrics import log_to_metrics
 
-    ev = _t(spark, sf, "events")
+    ev = _fan(spark, _t(spark, sf, "events"))
     rec = F.create_map(
         F.lit("level"), F.col("event_type"),
         F.lit("took"), F.round(F.col("value") * 100).cast("bigint").cast("string"),

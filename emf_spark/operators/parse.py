@@ -54,70 +54,70 @@ PROJECTION_RAW_DDL = (
 _INF = float("inf")
 
 
-def _dims_eligible_projections(cwm_raw: Column) -> Column:
-    """Projections that contribute to the record's DimensionSet: map-parse
-    ok, Namespace present, Dimensions present — INDEPENDENT of the
-    Metrics leg. The reference accumulates emf.DimensionSet from the
-    Dimensions leg and only then skips on a bad/missing Metrics field
-    (metric.go:80-117 accumulate, :117-124 skip), so a partially-valid
-    projection still names dimensions (ADVICE r1)."""
+def _eligible_parsed(cwm_raw: Column) -> Column:
+    """Dims-eligible projections, parsed ONCE: map-parse ok, Namespace
+    present, Dimensions present — INDEPENDENT of the Metrics leg. The
+    reference accumulates emf.DimensionSet from the Dimensions leg and
+    only then skips on a bad/missing Metrics field (metric.go:80-117
+    accumulate, :117-124 skip), so a partially-valid projection still
+    names dimensions (ADVICE r1).
+
+    Returns array<struct<Namespace, Dims:array<array<string>> (parsed,
+    NULL sets dropped, unsorted), MetricsRaw:array<string>>>. This is
+    the SHARED intermediate both ``parsed_projections`` and
+    ``dim_names_of`` read from one materialized column: the earlier
+    shape re-ran from_json over every projection string once for the
+    valid-projection struct AND once for the dim-name accumulation
+    (Catalyst does no CSE inside HOF lambdas), doubling the projection
+    parse on the pipeline's hottest stage."""
     parsed = F.transform(cwm_raw, lambda s: F.from_json(s, PROJECTION_RAW_DDL))
-    return F.filter(
+    elig = F.filter(
         parsed,
         lambda p: p.isNotNull()
         & p["Namespace"].isNotNull()
         & p["Dimensions"].isNotNull(),
     )
-
-
-def accumulated_dim_names(cwm_raw: Column) -> Column:
-    """Record-wide dimension-name set (U3, emf.DimensionSet): every name
-    in every array-parsing dimension set of every dims-eligible
-    projection."""
-    return F.array_distinct(
-        F.flatten(
-            F.flatten(
+    return F.transform(
+        elig,
+        lambda p: F.struct(
+            p["Namespace"].alias("Namespace"),
+            F.filter(
                 F.transform(
-                    _dims_eligible_projections(cwm_raw),
-                    lambda p: F.filter(
-                        F.transform(
-                            p["Dimensions"],
-                            lambda s: F.from_json(s, "array<string>"),
-                        ),
-                        lambda s: s.isNotNull(),
-                    ),
-                )
-            )
-        )
+                    p["Dimensions"], lambda s: F.from_json(s, "array<string>")
+                ),
+                lambda s: s.isNotNull(),
+            ).alias("Dims"),
+            p["Metrics"].alias("MetricsRaw"),
+        ),
     )
 
 
-def _valid_projections(cwm_raw: Column) -> Column:
-    """array<raw projection JSON> -> array<struct<Namespace, Dimensions,
+def dim_names_of(pe: Column) -> Column:
+    """Record-wide dimension-name set (U3, emf.DimensionSet) from the
+    _eligible_parsed column: every name in every array-parsing
+    dimension set of every dims-eligible projection."""
+    return F.array_distinct(
+        F.flatten(F.transform(pe, lambda p: F.flatten(p["Dims"])))
+    )
+
+
+def parsed_projections(pe: Column) -> Column:
+    """_eligible_parsed column -> array<struct<Namespace, Dimensions,
     Metrics>> with reference skip semantics: invalid projections dropped
     (metric.go:83-122), invalid dimension sets dropped (:103-106), each
     set sorted (:109), invalid/nameless metric entries dropped
     (:131-140 intent)."""
-    valid = F.filter(
-        _dims_eligible_projections(cwm_raw),
-        lambda p: p["Metrics"].isNotNull(),
-    )
+    valid = F.filter(pe, lambda p: p["MetricsRaw"].isNotNull())
     return F.transform(
         valid,
         lambda p: F.struct(
             p["Namespace"].alias("Namespace"),
-            F.transform(
-                F.filter(
-                    F.transform(
-                        p["Dimensions"], lambda s: F.from_json(s, "array<string>")
-                    ),
-                    lambda s: s.isNotNull(),
-                ),
-                lambda s: F.array_sort(s),
-            ).alias("Dimensions"),
+            F.transform(p["Dims"], lambda s: F.array_sort(s)).alias(
+                "Dimensions"
+            ),
             F.filter(
                 F.transform(
-                    p["Metrics"],
+                    p["MetricsRaw"],
                     lambda m: F.from_json(m, "struct<Name:string,Unit:string>"),
                 ),
                 lambda m: m.isNotNull() & m["Name"].isNotNull(),
@@ -182,10 +182,14 @@ def parse_emf(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         }
     )
     aws = F.col("_top")["_aws"]
+    # the shared once-parsed projection column: cwm AND dim_names read
+    # from this attribute, so each projection/dimension-set JSON string
+    # is from_json'd exactly once per record
+    df = df.withColumn("_pe", _eligible_parsed(aws["CloudWatchMetrics"]))
     df = df.withColumns(
         {
             "ts": aws["Timestamp"],
-            "cwm": _valid_projections(aws["CloudWatchMetrics"]),
+            "cwm": parsed_projections(F.col("_pe")),
             "valid": F.col("_rec").isNotNull()
             & aws.isNotNull()
             & aws["Timestamp"].isNotNull()
@@ -204,7 +208,7 @@ def parse_emf(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         {
             # dim_names from dims-ELIGIBLE projections (Metrics leg may be
             # invalid — reference accumulates DimensionSet first, ADVICE r1)
-            "dim_names": accumulated_dim_names(aws["CloudWatchMetrics"]),
+            "dim_names": dim_names_of(F.col("_pe")),
             "metric_names": F.array_distinct(
                 F.flatten(
                     F.transform(cwm, lambda p: F.transform(p["Metrics"], lambda m: m["Name"]))
@@ -233,7 +237,7 @@ def parse_emf(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         F.map_filter(rec, lambda k, v: F.array_contains(F.col("metric_names"), k)),
     )
     df = df.withColumn("dim_hash", dim_hash_expr(F.col("dims")))
-    return df.drop("_top", "_rec")
+    return df.drop("_top", "_rec", "_pe")
 
 
 def namespace_of(cwm: Column, name: Column) -> Column:

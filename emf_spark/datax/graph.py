@@ -149,10 +149,14 @@ def triangle_count(
     u_first = (F.col("_du") < F.col("_dv")) | (
         (F.col("_du") == F.col("_dv")) & (F.col("_u") < F.col("_v"))
     )
+    # lazy checkpoint: the three downstream references (both wedge
+    # sides + the closing join) resolve to ONE materialization inside
+    # the consuming job; eager ran the whole edge build as its own
+    # blocking job first (same finding as pagerank_exact)
     oriented = with_deg.select(
         F.when(u_first, F.col("_u")).otherwise(F.col("_v")).alias("_s"),
         F.when(u_first, F.col("_v")).otherwise(F.col("_u")).alias("_t"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     e1 = oriented.select(F.col("_s").alias("_wa"), F.col("_t").alias("_wb"))
     e2 = oriented.select(F.col("_s").alias("_wa"), F.col("_t").alias("_wc"))
     wedges = e1.join(e2, "_wa").filter(F.col("_wb") != F.col("_wc"))

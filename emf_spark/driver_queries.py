@@ -580,7 +580,7 @@ def q_grok_parse(spark, sf):
     lines, grok them back, aggregate by extracted fields."""
     from emf_spark.operators.grok import grok_extract
 
-    ev = _fan(spark, _t(spark, sf, "events"))
+    ev = _t(spark, sf, "events")
     line = F.concat(
         F.col("event_type"),
         F.lit(" uid="),
@@ -1018,7 +1018,7 @@ def q_dedup_minhash(spark, sf):
     all-pairs oracle and the LSH path agree."""
     from emf_spark.datax import dedup as dd
 
-    d = _fan(spark, _t(spark, sf, "documents"))
+    d = _t(spark, sf, "documents")
     return dd.minhash_near_duplicates(
         d,
         num_perm=32,
@@ -1064,7 +1064,7 @@ def q_dedup_simhash(spark, sf):
     the oracle replicates the cap + pre-dedupe exactly in SQL."""
     from emf_spark.datax import dedup as dd
 
-    d = _fan(spark, _t(spark, sf, "documents"))
+    d = _t(spark, sf, "documents")
     return dd.simhash_near_duplicates(
         d, max_hamming=3, n_bits=56, word_hash=dd.portable_hash56
     ).orderBy("id_a", "id_b")
@@ -1121,7 +1121,7 @@ def q_text_fingerprint(spark, sf):
     identical sketches."""
     from emf_spark.datax import textstats
 
-    d = _fan(spark, _t(spark, sf, "documents"))
+    d = _t(spark, sf, "documents")
     return (
         textstats.fingerprint(d, portable=True)
         .groupBy("fingerprint_key")
@@ -3094,7 +3094,7 @@ def q_dedup_cluster_labels(spark, sf):
     forest-only propagation hash-fails the gate."""
     from emf_spark.datax import dedup as dd
 
-    d = _fan(spark, _t(spark, sf, "documents"))
+    d = _t(spark, sf, "documents")
     pairs = dd.minhash_near_duplicates(
         d,
         num_perm=32,
@@ -6754,7 +6754,7 @@ def q_emf_log_to_metrics(spark, sf):
     skip sampling instead of failing the job."""
     from emf_spark.operators.log2metrics import log_to_metrics
 
-    ev = _fan(spark, _t(spark, sf, "events"))
+    ev = _t(spark, sf, "events")
     rec = F.create_map(
         F.lit("level"), F.col("event_type"),
         F.lit("took"), F.round(F.col("value") * 100).cast("bigint").cast("string"),
